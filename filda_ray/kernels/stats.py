@@ -1,0 +1,133 @@
+"""Statistical kernels mirroring the reference's aggregate semantics.
+
+- median/MAD background stats   (FILDA.py:857-864, cal_bgstat)
+- trimmed lowest-frac mean      (FILDA.py:1335-1368, lowest-25% FRP bg)
+- lowest-1%-quantile threshold  (FILDA.py:174-177, DNB dynamic floor)
+- gamma log-moment estimator    (FILDA_NTL.py:252-267, climatology)
+- combinable moment partials    (engine addition: partial aggregation
+  before the groupby shuffle, per ray_guide 'Aggregation at scale')
+
+All interpolation follows numpy's default (linear, matching DuckDB's
+``median``/``quantile_cont``) so SQL oracles agree bit-for-bit on the
+same input multisets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAD_SCALE = 1.4826  # consistency constant: MAD -> sigma under normality
+
+
+def median_mad(values: np.ndarray):
+    """(median, MAD) ignoring NaN.  MAD = median(|x - median(x)|)
+    (unscaled, exactly DuckDB's ``mad``); reference: FILDA.py:857-864."""
+    v = np.asarray(values, dtype=np.float64)
+    v = v[~np.isnan(v)]
+    if v.size == 0:
+        return np.nan, np.nan
+    med = float(np.median(v))
+    return med, float(np.median(np.abs(v - med)))
+
+
+def robust_z(values: np.ndarray, med: np.ndarray, mad: np.ndarray,
+             eps: float = 1e-9) -> np.ndarray:
+    """Robust z-score: (x - median) / (1.4826 * MAD + eps)."""
+    return (np.asarray(values, dtype=np.float64) - med) / (MAD_SCALE * np.asarray(mad) + eps)
+
+
+def trimmed_low_mean(values: np.ndarray, frac: float = 0.25):
+    """Mean of the lowest ``frac`` fraction (at least 1 element) of the
+    non-NaN values, plus the count used.
+
+    Reference: FILDA.py:1362-1368 sorts the window and averages the
+    lowest 25% of background radiances.  Selection is by sort order
+    (k = max(1, floor(n*frac)) smallest elements), not by quantile
+    interpolation — mirrored in SQL via row_number() over order.
+    """
+    v = np.asarray(values, dtype=np.float64)
+    v = v[~np.isnan(v)]
+    if v.size == 0:
+        return np.nan, 0
+    k = max(1, int(np.floor(v.size * frac)))
+    low = np.partition(v, k - 1)[:k]
+    return float(np.mean(low)), k
+
+
+def low_quantile_threshold(values: np.ndarray, frac: float = 0.01,
+                           floor: float | None = None):
+    """Mean of the lowest ``frac`` of values, clamped to ``floor``.
+
+    Reference: FILDA.py:174-190 (global 1% DNB threshold, clamp >= 4).
+    """
+    m, _ = trimmed_low_mean(values, frac)
+    if floor is not None and not np.isnan(m):
+        m = max(m, floor)
+    return m
+
+
+def gamma_log_moment(values: np.ndarray):
+    """(alpha, beta) gamma parameters via the log-moment estimator.
+
+    Reference: FILDA_NTL.py:252-267 —
+      s = ln(mean(x)) - mean(ln(x))
+      alpha = (3 - s + sqrt((s-3)^2 + 24 s)) / (12 s)
+      beta  = mean(x) / alpha
+    Positive values only; NaN if fewer than 2 positives.
+    """
+    v = np.asarray(values, dtype=np.float64)
+    v = v[~np.isnan(v) & (v > 0)]
+    if v.size < 2:
+        return np.nan, np.nan
+    mean = float(np.mean(v))
+    mean_log = float(np.mean(np.log(v)))
+    s = np.log(mean) - mean_log
+    if s <= 0:
+        return np.nan, np.nan
+    alpha = (3.0 - s + np.sqrt((s - 3.0) ** 2 + 24.0 * s)) / (12.0 * s)
+    return float(alpha), float(mean / alpha)
+
+
+# ---------------------------------------------------------------------------
+# Combinable partials (engine addition for pre-aggregation)
+# ---------------------------------------------------------------------------
+
+def moment_partial(values: np.ndarray):
+    """(n, sum, sum_sq, min, max, sum_log_pos, n_pos) — one combinable
+    partial per batch; merged by summation, finalized to
+    mean/std/gamma downstream.  Enables partial aggregation inside
+    map_batches before the groupby shuffle."""
+    v = np.asarray(values, dtype=np.float64)
+    v = v[~np.isnan(v)]
+    if v.size == 0:
+        return np.array([0, 0.0, 0.0, np.inf, -np.inf, 0.0, 0], dtype=np.float64)
+    pos = v[v > 0]
+    return np.array(
+        [v.size, v.sum(), np.square(v).sum(), v.min(), v.max(),
+         np.log(pos).sum() if pos.size else 0.0, pos.size],
+        dtype=np.float64,
+    )
+
+
+def moment_finalize(partial: np.ndarray):
+    """dict of mean/std(ddof=1)/min/max/gamma(alpha,beta) from a merged
+    partial vector (see ``moment_partial``)."""
+    n, s, ss, mn, mx, slog, npos = partial
+    if n < 1:
+        return {"n": 0, "mean": np.nan, "std": np.nan, "min": np.nan,
+                "max": np.nan, "alpha": np.nan, "beta": np.nan}
+    mean = s / n
+    var = (ss - n * mean * mean) / (n - 1) if n > 1 else np.nan
+    std = np.sqrt(max(var, 0.0)) if n > 1 else np.nan
+    alpha = beta = np.nan
+    if npos >= 2:
+        mean_pos_log = slog / npos
+        # log-moment estimator needs mean over the SAME positive subset;
+        # approximate with overall mean when all values positive
+        if npos == n:
+            g = np.log(mean) - mean_pos_log
+            if g > 0:
+                alpha = (3.0 - g + np.sqrt((g - 3.0) ** 2 + 24.0 * g)) / (12.0 * g)
+                beta = mean / alpha
+    return {"n": int(n), "mean": mean, "std": std, "min": mn, "max": mx,
+            "alpha": alpha, "beta": beta}

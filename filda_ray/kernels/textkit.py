@@ -1,0 +1,259 @@
+"""Text kernels: extraction, tokenization, language ID, quality
+scores, fingerprints, MinHash / SimHash signatures.
+
+The per-row invariant of the build (BASELINE.json input_hint) is
+*byte-identical extracted text per url*: ``extract_text`` is fully
+deterministic and versioned (EXTRACTOR_VERSION bumps on any change;
+goldens are pinned against it in tests).
+
+Regexes are compiled once at module import (amortized per worker
+process — same effect as actor __init__ state for stateless tasks).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+EXTRACTOR_VERSION = 1
+
+_BODY_RE = re.compile(rb"<body[^>]*>(.*?)</body>", re.S)
+_TAG_RE = re.compile(rb"<[^>]*>")
+_TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+
+# tiny per-language stopword profiles for the n-gram/stopword language
+# heuristic (public common-word lists; engine addition for the
+# training-data pipeline ops)
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"},
+    "fr": {"le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"},
+    "es": {"el", "la", "de", "que", "y", "en", "los", "una", "por", "con"},
+    "it": {"il", "di", "che", "la", "per", "una", "sono", "con", "non", "del"},
+    "pt": {"o", "de", "que", "e", "em", "um", "uma", "para", "com", "os"},
+}
+
+
+def extract_text(html_values) -> np.ndarray:
+    """Deterministic html -> text extraction (bytes in, str out).
+
+    Takes the content between <body> and </body>, strips all tags,
+    decodes UTF-8.  Must reproduce the source text byte-for-byte for
+    pages produced by ``sources.pages.render_html`` (the per-row
+    invariant); returns '' when no body is found.
+    """
+    out = np.empty(len(html_values), dtype=object)
+    for i, h in enumerate(html_values):
+        if h is None:
+            out[i] = ""
+            continue
+        if isinstance(h, str):
+            h = h.encode("utf-8")
+        m = _BODY_RE.search(h)
+        body = m.group(1) if m else b""
+        out[i] = _TAG_RE.sub(b"", body).decode("utf-8", errors="replace")
+    return out
+
+
+def tokenize(text: str) -> list[str]:
+    return _TOKEN_RE.findall(text)
+
+
+def token_counts(texts) -> np.ndarray:
+    """Whitespace/alnum token count per document (int64).
+
+    SQL mirror on space-separated corpora:
+    ``array_length(string_split(text, ' '))``.
+    """
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        out[i] = 0 if t is None else len(_TOKEN_RE.findall(t))
+    return out
+
+
+def quality_features(texts):
+    """dict of vectorized quality columns per document.
+
+    Engine addition (training-data quality scoring): n_chars, n_tokens,
+    mean token length, digit ratio, space ratio, distinct-token ratio.
+    All are SQL-expressible for oracle checks.
+    """
+    n = len(texts)
+    n_chars = np.zeros(n, dtype=np.int64)
+    n_tokens = np.zeros(n, dtype=np.int64)
+    mean_tok = np.zeros(n, dtype=np.float64)
+    digit_ratio = np.zeros(n, dtype=np.float64)
+    space_ratio = np.zeros(n, dtype=np.float64)
+    distinct_ratio = np.zeros(n, dtype=np.float64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        n_chars[i] = len(t)
+        toks = _TOKEN_RE.findall(t)
+        n_tokens[i] = len(toks)
+        if toks:
+            mean_tok[i] = sum(len(w) for w in toks) / len(toks)
+            distinct_ratio[i] = len(set(toks)) / len(toks)
+        nd = sum(c.isdigit() for c in t)
+        ns = t.count(" ")
+        digit_ratio[i] = nd / len(t)
+        space_ratio[i] = ns / len(t)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": mean_tok,
+        "digit_ratio": digit_ratio,
+        "space_ratio": space_ratio,
+        "distinct_ratio": distinct_ratio,
+    }
+
+
+def lang_id(texts) -> np.ndarray:
+    """Stopword-profile language guess ('und' when no evidence).
+
+    Deterministic tie-break: highest hit count, then alphabetical.
+    """
+    out = np.empty(len(texts), dtype=object)
+    for i, t in enumerate(texts):
+        if not t:
+            out[i] = "und"
+            continue
+        toks = set(w.lower() for w in _TOKEN_RE.findall(t))
+        best = ("und", 0)
+        for lang in sorted(_LANG_PROFILES):
+            hits = len(toks & _LANG_PROFILES[lang])
+            if hits > best[1]:
+                best = (lang, hits)
+        out[i] = best[0]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fingerprints / near-dup signatures
+# ---------------------------------------------------------------------------
+
+_FP_BASE = np.uint64(1099511628211)        # FNV prime as rolling base
+_FP_MOD_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def fingerprint64(texts) -> np.ndarray:
+    """Order-sensitive rolling token hash (document fingerprint).
+
+    h = fold(h * base + token_hash) over tokens, in uint64 arithmetic.
+    """
+    from .hashing import content_hash64
+
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = _TOKEN_RE.findall(t)
+        th = content_hash64(toks)
+        h = np.uint64(14695981039346656037)
+        with np.errstate(over="ignore"):
+            for x in th:
+                h = h * _FP_BASE + x
+        out[i] = h
+    return out
+
+
+def shingle_hashes(text: str, w: int = 3) -> np.ndarray:
+    """uint64 hashes of w-token shingles (sorted-unique)."""
+    from .hashing import content_hash64
+
+    toks = _TOKEN_RE.findall(text.lower()) if text else []
+    if len(toks) < w:
+        shingles = [" ".join(toks)] if toks else []
+    else:
+        shingles = [" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)]
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(content_hash64(shingles))
+
+
+_MERSENNE61 = np.uint64((1 << 61) - 1)
+
+
+def minhash_params(num_perm: int, seed: int = 1):
+    """(a, b) arrays for the affine permutations h -> (a*h + b) mod p."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature (num_perm,) of a shingle-hash set.
+
+    Uses float-free exact arithmetic: (a*h + b) mod 2^61-1 computed in
+    python-int per permutation would be slow; instead reduce inputs to
+    61 bits and use numpy uint64 with Mersenne folding.
+    """
+    if hashes.size == 0:
+        return np.full(a.shape[0], np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    h = (hashes & _MERSENNE61).astype(np.uint64)
+    sig = np.empty(a.shape[0], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(a.shape[0]):
+            # 61-bit modmul via 128-bit emulation: split h into hi/lo 31/30 bits
+            lo = h & np.uint64((1 << 30) - 1)
+            hi = h >> np.uint64(30)
+            # a*h = a*hi*2^30 + a*lo ; fold mod 2^61-1 pieces
+            t1 = (a[k] * hi) % _MERSENNE61
+            t1 = (t1 << np.uint64(30)) % _MERSENNE61
+            t2 = (a[k] * lo) % _MERSENNE61
+            v = (t1 + t2 + b[k]) % _MERSENNE61
+            sig[k] = v.min()
+    return sig
+
+
+def minhash_bands(sig: np.ndarray, num_bands: int) -> np.ndarray:
+    """uint64 hash per LSH band (rows = num_perm / num_bands)."""
+    from .hashing import hash_combine
+
+    rows = sig.shape[0] // num_bands
+    out = np.empty(num_bands, dtype=np.uint64)
+    for band in range(num_bands):
+        chunk = sig[band * rows:(band + 1) * rows]
+        h = np.uint64(band + 1)
+        for x in chunk:
+            h = hash_combine(np.array([h]), np.array([x]))[0]
+        out[band] = h
+    return out
+
+
+def jaccard(h1: np.ndarray, h2: np.ndarray) -> float:
+    """Exact Jaccard over two sorted-unique hash sets."""
+    if h1.size == 0 and h2.size == 0:
+        return 1.0
+    inter = np.intersect1d(h1, h2, assume_unique=True).size
+    union = h1.size + h2.size - inter
+    return inter / union if union else 0.0
+
+
+def simhash64(texts) -> np.ndarray:
+    """64-bit SimHash over token hashes (unweighted)."""
+    from .hashing import content_hash64
+
+    out = np.zeros(len(texts), dtype=np.uint64)
+    bits = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = _TOKEN_RE.findall(t.lower()) if t else []
+        if not toks:
+            continue
+        th = content_hash64(toks)
+        bitmat = ((th[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+        score = bitmat.sum(axis=0) * 2 - len(toks)  # (+1/-1 votes)
+        out[i] = np.uint64(((score > 0).astype(np.uint64) << bits).sum(dtype=np.uint64))
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 arrays."""
+    x = np.bitwise_xor(np.asarray(a, dtype=np.uint64), np.asarray(b, dtype=np.uint64))
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return cnt

@@ -1,0 +1,164 @@
+"""Pages table synthesis — deterministic and SQL-mirrorable.
+
+Maps the driver's ``documents`` table (doc_id, text, lang, source,
+n_chars) to the input_hint page shape::
+
+    url:string  warc_ts:timestamp[us]  html:binary  text:string  lang:string
+
+Every derived quantity is pure integer + IEEE-double arithmetic so the
+DuckDB oracle computes bit-identical values (``sql_*`` helpers below
+emit the mirroring SQL expressions from the same constants).
+
+Host assignment is zipf-ish skewed (host 0 receives ~3% of pages at
+N_HOSTS=1000) to exercise mega-host / mega-cell salting, mirroring the
+fire-cluster skew the reference's Pool.map suffers from
+(FILDA.py:1061-1088, SURVEY.md §4 skew row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+N_HOSTS = 1000
+_HOST_MIX = 2654435761          # Knuth multiplicative constant
+_HOST_MOD = 4294967296          # 2^32
+_TS_PRIME = 7919
+_TS_RANGE_S = 7776000           # 90 days (reference climatology window)
+TS_EPOCH = "2024-01-01 00:00:00"
+_TS_EPOCH_US = 1704067200000000  # 2024-01-01 in unix micros
+
+_LAT_A, _LAT_B, _LAT_P = 40503, 9973, 100003
+_LON_A, _LON_B, _LON_P = 69621, 12345, 99991
+LAT_MIN, LAT_SPAN = -60.0, 145.0   # valid-latitude band (FILDA_IO.py:406-408)
+LON_MIN, LON_SPAN = -180.0, 360.0
+
+HTML_PREFIX = '<!doctype html><html><head><meta charset="utf-8"><title>host{host_id}</title></head><body><p>'
+HTML_SUFFIX = "</p></body></html>"
+
+
+# ---------------------------------------------------------------------------
+# numpy side (used inside map_batches)
+# ---------------------------------------------------------------------------
+
+def host_id_of(doc_id: np.ndarray) -> np.ndarray:
+    d = np.asarray(doc_id, dtype=np.int64)
+    u = ((d * _HOST_MIX) % _HOST_MOD) / float(_HOST_MOD)
+    return np.floor(N_HOSTS * u * u).astype(np.int64)
+
+
+def host_lat(host_id: np.ndarray) -> np.ndarray:
+    h = (np.asarray(host_id, dtype=np.int64) * _LAT_A + _LAT_B) % _LAT_P
+    return LAT_MIN + (LAT_SPAN * h) / float(_LAT_P)
+
+
+def host_lon(host_id: np.ndarray) -> np.ndarray:
+    h = (np.asarray(host_id, dtype=np.int64) * _LON_A + _LON_B) % _LON_P
+    return LON_MIN + (LON_SPAN * h) / float(_LON_P)
+
+
+def url_of(doc_id: np.ndarray, host_id: np.ndarray) -> np.ndarray:
+    out = np.empty(len(doc_id), dtype=object)
+    for i in range(len(doc_id)):
+        out[i] = f"https://host{host_id[i]:04d}.example.com/doc/{doc_id[i]}"
+    return out
+
+
+def warc_ts_us(doc_id: np.ndarray) -> np.ndarray:
+    d = np.asarray(doc_id, dtype=np.int64)
+    return _TS_EPOCH_US + ((d * _TS_PRIME) % _TS_RANGE_S) * 1_000_000
+
+
+def render_html(host_id: np.ndarray, texts) -> np.ndarray:
+    """bytes html per row; ``kernels.textkit.extract_text`` inverts it
+    byte-for-byte (the per-row invariant)."""
+    out = np.empty(len(host_id), dtype=object)
+    for i, t in enumerate(texts):
+        pre = HTML_PREFIX.format(host_id=f"{host_id[i]:04d}")
+        out[i] = (pre + (t or "") + HTML_SUFFIX).encode("utf-8")
+    return out
+
+
+def synth_pages_batch(batch: pa.Table) -> pa.Table:
+    """documents batch -> pages batch (map_batches body, Arrow in/out)."""
+    doc_id = batch.column("doc_id").to_numpy()
+    texts = batch.column("text").to_pylist()
+    host = host_id_of(doc_id)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "url": pa.array(url_of(doc_id, host), pa.string()),
+            "warc_ts": pa.array(warc_ts_us(doc_id), pa.timestamp("us")),
+            "html": pa.array(render_html(host, texts), pa.binary()),
+            "text": batch.column("text").cast(pa.string()),
+            "lang": batch.column("lang").cast(pa.string()),
+        }
+    )
+    return tbl
+
+
+def read_pages(sf_dir: str, *, parallelism: int = -1):
+    """ray.data pipeline: documents.parquet -> pages Dataset.
+
+    Column-pruned read (doc_id, text, lang only) + one vectorized
+    map_batches; streams — no materialization.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return ds.map_batches(synth_pages_batch, batch_format="pyarrow")
+
+
+def host_of_url(urls) -> np.ndarray:
+    """host_id back out of the url (string kernel; SQL mirror uses
+    regexp_extract).  Demonstrates the url-parsing ingest path."""
+    out = np.empty(len(urls), dtype=np.int64)
+    for i, u in enumerate(urls):
+        # https://host{NNNN}.example.com/doc/{id}
+        out[i] = int(u[12:16])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SQL mirrors (same constants; emit DuckDB expressions)
+# ---------------------------------------------------------------------------
+
+def sql_host_id(doc_id: str = "doc_id") -> str:
+    u = f"((({doc_id} * {_HOST_MIX}) % {_HOST_MOD}) / {float(_HOST_MOD)!r})"
+    return f"cast(floor({N_HOSTS} * {u} * {u}) as bigint)"
+
+
+def sql_lat(host_id: str) -> str:
+    return (f"({LAT_MIN!r} + ({LAT_SPAN!r} * (({host_id} * {_LAT_A} + {_LAT_B}) % {_LAT_P}))"
+            f" / {float(_LAT_P)!r})")
+
+
+def sql_lon(host_id: str) -> str:
+    return (f"({LON_MIN!r} + ({LON_SPAN!r} * (({host_id} * {_LON_A} + {_LON_B}) % {_LON_P}))"
+            f" / {float(_LON_P)!r})")
+
+
+def sql_url(doc_id: str, host_id: str) -> str:
+    return ("('https://host' || lpad(cast(" + host_id + " as varchar), 4, '0')"
+            " || '.example.com/doc/' || cast(" + doc_id + " as varchar))")
+
+
+def sql_warc_ts(doc_id: str = "doc_id") -> str:
+    return (f"(TIMESTAMP '{TS_EPOCH}' + to_seconds(({doc_id} * {_TS_PRIME}) % {_TS_RANGE_S}))")
+
+
+def sql_pages_cte(docs_view: str = "documents") -> str:
+    """CTE body producing the page table + host/lat/lon in SQL."""
+    return f"""
+    SELECT doc_id,
+           {sql_url('doc_id', sql_host_id('doc_id'))} AS url,
+           {sql_warc_ts('doc_id')} AS warc_ts,
+           text, lang,
+           {sql_host_id('doc_id')} AS host_id,
+           {sql_lat(sql_host_id('doc_id'))} AS lat,
+           {sql_lon(sql_host_id('doc_id'))} AS lon
+    FROM {docs_view}
+    """

@@ -1,0 +1,120 @@
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from filda_ray.kernels import hashing, stats, textkit
+from filda_ray.sources import pages as P
+
+
+def test_median_mad_matches_duckdb():
+    rng = np.random.RandomState(0)
+    v = rng.randn(101) * 7 + 3
+    med, mad = stats.median_mad(v)
+    con = duckdb.connect()
+    con.register("t", pa.table({"x": v}))
+    smed, smad = con.sql("select median(x), mad(x) from t").fetchone()
+    assert med == float(smed)
+    assert mad == float(smad)
+    # even count interpolation too
+    v2 = v[:100]
+    med2, mad2 = stats.median_mad(v2)
+    con.register("t2", pa.table({"x": v2}))
+    smed2, smad2 = con.sql("select median(x), mad(x) from t2").fetchone()
+    assert med2 == float(smed2) and mad2 == float(smad2)
+
+
+def test_trimmed_low_mean():
+    v = np.arange(100, dtype=np.float64)
+    m, k = stats.trimmed_low_mean(v, 0.25)
+    assert k == 25 and m == np.mean(np.arange(25))
+    m1, k1 = stats.trimmed_low_mean(np.array([5.0]), 0.25)
+    assert k1 == 1 and m1 == 5.0
+
+
+def test_low_quantile_threshold_clamp():
+    v = np.linspace(0, 1, 1000)
+    thr = stats.low_quantile_threshold(v, 0.01, floor=4.0)
+    assert thr == 4.0  # clamp wins (FILDA.py:188-190 semantics)
+
+
+def test_gamma_log_moment_recovers_params():
+    rng = np.random.RandomState(1)
+    v = rng.gamma(shape=3.0, scale=2.0, size=200000)
+    a, b = stats.gamma_log_moment(v)
+    assert abs(a - 3.0) < 0.05
+    assert abs(b - 2.0) < 0.05
+
+
+def test_moment_partial_combine():
+    rng = np.random.RandomState(2)
+    v = rng.gamma(2.0, 1.5, size=10000)
+    parts = [stats.moment_partial(c) for c in np.array_split(v, 7)]
+    merged = np.sum(parts, axis=0)
+    merged[3] = min(p[3] for p in parts)
+    merged[4] = max(p[4] for p in parts)
+    fin = stats.moment_finalize(merged)
+    assert fin["n"] == 10000
+    assert np.isclose(fin["mean"], v.mean())
+    assert np.isclose(fin["std"], v.std(ddof=1))
+    a, _ = stats.gamma_log_moment(v)
+    assert np.isclose(fin["alpha"], a, rtol=1e-10)
+
+
+def test_md5_matches_duckdb():
+    vals = ["", "abc", "hello world", "ünïcode"]
+    got = hashing.md5_hex(vals)
+    con = duckdb.connect()
+    for v, g in zip(vals, got):
+        assert con.sql("select md5(?)", params=[v]).fetchone()[0] == g
+
+
+def test_extract_text_inverts_render():
+    texts = ["hello world", "", "a b c 123", "tokens & more <notag"]
+    # '<' in text would break any html round trip; synthesis corpus has none
+    texts[3] = "tokens & more notag"
+    host = np.zeros(len(texts), dtype=np.int64)
+    html = P.render_html(host, texts)
+    out = textkit.extract_text(html)
+    assert list(out) == texts  # byte-identical per-row invariant
+
+
+def test_token_counts_matches_split():
+    texts = ["a b c", "one", ""]
+    assert textkit.token_counts(texts).tolist() == [3, 1, 0]
+
+
+def test_minhash_jaccard_estimate():
+    a, b = textkit.minhash_params(128)
+    t1 = "the quick brown fox jumps over the lazy dog " * 20
+    t2 = "the quick brown fox leaps over the lazy dog " * 20
+    h1, h2 = textkit.shingle_hashes(t1), textkit.shingle_hashes(t2)
+    true_j = textkit.jaccard(h1, h2)
+    s1 = textkit.minhash_signature(h1, a, b)
+    s2 = textkit.minhash_signature(h2, a, b)
+    est = float(np.mean(s1 == s2))
+    assert abs(est - true_j) < 0.15
+    # identical docs -> identical signatures -> identical bands
+    assert np.array_equal(
+        textkit.minhash_bands(s1, 16), textkit.minhash_bands(textkit.minhash_signature(h1, a, b), 16)
+    )
+
+
+def test_simhash_similarity():
+    t1 = ["alpha beta gamma delta epsilon zeta eta theta"] * 1
+    t2 = ["alpha beta gamma delta epsilon zeta eta iota"]
+    t3 = ["completely different words entirely unrelated text here now"]
+    s1, s2, s3 = textkit.simhash64(t1)[0], textkit.simhash64(t2)[0], textkit.simhash64(t3)[0]
+    d12 = textkit.hamming64(np.array([s1]), np.array([s2]))[0]
+    d13 = textkit.hamming64(np.array([s1]), np.array([s3]))[0]
+    assert d12 < d13
+
+
+def test_qa_pack_unpack_inverse():
+    from filda_ray.kernels import qa
+
+    rng = np.random.RandomState(3)
+    flags = {k: rng.rand(50) > 0.5 for k in qa.QA_BITS}
+    packed = qa.qa_pack(flags)
+    unpacked = qa.qa_unpack(packed)
+    for k in flags:
+        assert np.array_equal(flags[k], unpacked[k])
