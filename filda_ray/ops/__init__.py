@@ -1,0 +1,12 @@
+"""Named Dataset -> Dataset operators (the engine's operator surface).
+
+Each operator mirrors a row of SURVEY.md §2 and documents the shuffle /
+broadcast / partitioning choice it makes for the 100 TB scale path.
+"""
+
+
+def autoscale(concurrency):
+    """Normalize an int pool size to an autoscaling (1, n) range so a
+    chain of actor pools can never deadlock a small CPU budget (each
+    pool can shrink to one actor under pressure)."""
+    return (1, concurrency) if isinstance(concurrency, int) else concurrency

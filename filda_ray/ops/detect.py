@@ -1,0 +1,113 @@
+"""Per-row contextual anomaly classification.
+
+Reference analog: identify_one's 3-test flag over adaptive-window
+median/MAD background (FILDA.py:875-998) and the two-tier significance
+levels (FILDA.py:962-969).  Engine form:
+
+- the (small) per-tile background table is broadcast once via
+  ``ray.put`` and gathered per batch by integer index — the
+  reference's compute-index-then-lookup join shape (SURVEY.md §2.4);
+  with a 10-degree grid the table is <= 648 rows, so a shuffle join
+  would be waste.  (For fine grids where the bg table is large, use
+  ``relational.hash_join`` on the tile key instead.)
+- adaptive window: ring-1 stats when populated (bg1_n >= min_bg_n),
+  else ring-2 (win_ring column records the escalation; QA bits
+  bg_ring1/bg_ring2/bg_low_n).
+- two-tier significance: status 2 (hi) / 1 (lo) / 0 on the robust z.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels.qa import qa_pack
+from ..kernels.stats import MAD_SCALE
+from . import autoscale
+
+Z_LO = 3.0
+Z_HI = 6.0
+MIN_BG_N = 10  # reference min valid = min(10, 0.25*win^2), FILDA.py:833-841
+EPS = 1e-9
+
+
+class BgJoinDetect:
+    """Actor stage: gather broadcast bg stats by tile id + classify."""
+
+    def __init__(self, bg_ref, value_col: str, min_bg_n: int = MIN_BG_N,
+                 z_lo: float = Z_LO, z_hi: float = Z_HI):
+        import ray
+
+        bg: pa.Table = ray.get(bg_ref) if not isinstance(bg_ref, pa.Table) else bg_ref
+        tiles = bg.column("pc_tile").to_numpy()
+        size = int(tiles.max()) + 1 if len(tiles) else 1
+        self.min_bg_n = min_bg_n
+        self.z_lo = z_lo
+        self.z_hi = z_hi
+        self.value_col = value_col
+        # dense index arrays: O(#tiles) memory, O(1) per-row gather
+        self.m1 = np.full(size, np.nan)
+        self.d1 = np.full(size, np.nan)
+        self.n1 = np.zeros(size, dtype=np.int64)
+        self.m2 = np.full(size, np.nan)
+        self.d2 = np.full(size, np.nan)
+        self.n2 = np.zeros(size, dtype=np.int64)
+        self.m1[tiles] = bg.column("bg1_median").to_numpy()
+        self.d1[tiles] = bg.column("bg1_mad").to_numpy()
+        self.n1[tiles] = bg.column("bg1_n").to_numpy()
+        self.m2[tiles] = bg.column("bg2_median").to_numpy()
+        self.d2[tiles] = bg.column("bg2_mad").to_numpy()
+        self.n2[tiles] = bg.column("bg2_n").to_numpy()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = batch.column("pc_tile").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column(self.value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = (t >= 0) & (t < len(self.m1))
+        ti = np.where(ok, t, 0)
+        use1 = self.n1[ti] >= self.min_bg_n
+        med = np.where(use1, self.m1[ti], self.m2[ti])
+        mad = np.where(use1, self.d1[ti], self.d2[ti])
+        n = np.where(use1, self.n1[ti], self.n2[ti])
+        win_ring = np.where(use1, 1, 2).astype(np.int32)
+        low_n = n < self.min_bg_n
+        z = (v - med) / (MAD_SCALE * mad + EPS)
+        status = np.where(low_n, 0, np.where(z >= self.z_hi, 2, np.where(z >= self.z_lo, 1, 0)))
+        qa = qa_pack(
+            {
+                "bg_ring1": use1 & ~low_n,
+                "bg_ring2": ~use1 & ~low_n,
+                "bg_low_n": low_n,
+                "anom_lo": status >= 1,
+                "anom_hi": status == 2,
+            }
+        )
+        return (
+            batch.append_column("bg_median", pa.array(med))
+            .append_column("bg_mad", pa.array(mad))
+            .append_column("bg_n", pa.array(n.astype(np.int64)))
+            .append_column("win_ring", pa.array(win_ring))
+            .append_column("score", pa.array(z))
+            .append_column("status", pa.array(status.astype(np.int32)))
+            .append_column("qa_detect", pa.array(qa, pa.uint32()))
+        )
+
+
+def contextual_detect(ds, bg_ds, value_col: str, *, concurrency: int = 4,
+                      min_bg_n: int = MIN_BG_N, z_lo: float = Z_LO, z_hi: float = Z_HI):
+    """Dataset op: rows + bg table -> rows with score/status/QA.
+
+    ``bg_ds`` is materialized (it is tiny: one row per populated tile)
+    and broadcast; the page stream itself keeps streaming.
+    """
+    import ray
+
+    bg_tbl = pa.concat_tables(
+        [b for b in bg_ds.iter_batches(batch_format="pyarrow", batch_size=None)]
+    ) if not isinstance(bg_ds, pa.Table) else bg_ds
+    bg_ref = ray.put(bg_tbl)
+    return ds.map_batches(
+        BgJoinDetect,
+        fn_constructor_args=(bg_ref, value_col, min_bg_n, z_lo, z_hi),
+        batch_format="pyarrow",
+        concurrency=autoscale(concurrency),
+    )

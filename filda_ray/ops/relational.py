@@ -1,0 +1,120 @@
+"""Generic relational operators: broadcast / hash joins, semi/anti,
+grouped top-k/bottom-k.
+
+Reference join taxonomy (SURVEY.md §2.4): every reference join is a
+broadcast small-side lookup; the engine adds real hash joins (Ray
+Data's hash-partitioned ``Dataset.join``) for large-large cases and
+broadcast semi/anti filters for key sets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def broadcast_join(ds, small: pa.Table, *, on: str, cols: list[str] | None = None):
+    """Left join a small side-table by gather (ray.put once, searchsorted
+    per batch).  No shuffle; the big side streams."""
+    import ray
+
+    cols = cols or [c for c in small.column_names if c != on]
+    ref = ray.put(small)
+
+    class Gather:
+        def __init__(self):
+            t = ray.get(ref)
+            keys = t.column(on).to_numpy()
+            order = np.argsort(keys)
+            self.keys = keys[order]
+            self.cols = {c: t.column(c).take(pa.array(order)) for c in cols}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            k = batch.column(on).to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.keys, k)
+            idx = np.clip(idx, 0, max(len(self.keys) - 1, 0))
+            hit = (len(self.keys) > 0) & (self.keys[idx] == k)
+            out = batch
+            for c, arr in self.cols.items():
+                taken = arr.take(pa.array(idx))
+                if pa.types.is_floating(taken.type):
+                    vals = np.where(hit, taken.to_numpy(zero_copy_only=False), np.nan)
+                    out = out.append_column(c, pa.array(vals, taken.type))
+                else:
+                    mask = ~hit
+                    out = out.append_column(
+                        c, pa.array(taken.to_pandas().where(hit), taken.type)
+                    )
+            return out
+
+    return ds.map_batches(Gather, batch_format="pyarrow", concurrency=(1, 2))
+
+
+def hash_join(left, right, *, on: str | tuple, how: str = "inner",
+              num_partitions: int = 16, right_on=None):
+    """Hash-partitioned join on Ray Data's native JoinOperator.
+
+    All-to-all on both sides; prefer ``broadcast_join`` when one side
+    fits comfortably in the object store (< ~1 GB rule of thumb).
+    """
+    on = (on,) if isinstance(on, str) else tuple(on)
+    right_on = (right_on,) if isinstance(right_on, str) else right_on
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=on,
+        right_on=right_on,
+    )
+
+
+def semi_anti_filter(ds, keys: np.ndarray, *, on: str, anti: bool = False):
+    """Semi/anti join by broadcast key set (reference anti-join analog:
+    background sets excluding fire/cloud cells, FILDA.py:637-652)."""
+    import ray
+
+    ref = ray.put(np.sort(np.asarray(keys)))
+
+    class F:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            k = batch.column(on).to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.keys, k)
+            idx = np.clip(idx, 0, max(len(self.keys) - 1, 0))
+            hit = (len(self.keys) > 0) & (self.keys[idx] == k)
+            return batch.filter(pa.array(~hit if anti else hit))
+
+    return ds.map_batches(F, batch_format="pyarrow", concurrency=(1, 2))
+
+
+def top_k_per_group(ds, *, group_col, value_col: str, k: int, ascending: bool = False,
+                    tie_col: str | None = None):
+    """Grouped top-k (bottom-k with ascending=True): the reference's
+    sorted-head selections (lowest-25% FILDA.py:1366) generalized.
+    Deterministic via the tie-break column."""
+    by = [value_col] + ([tie_col] if tie_col else [])
+    asc = [ascending] + ([True] if tie_col else [])
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(by, ascending=asc, kind="mergesort").head(k)
+
+    return ds.groupby(group_col).map_groups(head, batch_format="pandas")
+
+
+def trimmed_low_mean_per_group(ds, *, group_col: str, value_col: str, frac: float = 0.25,
+                               out_col: str = "trimmed_mean"):
+    """Per-group mean of the lowest ``frac`` of values
+    (FILDA.py:1362-1368 trimmed FRP background, as a grouped op).
+    k = max(1, floor(n*frac)) smallest by sort order."""
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value_col].to_numpy(dtype=np.float64))
+        v = v[~np.isnan(v)]
+        k = max(1, int(np.floor(v.size * frac))) if v.size else 0
+        m = float(np.mean(v[:k])) if k else np.nan
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]], out_col: [m], "n_used": [k]})
+
+    return ds.groupby(group_col).map_groups(agg, batch_format="pandas")

@@ -1,0 +1,178 @@
+"""Temporal operators: as-of join, tumbling windows, climatology.
+
+Reference analogs:
+- nearest-period static layer selection (8-day effective DOY,
+  MCBEF_IO.py:210; default-year fallback FILDA.py:1605-1609) — an
+  as-of join in time (SURVEY.md §2.9): implemented with per-key
+  ``pd.merge_asof`` inside co-partitioned groups.
+- overpass quantization to 6-minute intervals (MCBEF_IO.py:72-81) —
+  ``time_bucket``.
+- NTL climatology: 90-day stack -> per-cell mean/std/gamma
+  (FILDA_NTL.py:152-277) — ``climatology``: partial moment vectors
+  inside map_batches, then ONE small groupby over partials (the
+  partial+final combinable-sums design the survey calls for in §3.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..kernels.stats import moment_finalize
+
+
+def time_bucket(ts_us: np.ndarray, bucket_s: int) -> np.ndarray:
+    """Floor-quantize microsecond timestamps to bucket starts (us).
+
+    SQL mirror: ``to_timestamp(floor(epoch(ts)/B)*B)`` /
+    ``time_bucket(INTERVAL, ts)``."""
+    b = np.int64(bucket_s) * 1_000_000
+    return (np.asarray(ts_us, dtype=np.int64) // b) * b
+
+
+def bucket_op(ds, ts_col: str, bucket_s: int, out_col: str = "bucket_ts"):
+    def f(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy()
+        return batch.append_column(
+            out_col, pa.array(time_bucket(ts, bucket_s), pa.timestamp("us"))
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def asof_join(left, right, *, on: str, by: str, num_buckets: int = 16,
+              right_cols: list[str] | None = None, direction: str = "backward"):
+    """As-of join: for each left row, latest right row with
+    right.on <= left.on (within the same ``by`` key).
+
+    Both sides are hash-bucketed on ``by`` (co-partitioning), unioned,
+    and each bucket sorts once and runs ``pd.merge_asof`` — the
+    portable partitioned as-of pattern.  Skewed keys: bucket count is
+    on ``by``'s hash; a single hot key still lands in one group —
+    acceptable for dimension-like right sides; salt upstream if not.
+    """
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column("__side", pa.array(np.full(len(batch), side, dtype=np.int8)))
+
+        return f
+
+    lcols = left.schema().names
+    rkeep = [by, on] + [c for c in (right_cols or []) if c not in (by, on)]
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.select_columns(rkeep).map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column(by).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "__bucket", pa.array((k % num_buckets).astype(np.int32))
+        )
+
+    both = both.map_batches(add_bucket, batch_format="pyarrow")
+
+    payload = [c for c in rkeep if c not in (by, on)]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0].sort_values(on, kind="mergesort")
+        r = g[g["__side"] == 1].sort_values(on, kind="mergesort")
+        # the union null-fills each side with the other's columns; keep
+        # only the true left columns on l and (by, on, payload) on r
+        l = l[[c for c in lcols if c in l.columns]]
+        keep = [c for c in rkeep if c != by]
+        r = r[[by] + keep]
+        if len(r) == 0:
+            out = l.copy()
+            for c in payload:
+                out[c] = pd.NA
+            return out
+        out = pd.merge_asof(
+            l, r, on=on, by=by, direction=direction, suffixes=("", "_right")
+        )
+        return out
+
+    out = both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+    return out
+
+
+def climatology(ds, *, key_cols: list[str], value_col: str, ts_col: str | None = None,
+                bucket_s: int | None = None):
+    """Per-key (optionally per time bucket) mean/std/gamma climatology.
+
+    Two-level aggregation: vectorized per-batch partials (sum, sumsq,
+    count, sum_log, ...) -> groupby(key).sum over partials ->
+    closed-form finalize.  The shuffle moves ONE row per (key, batch),
+    not per input row — the survey's A6 scale design.
+    """
+    if ts_col is not None and bucket_s is not None:
+        ds = bucket_op(ds, ts_col, bucket_s)
+        key_cols = key_cols + ["bucket_ts"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(key_cols + [value_col]).to_pandas()
+        v = df[value_col].to_numpy(dtype=np.float64)
+        pos = np.where(v > 0, v, np.nan)
+        df = df.assign(
+            __n=(~np.isnan(v)).astype(np.int64),
+            __s=np.nan_to_num(v),
+            __ss=np.nan_to_num(v * v),
+            __slog=np.nan_to_num(np.log(pos)),
+            __npos=(~np.isnan(pos)).astype(np.int64),
+        )
+        agg = df.groupby(key_cols, as_index=False)[["__n", "__s", "__ss", "__slog", "__npos"]].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    merged = partials.groupby(key_cols).aggregate(
+        Sum("__n", alias_name="n"),
+        Sum("__s", alias_name="s"),
+        Sum("__ss", alias_name="ss"),
+        Sum("__slog", alias_name="slog"),
+        Sum("__npos", alias_name="npos"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.float64)
+        s = batch.column("s").to_numpy()
+        ss = batch.column("ss").to_numpy()
+        slog = batch.column("slog").to_numpy()
+        npos = batch.column("npos").to_numpy().astype(np.float64)
+        out = {k: batch.column(k) for k in key_cols}
+        mean = np.where(n > 0, s / np.maximum(n, 1), np.nan)
+        var = np.where(n > 1, (ss - n * mean * mean) / np.maximum(n - 1, 1), np.nan)
+        std = np.sqrt(np.maximum(var, 0.0))
+        # gamma log-moment (FILDA_NTL.py:252-267) on all-positive keys
+        g = np.where((npos == n) & (n > 1) & (mean > 0), np.log(mean) - slog / np.maximum(npos, 1), np.nan)
+        ok = g > 0
+        alpha = np.where(ok, (3.0 - g + np.sqrt((g - 3.0) ** 2 + 24.0 * g)) / (12.0 * g), np.nan)
+        beta = np.where(ok, mean / alpha, np.nan)
+        out.update(
+            {
+                "n": pa.array(n.astype(np.int64)),
+                "mean": pa.array(mean),
+                "std": pa.array(std),
+                "alpha": pa.array(alpha),
+                "beta": pa.array(beta),
+            }
+        )
+        return pa.table(out)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def window_aggregate(ds, *, key_col: str, ts_col: str, value_col: str, bucket_s: int):
+    """Tumbling-window sum/count/mean per (key, window) — the engine's
+    stream-shaped aggregate (ray_guide 'Streaming-shaped workloads');
+    SQL mirror: GROUP BY key, floor(epoch(ts)/B)."""
+    b = bucket_op(ds, ts_col, bucket_s)
+    from ray.data.aggregate import Count, Mean, Sum
+
+    return b.groupby([key_col, "bucket_ts"]).aggregate(
+        Sum(value_col, alias_name="sum_value"),
+        Count(alias_name="n"),
+        Mean(value_col, alias_name="mean_value"),
+    )

@@ -1,0 +1,127 @@
+"""Flagship detection pipeline (the BASELINE.json headline metric).
+
+pages -> extract text -> quality features -> geocode (broadcast
+gazetteer actor) -> tile encode (hex/S2/PC) -> per-tile background
+median/MAD (one groupby shuffle) -> per-row contextual anomaly
+classification -> PIP joins (admin/biome) -> per-cell counts -> QA
+bitfield -> (optionally) partitioned resumable product.
+
+Mirror of the reference detection lifecycle FILDA_main.py:30-175
+(SURVEY.md §3.1), re-expressed Ray-Data-first.
+
+Scale notes:
+- ``html``/``text`` are dropped as soon as n_chars/text_match are
+  computed — the shuffle stages only ever see narrow columns.
+- the narrowed stream is materialized once before branching into
+  (background stats | detection) so the page read + extraction run a
+  single time; the narrow projection is a few % of input bytes and
+  spills if needed.  Set ``materialize_narrow=False`` to recompute
+  instead (two streaming passes, zero pinning) on very large runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels.qa import qa_pack
+from ..ops.background import background_stats
+from ..ops.detect import contextual_detect
+from ..ops.hotspot import count_in_cell
+from ..ops.pip import pip_join
+from ..ops.text import extract_stage
+from ..ops.tiling import tile_encode
+from ..sources.gazetteer import geocode
+from ..sources.pages import read_pages
+
+NARROW_COLS = [
+    "doc_id", "url", "warc_ts", "lang", "n_chars", "n_tokens", "text_match",
+    "host_id", "lat", "lon", "country",
+]
+VALUE_COL = "n_chars"
+
+
+def _extract_and_measure(batch: pa.Table) -> pa.Table:
+    """html -> extracted text -> n_chars/n_tokens, then DROP the heavy
+    columns (html, text, extracted_text) in the same stage."""
+    out = extract_stage(batch)
+    ext = out.column("extracted_text").to_pylist()
+    n_chars = np.fromiter((len(t or "") for t in ext), dtype=np.int64, count=len(ext))
+    n_tokens = np.fromiter(
+        ((t.count(" ") + 1 if t else 0) for t in ext), dtype=np.int64, count=len(ext)
+    )
+    out = out.append_column("n_chars", pa.array(n_chars)).append_column(
+        "n_tokens", pa.array(n_tokens)
+    )
+    return out.drop_columns([c for c in ("html", "text", "extracted_text") if c in out.column_names])
+
+
+def _final_qa(batch: pa.Table) -> pa.Table:
+    lat = batch.column("lat").to_numpy(zero_copy_only=False)
+    qa = qa_pack(
+        {
+            "geocoded": ~np.isnan(lat),
+            "valid_latitude": ~np.isnan(lat) & (lat >= -60.0) & (lat <= 85.0),
+            "admin_joined": batch.column("admin_id").to_numpy(zero_copy_only=False) >= 0,
+            "biome_joined": batch.column("biome_id").to_numpy(zero_copy_only=False) >= 0,
+            "dup_in_cell": batch.column("n_in_cell").to_numpy(zero_copy_only=False) > 1,
+            "text_extracted": batch.column("text_match").to_numpy(zero_copy_only=False),
+        }
+    )
+    qa = qa | batch.column("qa_detect").to_numpy(zero_copy_only=False)
+    return batch.append_column("qa_bits", pa.array(qa, pa.uint32()))
+
+
+def narrow_pages(sf_dir: str, *, geocode_concurrency: int = 4):
+    """pages -> narrow geocoded+tiled stream (shared pipeline prefix)."""
+    ds = read_pages(sf_dir)
+    ds = ds.map_batches(_extract_and_measure, batch_format="pyarrow")
+    ds = geocode(ds, concurrency=geocode_concurrency)
+    ds = tile_encode(ds)
+    return ds
+
+
+def detect_pipeline(sf_dir: str, *, materialize_narrow: bool = True,
+                    concurrency: int = 4, with_metrics: bool = False):
+    """Full flagship pipeline; returns a Dataset of classified pages."""
+    ds = narrow_pages(sf_dir, geocode_concurrency=concurrency)
+    if with_metrics:
+        from ..state.metrics import count_stage
+
+        ds = count_stage(ds, "narrow_pages")
+    if materialize_narrow:
+        ds = ds.materialize()
+    bg = background_stats(ds, VALUE_COL)
+    det = contextual_detect(ds, bg, VALUE_COL, concurrency=concurrency)
+    det = pip_join(det, concurrency=concurrency)
+    det = count_in_cell(det, "hex_r7")
+    det = det.map_batches(_final_qa, batch_format="pyarrow")
+    if with_metrics:
+        from ..state.metrics import count_stage
+
+        det = count_stage(det, "classified")
+    return det
+
+
+def detections_only(sf_dir: str, **kw):
+    """Rows flagged anomalous (status>0) — the 'fire pixel table'."""
+    det = detect_pipeline(sf_dir, **kw)
+    return det.map_batches(
+        lambda b: b.filter(pa.compute.greater(b.column("status"), 0)),
+        batch_format="pyarrow",
+    )
+
+
+def write_detections(sf_dir: str, out_dir: str, **kw):
+    """Flagship + resumable partitioned product (partition = pc_tile)."""
+    from ..state.manifest import resume_filter, write_product
+
+    det = detect_pipeline(sf_dir, **kw)
+    det, done = resume_filter(det, out_dir, "pc_tile")
+    return write_product(
+        det,
+        out_dir,
+        partition_col="pc_tile",
+        lineage={"input": f"{sf_dir}/documents.parquet", "pipeline": "detect_pipeline"},
+        sort_cols=["doc_id"],
+    )

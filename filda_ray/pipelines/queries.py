@@ -1,0 +1,778 @@
+"""Driver-contract queries: Ray Data implementations + DuckDB oracles.
+
+Every SQL-expressible operator from SURVEY.md §2 gets a pair
+(ray_impl(sf_dir) -> table, oracle_sql) with IDENTICAL column names.
+Float-valued outputs either use exact-in-double integer arithmetic
+(counts, integer sums, cents) or identical per-row IEEE expressions,
+so order-insensitive value hashes agree; genuinely order-dependent
+float sums are avoided by design (documented per query).
+
+Ray is initialised by the DRIVER; nothing here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..kernels import cells
+from ..ops import relational as rel
+from ..ops import temporal
+from ..ops.dedup import dedup_exact
+from ..ops.text import quality_op
+from ..sources import pages as P
+from ..sources import polygons as PG
+from ..pipelines import flagship
+
+BUCKET_30D_US = 2_592_000 * 1_000_000
+SQL_PC_TILE = (
+    "cast(least(greatest(cast(floor((lat+90)/10.0) as bigint),0),17)*36 + "
+    "((cast(floor((lon+180)/10.0) as bigint) % 36)+36)%36 as int)"
+)
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _round_half_up(x: np.ndarray) -> np.ndarray:
+    """DuckDB's round() is half-away-from-zero; numpy's is half-even.
+    Mirror DuckDB for positive values (all money columns here)."""
+    return np.floor(x + 0.5)
+
+
+def _nan_to_null(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].astype(object).where(~pd.isna(df[c]), None)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# flagship contextual detection (full SQL oracle)
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_COLS = ["doc_id", "url", "pc_tile", "n_chars", "bg_median", "bg_mad",
+                 "bg_n", "win_ring", "score", "status", "admin_id"]
+
+
+def q_flagship(sf_dir: str):
+    det = flagship.detect_pipeline(sf_dir)
+    return det.select_columns(FLAGSHIP_COLS)
+
+
+def sql_flagship() -> str:
+    pages = P.sql_pages_cte()
+    return f"""
+WITH pages AS ({pages}),
+tiled AS (
+  SELECT doc_id, url, lat, lon,
+         cast(length(text) as bigint) AS n_chars,
+         least(greatest(cast(floor((lat+90)/10.0) as bigint),0),17) AS trow,
+         ((cast(floor((lon+180)/10.0) as bigint) % 36)+36)%36 AS tcol,
+         {SQL_PC_TILE} AS pc_tile
+  FROM pages
+),
+tiles AS (SELECT DISTINCT pc_tile, trow, tcol FROM tiled),
+nbr AS (
+  SELECT t.pc_tile AS center,
+         cast(n.n_chars as double) AS v,
+         greatest(abs(n.trow - t.trow),
+                  least(abs(n.tcol - t.tcol), 36 - abs(n.tcol - t.tcol))) AS dist
+  FROM tiles t JOIN tiled n
+    ON abs(n.trow - t.trow) <= 2
+   AND least(abs(n.tcol - t.tcol), 36 - abs(n.tcol - t.tcol)) <= 2
+),
+bg AS (
+  SELECT center AS pc_tile,
+         median(CASE WHEN dist <= 1 THEN v END) AS bg1_median,
+         mad(CASE WHEN dist <= 1 THEN v END)    AS bg1_mad,
+         count(CASE WHEN dist <= 1 THEN 1 END)  AS bg1_n,
+         median(v) AS bg2_median,
+         mad(v)    AS bg2_mad,
+         count(*)  AS bg2_n
+  FROM nbr GROUP BY center
+),
+j AS (
+  SELECT d.doc_id, d.url, d.pc_tile, d.n_chars, d.lat, d.lon,
+         CASE WHEN b.bg1_n >= 10 THEN b.bg1_median ELSE b.bg2_median END AS bg_median,
+         CASE WHEN b.bg1_n >= 10 THEN b.bg1_mad    ELSE b.bg2_mad    END AS bg_mad,
+         CASE WHEN b.bg1_n >= 10 THEN b.bg1_n      ELSE b.bg2_n      END AS bg_n,
+         cast(CASE WHEN b.bg1_n >= 10 THEN 1 ELSE 2 END as int) AS win_ring
+  FROM tiled d JOIN bg b USING (pc_tile)
+)
+SELECT doc_id, url, pc_tile, n_chars, bg_median, bg_mad, bg_n, win_ring,
+       (n_chars - bg_median) / (1.4826 * bg_mad + 1e-9) AS score,
+       cast(CASE WHEN bg_n < 10 THEN 0
+                 WHEN (n_chars - bg_median) / (1.4826 * bg_mad + 1e-9) >= 6.0 THEN 2
+                 WHEN (n_chars - bg_median) / (1.4826 * bg_mad + 1e-9) >= 3.0 THEN 1
+                 ELSE 0 END as int) AS status,
+       {PG.sql_admin_id('lat', 'lon')} AS admin_id
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# geocode + tiles
+# ---------------------------------------------------------------------------
+
+def q_geocode(sf_dir: str):
+    from ..sources.gazetteer import geocode
+
+    ds = P.read_pages(sf_dir).drop_columns(["html"])
+    ds = geocode(ds)
+
+    def tile(b: pa.Table) -> pa.Table:
+        lat = b.column("lat").to_numpy()
+        lon = b.column("lon").to_numpy()
+        return b.append_column("pc_tile", pa.array(cells.pc_tile(lat, lon)))
+
+    ds = ds.map_batches(tile, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "url", "host_id", "lat", "lon", "country", "pc_tile"])
+
+
+def sql_geocode() -> str:
+    return f"""
+WITH pages AS ({P.sql_pages_cte()})
+SELECT doc_id, url, host_id, lat, lon,
+       'A' || lpad(cast({PG.sql_admin_id('lat', 'lon')} as varchar), 2, '0') AS country,
+       {SQL_PC_TILE} AS pc_tile
+FROM pages
+"""
+
+
+# ---------------------------------------------------------------------------
+# extraction invariant (byte-identical text per url)
+# ---------------------------------------------------------------------------
+
+def q_extract(sf_dir: str):
+    from ..ops.text import extract_text_op
+
+    ds = extract_text_op(P.read_pages(sf_dir))
+
+    def measure(b: pa.Table) -> pa.Table:
+        ext = b.column("extracted_text").to_pylist()
+        n = np.fromiter((len(t or "") for t in ext), dtype=np.int64, count=len(ext))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "url": b.column("url"),
+                "n_chars_extracted": pa.array(n),
+                "text_match": b.column("text_match"),
+            }
+        )
+
+    return ds.map_batches(measure, batch_format="pyarrow")
+
+
+def sql_extract() -> str:
+    return f"""
+WITH pages AS ({P.sql_pages_cte()})
+SELECT doc_id, url, cast(length(text) as bigint) AS n_chars_extracted, TRUE AS text_match
+FROM pages
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality features
+# ---------------------------------------------------------------------------
+
+def q_quality(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = quality_op(ds)
+    return ds.select_columns(
+        ["doc_id", "n_chars", "n_tokens", "mean_token_len", "digit_ratio",
+         "space_ratio", "distinct_ratio"]
+    )
+
+
+def sql_quality() -> str:
+    return """
+SELECT doc_id,
+       cast(length(text) as bigint) AS n_chars,
+       cast(array_length(string_split(text, ' ')) as bigint) AS n_tokens,
+       cast(length(replace(text, ' ', '')) as double)
+         / array_length(string_split(text, ' ')) AS mean_token_len,
+       cast(length(regexp_replace(text, '[^0-9]', '', 'g')) as double)
+         / length(text) AS digit_ratio,
+       cast(length(text) - length(replace(text, ' ', '')) as double)
+         / length(text) AS space_ratio,
+       cast(array_length(list_distinct(string_split(text, ' '))) as double)
+         / array_length(string_split(text, ' ')) AS distinct_ratio
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (md5 oracle)
+# ---------------------------------------------------------------------------
+
+def q_dedup(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup_exact(ds).select_columns(["doc_id", "content_md5"])
+
+
+def sql_dedup() -> str:
+    return """
+SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-tile counts (A5 duplicate-count analog)
+# ---------------------------------------------------------------------------
+
+def q_tile_counts(sf_dir: str):
+    ds = flagship.narrow_pages(sf_dir)
+    counts = ds.groupby("pc_tile").count()
+
+    def rn(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["pc_tile", "n_pages"])
+
+    return counts.map_batches(rn, batch_format="pyarrow")
+
+
+def sql_tile_counts() -> str:
+    return f"""
+WITH pages AS ({P.sql_pages_cte()})
+SELECT {SQL_PC_TILE} AS pc_tile, count(*) AS n_pages
+FROM pages GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# climatology (A6 analog): per host x 30-day bucket
+# ---------------------------------------------------------------------------
+
+def q_climatology(sf_dir: str):
+    ds = P.read_pages(sf_dir).drop_columns(["html"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        n = np.fromiter((len(t or "") for t in texts), dtype=np.int64, count=len(texts))
+        from ..sources.pages import host_of_url
+
+        host = host_of_url(b.column("url").to_pylist())
+        ts = b.column("warc_ts").cast(pa.int64()).to_numpy()
+        bucket = temporal.time_bucket(ts, 2_592_000)
+        return pa.table(
+            {"host_id": pa.array(host), "bucket_us": pa.array(bucket),
+             "n_chars": pa.array(n)}
+        )
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow")
+    clim = temporal.climatology(narrow, key_cols=["host_id", "bucket_us"], value_col="n_chars")
+    df = clim.select_columns(["host_id", "bucket_us", "n", "mean", "std"]).to_pandas()
+    df = _nan_to_null(df, ["std"])
+    df["std"] = df["std"].astype(np.float64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def sql_climatology() -> str:
+    return f"""
+WITH pages AS ({P.sql_pages_cte()}),
+g AS (
+  SELECT {P.sql_host_id('doc_id')} AS host_id,
+         cast(floor(epoch_us(warc_ts) / {BUCKET_30D_US}) as bigint) * {BUCKET_30D_US} AS bucket_us,
+         count(*) AS n,
+         sum(cast(length(text) as double)) AS s,
+         sum(cast(length(text) as double) * cast(length(text) as double)) AS ss
+  FROM pages GROUP BY 1, 2
+)
+SELECT host_id, bucket_us, n,
+       s / n AS mean,
+       CASE WHEN n > 1 THEN sqrt(greatest((ss - n * (s/n) * (s/n)) / (n - 1), 0.0)) END AS std
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# windowed event aggregate (streaming-shaped)
+# ---------------------------------------------------------------------------
+
+def q_window_events(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    b = temporal.bucket_op(ds, "ts", 3600)
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket_us", t.column("bucket_ts").cast(pa.int64())).drop_columns(
+            ["bucket_ts", "ts"]
+        )
+
+    b = b.map_batches(to_us, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Max, Min
+
+    out = b.groupby(["event_type", "bucket_us"]).aggregate(
+        Count(alias_name="n"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+    return out
+
+
+def sql_window_events() -> str:
+    return """
+SELECT event_type,
+       cast(floor(epoch_us(ts) / 3600000000) as bigint) * 3600000000 AS bucket_us,
+       count(*) AS n,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# as-of join (nearest-period lookup, SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+def q_asof(sf_dir: str):
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type", "value"])
+    left = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    right = ev.filter(expr="event_type == 'click'")
+
+    def prep_right(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "prev_ts": b.column("ts"),
+                "prev_value": b.column("value"),
+            }
+        )
+
+    right = right.map_batches(prep_right, batch_format="pyarrow")
+    out = temporal.asof_join(left, right, on="ts", by="user_id",
+                             right_cols=["user_id", "ts", "prev_ts", "prev_value"])
+    df = out.to_pandas()
+    res = pd.DataFrame(
+        {
+            "event_id": df["event_id"].astype(np.int64),
+            "user_id": df["user_id"].astype(np.int64),
+            "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+            "prev_ts_us": df["prev_ts"].astype("datetime64[us]").astype(object).where(
+                df["prev_ts"].notna(), None
+            ),
+            "prev_value": df["prev_value"].astype(object).where(df["prev_value"].notna(), None),
+        }
+    )
+    res["prev_ts_us"] = res["prev_ts_us"].map(
+        lambda v: None if v is None else int(pd.Timestamp(v).value // 1000)
+    )
+    return pa.Table.from_pandas(res, preserve_index=False).cast(
+        pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()), ("ts_us", pa.int64()),
+             ("prev_ts_us", pa.int64()), ("prev_value", pa.float64())]
+        )
+    )
+
+
+def sql_asof() -> str:
+    return """
+SELECT l.event_id,
+       l.user_id,
+       epoch_us(l.ts) AS ts_us,
+       epoch_us(r.ts) AS prev_ts_us,
+       r.value AS prev_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped top-k
+# ---------------------------------------------------------------------------
+
+def q_topk_orders(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
+    out = rel.top_k_per_group(ds, group_col="o_orderpriority", value_col="o_totalprice",
+                              k=3, ascending=False, tie_col="o_orderkey")
+    return out.select_columns(["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+
+def sql_topk_orders() -> str:
+    return """
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# hash join + broadcast join pipeline (revenue per nation)
+# ---------------------------------------------------------------------------
+
+def q_join_revenue(sf_dir: str):
+    rd = _rd()
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b.column("o_totalprice").to_numpy()
+        return b.append_column(
+            "cents", pa.array(_round_half_up(v * 100.0).astype(np.int64))
+        ).drop_columns(["o_totalprice"])
+
+    orders = orders.map_batches(cents, batch_format="pyarrow")
+    j = rel.hash_join(orders, cust, on="o_custkey", right_on="c_custkey", how="inner",
+                      num_partitions=8)
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    j = rel.broadcast_join(j, nation.rename_columns(["c_nationkey", "n_name"]),
+                           on="c_nationkey")
+    from ray.data.aggregate import Count, Sum
+
+    out = j.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents")
+    )
+    return out
+
+
+def sql_join_revenue() -> str:
+    return """
+SELECT n_name, count(*) AS n_orders,
+       cast(sum(cast(round(o_totalprice * 100.0) as bigint)) as bigint) AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# semi / anti joins (broadcast key set)
+# ---------------------------------------------------------------------------
+
+def _urgent_orderkeys(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    return t.filter(pc.equal(t.column("o_orderpriority"), "1-URGENT")).column(
+        "o_orderkey"
+    ).to_numpy()
+
+
+def q_semi(sf_dir: str):
+    rd = _rd()
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    return rel.semi_anti_filter(li, _urgent_orderkeys(sf_dir), on="l_orderkey")
+
+
+def sql_semi() -> str:
+    return """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def q_anti(sf_dir: str):
+    rd = _rd()
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    return rel.semi_anti_filter(li, _urgent_orderkeys(sf_dir), on="l_orderkey", anti=True)
+
+
+def sql_anti() -> str:
+    return """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+# ---------------------------------------------------------------------------
+# trimmed lowest-25% mean (A2 analog)
+# ---------------------------------------------------------------------------
+
+def q_trimmed(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"])
+    return rel.trimmed_low_mean_per_group(ds, group_col="l_returnflag",
+                                          value_col="l_quantity", frac=0.25)
+
+
+def sql_trimmed() -> str:
+    return """
+WITH s AS (
+  SELECT l_returnflag, l_quantity,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS cnt
+  FROM lineitem
+)
+SELECT l_returnflag,
+       avg(cast(l_quantity as double)) AS trimmed_mean,
+       cast(count(*) as bigint) AS n_used
+FROM s
+WHERE rn <= greatest(1, cast(floor(cnt * 0.25) as bigint))
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# global low-quantile threshold (A3 analog)
+# ---------------------------------------------------------------------------
+
+def q_low_quantile(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+
+    def batch_cents(b: pa.Table) -> pa.Table:
+        v = b.column("l_extendedprice").to_numpy()
+        return pa.table({"cents": pa.array(_round_half_up(v * 100.0).astype(np.int64))})
+
+    cents = ds.map_batches(batch_cents, batch_format="pyarrow")
+    # bottom-k selection must be global: per-batch partial bottom-k
+    # (k = 1% of total) then one small final sort — mirror of the
+    # reference's exact global sort-head (FILDA.py:174-177)
+    total = cents.count()
+    k = max(1, int(np.floor(total * 0.01)))
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.sort(b.column("cents").to_numpy())[:k]
+        return pa.table({"cents": pa.array(v)})
+
+    low = cents.map_batches(partial, batch_format="pyarrow").sort("cents").limit(k)
+    vals = low.to_pandas()["cents"].to_numpy()
+    thr = float(np.sum(vals)) / k / 100.0
+    return pa.table({"threshold": pa.array([thr], pa.float64()),
+                     "k": pa.array([k], pa.int64())})
+
+
+def sql_low_quantile() -> str:
+    return """
+WITH s AS (
+  SELECT cast(round(l_extendedprice * 100.0) as bigint) AS cents,
+         row_number() OVER (ORDER BY round(l_extendedprice * 100.0)) AS rn,
+         count(*) OVER () AS cnt
+  FROM lineitem
+)
+SELECT sum(cents) / greatest(1, cast(floor(cnt * 0.01) as bigint)) / 100.0 AS threshold,
+       greatest(1, cast(floor(cnt * 0.01) as bigint)) AS k
+FROM s
+WHERE rn <= greatest(1, cast(floor(cnt * 0.01) as bigint))
+GROUP BY cnt
+"""
+
+
+# ---------------------------------------------------------------------------
+# q1-style pricing summary
+# ---------------------------------------------------------------------------
+
+def q_pricing(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax"],
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        ep = b.column("l_extendedprice").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        tax = b.column("l_tax").to_numpy()
+        charge = _round_half_up(ep * (1.0 - disc) * (1.0 + tax) * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "qty": b.column("l_quantity").cast(pa.float64()),
+                "charge_cents": pa.array(charge),
+            }
+        )
+
+    d = ds.map_batches(derive, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+
+    out = d.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty", alias_name="sum_qty"),
+        Sum("charge_cents", alias_name="sum_charge_cents"),
+        Count(alias_name="count_order"),
+    )
+    return out
+
+
+def sql_pricing() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       cast(sum(cast(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100.0) as bigint)) as bigint)
+         AS sum_charge_cents,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+def q_embed_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    from ..ops.embed import cosine_topk
+
+    rd = _rd()
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qsel = qt.slice(0, 3)
+    queries = np.asarray(qsel.column("embedding").to_pylist(), dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = cosine_topk(ds, queries, k=10, dtype=np.float64)
+
+    def rounded(b: pa.Table) -> pa.Table:
+        v = b.column("cosine").to_numpy()
+        # DuckDB round(x, 6) is half-away-from-zero
+        c = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "query_id": b.column("query_id").cast(pa.int32()),
+                "vec_id": b.column("vec_id"),
+                "cosine": pa.array(c),
+            }
+        )
+
+    return out.map_batches(rounded, batch_format="pyarrow")
+
+
+def sql_embed_topk() -> str:
+    return """
+WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 3),
+s AS (
+  SELECT cast(q.qid as int) AS query_id, e.vec_id,
+         list_cosine_similarity(cast(e.embedding as DOUBLE[]),
+                                cast(q.embedding as DOUBLE[])) AS c
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, round(c, 6) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn FROM s)
+WHERE rn <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible; pytest-checked instead)
+# ---------------------------------------------------------------------------
+
+def q_cells(sf_dir: str):
+    ds = flagship.narrow_pages(sf_dir)
+    return ds.select_columns(["doc_id", "hex_r7", "s2_l12", "hex_prefix"])
+
+
+def q_pip_biome(sf_dir: str):
+    from ..ops.pip import pip_join
+
+    ds = flagship.narrow_pages(sf_dir)
+    return pip_join(ds).select_columns(["doc_id", "admin_id", "biome_id"])
+
+
+def q_minhash(sf_dir: str):
+    rd = _rd()
+    from ..ops.dedup import minhash_lsh_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds)
+
+
+def q_simhash(sf_dir: str):
+    rd = _rd()
+    from ..ops.dedup import simhash_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_pairs(ds)
+
+
+def q_knn_hotspots(sf_dir: str):
+    from ..ops.hotspot import knn_hotspots
+
+    ds = flagship.narrow_pages(sf_dir)
+    out = knn_hotspots(ds, k_ring=1)
+    return out.select_columns(["doc_id", "hex_r7", "n_kring"])
+
+
+def q_ann_lsh(sf_dir: str):
+    import pyarrow.parquet as pq
+    from ..ops.embed import lsh_bucket_topk
+
+    rd = _rd()
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).slice(0, 3)
+    queries = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return lsh_bucket_topk(ds, queries, k=10, nbits=8)
+
+
+def q_langid(sf_dir: str):
+    rd = _rd()
+    from ..ops.text import langid_op
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return langid_op(ds).select_columns(["doc_id", "lang_guess"])
+
+
+def q_score(sf_dir: str):
+    from ..ops.score import score_op
+
+    ds = flagship.narrow_pages(sf_dir)
+    return score_op(ds).select_columns(["doc_id", "est_p", "est_t", "est_qa"])
+
+
+QUERIES = {
+    "flagship_detect": q_flagship,
+    "geocode_tiles": q_geocode,
+    "extract_invariant": q_extract,
+    "quality_features": q_quality,
+    "dedup_exact": q_dedup,
+    "tile_counts": q_tile_counts,
+    "climatology_host": q_climatology,
+    "window_events": q_window_events,
+    "asof_events": q_asof,
+    "topk_orders": q_topk_orders,
+    "join_revenue": q_join_revenue,
+    "semi_lineitem": q_semi,
+    "anti_lineitem": q_anti,
+    "trimmed_mean_quantity": q_trimmed,
+    "low_quantile_price": q_low_quantile,
+    "pricing_summary": q_pricing,
+    "embedding_topk": q_embed_topk,
+    # rows-only (non-SQL-expressible; covered by pytest goldens/oracles)
+    "cells_hex_s2": q_cells,
+    "pip_biome": q_pip_biome,
+    "minhash_neardup_pairs": q_minhash,
+    "simhash_neardup_pairs": q_simhash,
+    "knn_hotspots": q_knn_hotspots,
+    "ann_lsh_topk": q_ann_lsh,
+    "langid": q_langid,
+    "estimator_score": q_score,
+}
+
+ORACLES = {
+    "flagship_detect": sql_flagship(),
+    "geocode_tiles": sql_geocode(),
+    "extract_invariant": sql_extract(),
+    "quality_features": sql_quality(),
+    "dedup_exact": sql_dedup(),
+    "tile_counts": sql_tile_counts(),
+    "climatology_host": sql_climatology(),
+    "window_events": sql_window_events(),
+    "asof_events": sql_asof(),
+    "topk_orders": sql_topk_orders(),
+    "join_revenue": sql_join_revenue(),
+    "semi_lineitem": sql_semi(),
+    "anti_lineitem": sql_anti(),
+    "trimmed_mean_quantity": sql_trimmed(),
+    "low_quantile_price": sql_low_quantile(),
+    "pricing_summary": sql_pricing(),
+    "embedding_topk": sql_embed_topk(),
+}

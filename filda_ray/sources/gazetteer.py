@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+from ..ops import autoscale
 
 from . import pages as P
 
@@ -81,5 +82,5 @@ def geocode(ds, gaz_ref=None, *, concurrency: int = 4, batch_size: int = 4096):
         fn_constructor_args=(gaz_ref,),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=autoscale(concurrency),
     )
