@@ -1,0 +1,132 @@
+"""Benchmark harness (driver contract).
+
+Plain run: executes the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS,
+default 32) and prints ONE JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+--scaling: runs the headline flagship pipeline twice in FRESH
+processes (num_cpus=1, then 4 by default) on the same input and
+reports both throughputs + scaling efficiency (the sandbox stand-in
+for the north_rule's N vs 4N node criterion).
+
+The flagship input is the documents-derived pages table replicated
+deterministically (GRAFT_BENCH_REPLICATE, default 1024 -> 5.12M pages at
+sf0.1); replication re-derives hosts/coords per replica, so the data
+distribution matches the base corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "1024"))
+# Scaling pair: this sandbox advertises 32 vCPUs but the hardware
+# delivers only ~8 cores of real throughput for memory-bound Arrow
+# work (measured: identical tasks cost 82 cpu-s under 8-way
+# concurrency vs 181 cpu-s under 32-way — vCPU/bandwidth contention,
+# not engine behavior).  The N-vs-4N comparison therefore uses 1 vs 4
+# — both within genuine capacity — per the round instructions
+# ("N and 4N CPUs").  All pairs recorded in BASELINE.md.
+SCALING_LO = int(os.environ.get("GRAFT_SCALING_LO", "1"))
+SCALING_HI = int(os.environ.get("GRAFT_SCALING_HI", "4"))
+SCALING_REPLICATE = int(os.environ.get("GRAFT_SCALING_REPLICATE", "1024"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from filda_ray.pipelines import flagship, queries as Q
+    from filda_ray.sources.pages import read_pages
+
+    timings: dict[str, float] = {}
+
+    # warm the page cache (untimed read) so we measure compute + shuffle
+    read_pages(SF_DIR).count()
+
+    t0 = time.time()
+    det = flagship.detect_pipeline(SF_DIR, replicate=REPLICATE)
+    n_pages = det.count()
+    t_flagship = time.time() - t0
+    timings["flagship_detect"] = round(t_flagship, 3)
+
+    secondary = {} if os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY") else {
+        "dedup_exact": Q.q_dedup,
+        "pricing_summary": Q.q_pricing,
+        "join_revenue": Q.q_join_revenue,
+        "window_events": Q.q_window_events,
+        "embedding_topk": Q.q_embed_topk,
+        "minhash_neardup": Q.q_minhash,
+    }
+    for name, fn in secondary.items():
+        t0 = time.time()
+        res = fn(SF_DIR)
+        if hasattr(res, "count"):
+            res.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "flagship pages/sec (geocode->tile->background->classify->PIP->QA)",
+        "value": timings["flagship_detect"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages": int(n_pages),
+        "pages_per_sec": round(n_pages / max(timings["flagship_detect"], 1e-9), 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_REPLICATE=str(SCALING_REPLICATE),
+                   GRAFT_BENCH_FLAGSHIP_ONLY="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = SCALING_LO, SCALING_HI
+    r_lo = one(lo)
+    r_hi = one(hi)
+    t_lo = r_lo["queries"]["flagship_detect"]
+    t_hi = r_hi["queries"]["flagship_detect"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": f"scaling efficiency (flagship, {lo} vs {hi} cpus, fresh sessions, N-vs-4N stand-in)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "pages": r_hi["pages"],
+        "pages_per_sec_lo": r_lo["pages_per_sec"],
+        "pages_per_sec_hi": r_hi["pages_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -56,6 +56,24 @@ def extract_text(html_values) -> np.ndarray:
     return out
 
 
+_ARROW_BODY_PAT = r"(?s)<body[^>]*>(?P<body>.*?)</body>"
+_ARROW_TAG_PAT = r"<[^>]*>"
+
+
+def extract_text_arrow(html):
+    """Vectorized Arrow twin of ``extract_text`` (same semantics,
+    same EXTRACTOR_VERSION): RE2 kernels instead of a Python loop.
+    Equivalence is pinned by tests; the hot path uses this one.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    hs = pc.cast(html, pa.string())
+    body = pc.struct_field(pc.extract_regex(hs, _ARROW_BODY_PAT), "body")
+    out = pc.replace_substring_regex(body, _ARROW_TAG_PAT, "")
+    return pc.fill_null(out, "")
+
+
 def tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall(text)
 

@@ -2,24 +2,32 @@
 
 Reference analog: cal_bgstat (FILDA.py:767-872) — per-candidate
 adaptive square window grown until enough valid pixels, then median +
-MAD of the window.  Scalable re-expression (SURVEY.md §7.6):
+MAD of the window.  The adaptive-window semantics (grow until >=
+min_count valid, FILDA.py:813-845) become: ring-1 (3x3 tile) stats
+when populated, else ring-2 (5x5) — recorded in win_ring / QA bits.
 
-1. project rows to (tile, value) — 2 narrow columns, so the 25x
-   neighbor re-key below expands tiny rows, not pages;
-2. re-key every row to each distinct tile within Chebyshev ring 2 of
-   its own tile, tagging the ring distance (vectorized repeat inside
-   map_batches — no per-row Python);
-3. one groupby(center_tile).map_groups computes median/MAD/count at
-   ring<=1 and ring<=2 in the same pass (median/MAD are
-   non-combinable, so the group materializes; group size is bounded by
-   tile size x 25 and by mega-cell salting upstream).
+Two scalable implementations, identical results:
 
-The adaptive-window semantics (grow until >= min_count valid,
-FILDA.py:813-845) become: use ring-1 stats when bg1_n >= min_count,
-else ring-2 (recorded in win_ring / QA bits).
+1. ``background_stats`` (default, integer-valued metrics): per-batch
+   (tile, value) -> COUNT HISTOGRAM partials (np.unique — vectorized,
+   mergeable, tiny: <= #tiles x #distinct values), merged once, then
+   exact weighted median/MAD per tile from merged counts, including
+   the ring-1/ring-2 neighborhoods, computed in milliseconds.  This is
+   the survey's A4 'per-cell sums aggregated over neighborhood key'
+   design: the all-to-all shuffle of raw rows disappears entirely —
+   only O(tiles x distinct-values) partial rows move.  Exactness: for
+   discrete-valued metrics the histogram median IS the exact median
+   (numpy/DuckDB interpolation reproduced on ranks).
 
-One all-to-all shuffle total, keyed by tile id.  The SQL oracle
-mirrors this with a neighbor self-join + median()/mad() per tile.
+2. ``background_stats_shuffle`` (general floats): re-key each row to
+   its <=25 neighbor tiles and groupby(tile).map_groups median/MAD —
+   one sort shuffle of narrow (tile, value, ring) rows.  Kept for
+   continuous metrics where histograms would be approximate.
+
+At 10^12 rows both medians are over per-tile multisets; the histogram
+path stays exact and cheap as long as the value domain is discrete
+(token counts, byte lengths, quantized scores) — which is exactly the
+flagship's metric family.
 """
 
 from __future__ import annotations
@@ -33,6 +41,157 @@ from ..kernels.stats import median_mad
 
 MAX_RING = 2
 
+
+# ---------------------------------------------------------------------------
+# histogram path (default)
+# ---------------------------------------------------------------------------
+
+def _hist_partial(batch: pa.Table, value_col: str, tile_col: str) -> pa.Table:
+    t = batch.column(tile_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    ok = ~np.isnan(v) & (t >= 0)
+    tv, vv = t[ok], v[ok]
+    vi = vv.astype(np.int64)
+    if vv.size and (vi == vv).all() and vi.min() >= 0 and vi.max() < (1 << 31):
+        # integer fast path: composite 1-D key (tile << 32 | value)
+        key = (tv << np.int64(32)) | vi
+        uk, counts = np.unique(key, return_counts=True)
+        ut = (uk >> np.int64(32)).astype(np.int32)
+        uv = (uk & np.int64(0xFFFFFFFF)).astype(np.float64)
+    else:
+        pairs = np.stack([tv, vv], axis=1)
+        uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+        ut = uniq[:, 0].astype(np.int32)
+        uv = uniq[:, 1]
+    return pa.table(
+        {
+            "tile": pa.array(ut),
+            "value": pa.array(uv),
+            "n": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def _merge_partials(batch: pa.Table) -> pa.Table:
+    """Sum counts of identical (tile, value) pairs across partials."""
+    t = batch.column("tile").to_numpy().astype(np.int64)
+    v = batch.column("value").to_numpy()
+    n = batch.column("n").to_numpy()
+    vi = v.astype(np.int64)
+    if v.size and (vi == v).all() and vi.min() >= 0 and vi.max() < (1 << 31):
+        key = (t << np.int64(32)) | vi
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "tile": pa.array((uk >> np.int64(32)).astype(np.int32)),
+                "value": pa.array((uk & np.int64(0xFFFFFFFF)).astype(np.float64)),
+                "n": pa.array(sums),
+            }
+        )
+    import pandas as pd
+
+    df = pd.DataFrame({"tile": t.astype(np.int32), "value": v, "n": n})
+    agg = df.groupby(["tile", "value"], sort=True)["n"].sum().reset_index()
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def _weighted_median(values: np.ndarray, counts: np.ndarray) -> float:
+    """Exact median of the multiset {values repeated counts times},
+    matching numpy/DuckDB linear interpolation (avg of the two middle
+    elements for even totals).  ``values`` must be sorted ascending."""
+    total = counts.sum()
+    if total == 0:
+        return np.nan
+    cum = np.cumsum(counts)
+    if total % 2 == 1:
+        r = total // 2  # 0-based middle rank
+        return float(values[np.searchsorted(cum, r + 1)])
+    r1, r2 = total // 2 - 1, total // 2
+    v1 = values[np.searchsorted(cum, r1 + 1)]
+    v2 = values[np.searchsorted(cum, r2 + 1)]
+    return float((v1 + v2) / 2.0)
+
+
+def _median_mad_hist(values: np.ndarray, counts: np.ndarray):
+    med = _weighted_median(values, counts)
+    if np.isnan(med):
+        return np.nan, np.nan
+    dev = np.abs(values - med)
+    order = np.argsort(dev, kind="mergesort")
+    return med, _weighted_median(dev[order], counts[order])
+
+
+def background_stats(ds, value_col: str, tile_col: str = "pc_tile",
+                     tile_deg: float = cells.PC_TILE_DEG):
+    """Dataset op: rows -> per-tile background stats table (histogram
+    path; exact for discrete-valued metrics).
+
+    Columns out: pc_tile, bg{1,2}_{median,mad,n}.
+    """
+    import ray.data as rd
+
+    parts = ds.select_columns([tile_col, value_col]).map_batches(
+        lambda b: _hist_partial(b, value_col, tile_col), batch_format="pyarrow"
+    )
+    # tree reduce: coalesce partials and re-merge in parallel so the
+    # driver only ever sees <= 8 merged histograms (each bounded by
+    # #tiles x #distinct values), not one partial per input block
+    parts = parts.repartition(8).map_batches(_merge_partials, batch_format="pyarrow")
+    df = parts.to_pandas()
+    merged = df.groupby(["tile", "value"], sort=True)["n"].sum().reset_index()
+
+    tiles = merged["tile"].to_numpy()
+    vals = merged["value"].to_numpy()
+    cnts = merged["n"].to_numpy()
+    uniq_tiles = np.unique(tiles)
+    # per-tile slices (merged is sorted by tile, value)
+    starts = np.searchsorted(tiles, uniq_tiles, side="left")
+    ends = np.searchsorted(tiles, uniq_tiles, side="right")
+    hist = {int(t): (vals[s:e], cnts[s:e]) for t, s, e in zip(uniq_tiles, starts, ends)}
+
+    nb1, keep1 = cells.pc_distinct_neighbors_mask(uniq_tiles.astype(np.int32), 1, tile_deg)
+    nb2, keep2 = cells.pc_distinct_neighbors_mask(uniq_tiles.astype(np.int32), MAX_RING, tile_deg)
+
+    rows = {"pc_tile": [], "bg1_median": [], "bg1_mad": [], "bg1_n": [],
+            "bg2_median": [], "bg2_mad": [], "bg2_n": []}
+    for i, t in enumerate(uniq_tiles):
+        out = [int(t)]
+        for nb, keep in ((nb1, keep1), (nb2, keep2)):
+            vs, cs = [], []
+            for nt in nb[i][keep[i]]:
+                h = hist.get(int(nt))
+                if h is not None:
+                    vs.append(h[0])
+                    cs.append(h[1])
+            if vs:
+                v = np.concatenate(vs)
+                c = np.concatenate(cs)
+                order = np.argsort(v, kind="mergesort")
+                v, c = v[order], c[order]
+                med, mad = _median_mad_hist(v, c)
+                out += [med, mad, int(c.sum())]
+            else:
+                out += [np.nan, np.nan, 0]
+        for k, val in zip(rows, out):
+            rows[k].append(val)
+    bg = pa.table(
+        {
+            "pc_tile": pa.array(np.asarray(rows["pc_tile"], dtype=np.int32)),
+            "bg1_median": pa.array(np.asarray(rows["bg1_median"], dtype=np.float64)),
+            "bg1_mad": pa.array(np.asarray(rows["bg1_mad"], dtype=np.float64)),
+            "bg1_n": pa.array(np.asarray(rows["bg1_n"], dtype=np.int64)),
+            "bg2_median": pa.array(np.asarray(rows["bg2_median"], dtype=np.float64)),
+            "bg2_mad": pa.array(np.asarray(rows["bg2_mad"], dtype=np.float64)),
+            "bg2_n": pa.array(np.asarray(rows["bg2_n"], dtype=np.int64)),
+        }
+    )
+    return rd.from_arrow(bg)
+
+
+# ---------------------------------------------------------------------------
+# shuffle path (general floats; the original re-key + groupby design)
+# ---------------------------------------------------------------------------
 
 def _rekey_batch(batch: pa.Table, value_col: str, tile_col: str,
                  tile_deg: float) -> pa.Table:
@@ -48,7 +207,6 @@ def _rekey_batch(batch: pa.Table, value_col: str, tile_col: str,
     dcol = np.abs(ncol_ - col[:, None])
     dcol = np.minimum(dcol, ncols - dcol)  # lon wrap distance
     ring = np.maximum(np.abs(nrow - row[:, None]), dcol).astype(np.int8)
-    # dedup clamped duplicates per row so each (row, neighbor) is emitted once
     n, w = nb.shape
     keep = np.ones((n, w), dtype=bool)
     for j in range(1, w):
@@ -84,12 +242,9 @@ def _group_stats(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def background_stats(ds, value_col: str, tile_col: str = "pc_tile",
-                     tile_deg: float = cells.PC_TILE_DEG):
-    """Dataset op: rows -> per-tile background stats table.
-
-    Columns out: pc_tile, bg{1,2}_{median,mad,n}.
-    """
+def background_stats_shuffle(ds, value_col: str, tile_col: str = "pc_tile",
+                             tile_deg: float = cells.PC_TILE_DEG):
+    """General-float path: one groupby shuffle of narrow re-keyed rows."""
     narrow = ds.select_columns([tile_col, value_col])
     rekeyed = narrow.map_batches(
         lambda b: _rekey_batch(b, value_col, tile_col, tile_deg),

@@ -92,22 +92,33 @@ class BgJoinDetect:
         )
 
 
-def contextual_detect(ds, bg_ds, value_col: str, *, concurrency: int = 4,
+def contextual_detect(ds, bg_ds, value_col: str, *, concurrency: int | None = None,
                       min_bg_n: int = MIN_BG_N, z_lo: float = Z_LO, z_hi: float = Z_HI):
     """Dataset op: rows + bg table -> rows with score/status/QA.
 
     ``bg_ds`` is materialized (it is tiny: one row per populated tile)
-    and broadcast; the page stream itself keeps streaming.
+    and broadcast; the page stream itself keeps streaming.  Default
+    execution is stateless tasks with the bg gather state cached per
+    worker process; pass ``concurrency`` for an explicit actor pool.
     """
     import ray
+
+    from .workercache import worker_state
 
     bg_tbl = pa.concat_tables(
         [b for b in bg_ds.iter_batches(batch_format="pyarrow", batch_size=None)]
     ) if not isinstance(bg_ds, pa.Table) else bg_ds
     bg_ref = ray.put(bg_tbl)
-    return ds.map_batches(
-        BgJoinDetect,
-        fn_constructor_args=(bg_ref, value_col, min_bg_n, z_lo, z_hi),
-        batch_format="pyarrow",
-        concurrency=autoscale(concurrency),
-    )
+    if concurrency is not None:
+        return ds.map_batches(
+            BgJoinDetect,
+            fn_constructor_args=(bg_ref, value_col, min_bg_n, z_lo, z_hi),
+            batch_format="pyarrow",
+            concurrency=autoscale(concurrency),
+        )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        st = worker_state(bg_ref, lambda: BgJoinDetect(bg_ref, value_col, min_bg_n, z_lo, z_hi))
+        return st(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

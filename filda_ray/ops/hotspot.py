@@ -19,38 +19,53 @@ import pyarrow as pa
 from ..kernels import cells
 
 
-def count_in_cell(ds, cell_col: str = "hex_r7", out_col: str = "n_in_cell"):
-    """groupby(cell).count() joined back by broadcast gather.
+def cell_counts(ds, cell_col: str = "hex_r7"):
+    """Per-cell row counts WITHOUT an all-to-all: vectorized partial
+    counts per batch (np.unique) -> tiny per-batch tables -> one
+    driver-side merge.  The merged table is one row per occupied cell
+    (bounded by #distinct locations, orders of magnitude below row
+    count).  Returns (sorted_keys, counts) numpy arrays.
+    """
 
-    The count table is one row per occupied cell; for web-scale runs
-    where that table is itself huge, swap the broadcast for
-    ``relational.hash_join`` on the cell key — same op contract.
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch.column(cell_col).to_numpy(zero_copy_only=False)
+        u, n = np.unique(c, return_counts=True)
+        return pa.table({cell_col: pa.array(u), "n": pa.array(n.astype(np.int64))})
+
+    parts = ds.select_columns([cell_col]).map_batches(partial, batch_format="pyarrow")
+    df = parts.to_pandas()  # small: one row per (batch, distinct cell)
+    agg = df.groupby(cell_col, sort=True)["n"].sum()
+    return agg.index.to_numpy(), agg.to_numpy()
+
+
+def count_in_cell(ds, cell_col: str = "hex_r7", out_col: str = "n_in_cell",
+                  counts_from=None):
+    """Per-row count of rows sharing its cell (FP_Num_Fire analog,
+    FILDA.py:1487-1497 — reproduced as counts + gather, never O(n^2)).
+
+    ``counts_from`` lets callers count an UPSTREAM dataset (e.g. the
+    pre-classification stream) so the pipeline stays single-pass.
+    The counts table is broadcast (ray.put) and gathered per batch by
+    searchsorted; for runs where occupied cells outgrow the object
+    store, swap the broadcast for ``relational.hash_join``.
     """
     import ray
 
-    counts = ds.groupby(cell_col).count()
-    tbl = pa.concat_tables(
-        [b for b in counts.iter_batches(batch_format="pyarrow", batch_size=None)]
-    )
-    ref = ray.put(tbl)
+    from .workercache import worker_state
 
-    class Gather:
-        def __init__(self):
-            t = ray.get(ref)
-            keys = t.column(cell_col).to_numpy()
-            vals = t.column("count()").to_numpy()
-            order = np.argsort(keys)
-            self.keys = keys[order]
-            self.vals = vals[order]
+    keys, vals = cell_counts(counts_from if counts_from is not None else ds, cell_col)
+    ref = ray.put((keys, vals))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            c = batch.column(cell_col).to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(self.keys, c)
-            idx = np.clip(idx, 0, len(self.keys) - 1)
-            n = np.where(self.keys[idx] == c, self.vals[idx], 0)
-            return batch.append_column(out_col, pa.array(n.astype(np.int32)))
+    def gather(batch: pa.Table) -> pa.Table:
+        kk, vv = worker_state(ref, lambda: ray.get(ref))
+        c = batch.column(cell_col).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(kk, c)
+        idx = np.clip(idx, 0, max(len(kk) - 1, 0))
+        hit = (len(kk) > 0) & (kk[idx] == c)
+        n = np.where(hit, vv[idx], 0)
+        return batch.append_column(out_col, pa.array(n.astype(np.int32)))
 
-    return ds.map_batches(Gather, batch_format="pyarrow", concurrency=(1, 2))
+    return ds.map_batches(gather, batch_format="pyarrow")
 
 
 def knn_hotspots(ds, *, k_ring: int = 1, prefix_col: str = "hex_prefix",

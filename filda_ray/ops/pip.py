@@ -37,8 +37,23 @@ class PIPJoin:
         return out
 
 
-def pip_join(ds, *, concurrency: int = 4, batch_size: int = 8192):
-    """Dataset op: rows with (lat, lon) -> + admin_id, biome_id."""
-    return ds.map_batches(
-        PIPJoin, batch_format="pyarrow", batch_size=batch_size, concurrency=autoscale(concurrency)
-    )
+def pip_join(ds, *, concurrency: int | None = None, batch_size: int = 8192):
+    """Dataset op: rows with (lat, lon) -> + admin_id, biome_id.
+
+    Default: stateless tasks, polygon grid index built once per worker
+    process (worker_state cache — the layers are deterministic code).
+    Pass ``concurrency`` for an explicit actor pool (heavy layers)."""
+    if concurrency is not None:
+        return ds.map_batches(
+            PIPJoin, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=autoscale(concurrency)
+        )
+
+    from .workercache import worker_state
+    import pyarrow as pa
+
+    def fn(batch: pa.Table) -> pa.Table:
+        st = worker_state("pip_default_layers", PIPJoin)
+        return st(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

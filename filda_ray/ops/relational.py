@@ -19,36 +19,36 @@ def broadcast_join(ds, small: pa.Table, *, on: str, cols: list[str] | None = Non
     per batch).  No shuffle; the big side streams."""
     import ray
 
+    from .workercache import worker_state
+
     cols = cols or [c for c in small.column_names if c != on]
     ref = ray.put(small)
 
-    class Gather:
-        def __init__(self):
-            t = ray.get(ref)
-            keys = t.column(on).to_numpy()
-            order = np.argsort(keys)
-            self.keys = keys[order]
-            self.cols = {c: t.column(c).take(pa.array(order)) for c in cols}
+    def build():
+        t = ray.get(ref)
+        keys = t.column(on).to_numpy()
+        order = np.argsort(keys)
+        return keys[order], {c: t.column(c).take(pa.array(order)) for c in cols}
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            k = batch.column(on).to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(self.keys, k)
-            idx = np.clip(idx, 0, max(len(self.keys) - 1, 0))
-            hit = (len(self.keys) > 0) & (self.keys[idx] == k)
-            out = batch
-            for c, arr in self.cols.items():
-                taken = arr.take(pa.array(idx))
-                if pa.types.is_floating(taken.type):
-                    vals = np.where(hit, taken.to_numpy(zero_copy_only=False), np.nan)
-                    out = out.append_column(c, pa.array(vals, taken.type))
-                else:
-                    mask = ~hit
-                    out = out.append_column(
-                        c, pa.array(taken.to_pandas().where(hit), taken.type)
-                    )
-            return out
+    def gather(batch: pa.Table) -> pa.Table:
+        keys, side = worker_state(ref, build)
+        k = batch.column(on).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, k)
+        idx = np.clip(idx, 0, max(len(keys) - 1, 0))
+        hit = (len(keys) > 0) & (keys[idx] == k)
+        out = batch
+        for c, arr in side.items():
+            taken = arr.take(pa.array(idx))
+            if pa.types.is_floating(taken.type):
+                vals = np.where(hit, taken.to_numpy(zero_copy_only=False), np.nan)
+                out = out.append_column(c, pa.array(vals, taken.type))
+            else:
+                out = out.append_column(
+                    c, pa.array(taken.to_pandas().where(hit), taken.type)
+                )
+        return out
 
-    return ds.map_batches(Gather, batch_format="pyarrow", concurrency=(1, 2))
+    return ds.map_batches(gather, batch_format="pyarrow")
 
 
 def hash_join(left, right, *, on: str | tuple, how: str = "inner",
@@ -74,20 +74,19 @@ def semi_anti_filter(ds, keys: np.ndarray, *, on: str, anti: bool = False):
     background sets excluding fire/cloud cells, FILDA.py:637-652)."""
     import ray
 
+    from .workercache import worker_state
+
     ref = ray.put(np.sort(np.asarray(keys)))
 
-    class F:
-        def __init__(self):
-            self.keys = ray.get(ref)
+    def f(batch: pa.Table) -> pa.Table:
+        ks = worker_state(ref, lambda: ray.get(ref))
+        k = batch.column(on).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, k)
+        idx = np.clip(idx, 0, max(len(ks) - 1, 0))
+        hit = (len(ks) > 0) & (ks[idx] == k)
+        return batch.filter(pa.array(~hit if anti else hit))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            k = batch.column(on).to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(self.keys, k)
-            idx = np.clip(idx, 0, max(len(self.keys) - 1, 0))
-            hit = (len(self.keys) > 0) & (self.keys[idx] == k)
-            return batch.filter(pa.array(~hit if anti else hit))
-
-    return ds.map_batches(F, batch_format="pyarrow", concurrency=(1, 2))
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def top_k_per_group(ds, *, group_col, value_col: str, k: int, ascending: bool = False,

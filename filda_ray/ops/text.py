@@ -16,16 +16,17 @@ from ..kernels import textkit
 
 def extract_stage(batch: pa.Table) -> pa.Table:
     """html -> extracted_text (+ match flag vs the shipped text column
-    when present; byte-identical is the per-row invariant)."""
-    html = batch.column("html").to_pylist()
-    ext = textkit.extract_text(html)
-    out = batch.append_column("extracted_text", pa.array(ext, pa.string()))
+    when present; byte-identical is the per-row invariant).
+
+    Uses the vectorized Arrow extractor; ``textkit.extract_text`` is
+    the scalar reference implementation the tests pin it against."""
+    import pyarrow.compute as pc
+
+    ext = textkit.extract_text_arrow(batch.column("html"))
+    out = batch.append_column("extracted_text", ext)
     if "text" in batch.column_names:
-        src = batch.column("text").to_pylist()
-        match = np.fromiter(
-            ((a or "") == (b or "") for a, b in zip(ext, src)), dtype=bool, count=len(ext)
-        )
-        out = out.append_column("text_match", pa.array(match))
+        match = pc.equal(ext, pc.fill_null(batch.column("text").cast(pa.string()), ""))
+        out = out.append_column("text_match", match)
     return out
 
 

@@ -29,7 +29,6 @@ from ..ops.background import background_stats
 from ..ops.detect import contextual_detect
 from ..ops.hotspot import count_in_cell
 from ..ops.pip import pip_join
-from ..ops.text import extract_stage
 from ..ops.tiling import tile_encode
 from ..sources.gazetteer import geocode
 from ..sources.pages import read_pages
@@ -43,17 +42,25 @@ VALUE_COL = "n_chars"
 
 def _extract_and_measure(batch: pa.Table) -> pa.Table:
     """html -> extracted text -> n_chars/n_tokens, then DROP the heavy
-    columns (html, text, extracted_text) in the same stage."""
-    out = extract_stage(batch)
-    ext = out.column("extracted_text").to_pylist()
-    n_chars = np.fromiter((len(t or "") for t in ext), dtype=np.int64, count=len(ext))
-    n_tokens = np.fromiter(
-        ((t.count(" ") + 1 if t else 0) for t in ext), dtype=np.int64, count=len(ext)
+    columns (html, text, extracted_text) in the same stage.
+
+    Pure pyarrow.compute kernels — no per-row Python in this hot path."""
+    import pyarrow.compute as pc
+
+    from ..kernels.textkit import extract_text_arrow
+
+    ext = extract_text_arrow(batch.column("html"))
+    n_chars = pc.cast(pc.utf8_length(ext), pa.int64())
+    n_tokens = pc.if_else(
+        pc.equal(n_chars, 0),
+        pa.scalar(0, pa.int64()),
+        pc.cast(pc.add(pc.count_substring(ext, " "), 1), pa.int64()),
     )
-    out = out.append_column("n_chars", pa.array(n_chars)).append_column(
-        "n_tokens", pa.array(n_tokens)
-    )
-    return out.drop_columns([c for c in ("html", "text", "extracted_text") if c in out.column_names])
+    out = batch
+    if "text" in batch.column_names:
+        out = out.append_column("text_match", pc.equal(ext, pc.fill_null(batch.column("text").cast(pa.string()), "")))
+    out = out.append_column("n_chars", n_chars).append_column("n_tokens", n_tokens)
+    return out.drop_columns([c for c in ("html", "text") if c in out.column_names])
 
 
 def _final_qa(batch: pa.Table) -> pa.Table:
@@ -72,9 +79,9 @@ def _final_qa(batch: pa.Table) -> pa.Table:
     return batch.append_column("qa_bits", pa.array(qa, pa.uint32()))
 
 
-def narrow_pages(sf_dir: str, *, geocode_concurrency: int = 4):
+def narrow_pages(sf_dir: str, *, geocode_concurrency: int | None = None, replicate: int = 1):
     """pages -> narrow geocoded+tiled stream (shared pipeline prefix)."""
-    ds = read_pages(sf_dir)
+    ds = read_pages(sf_dir, replicate=replicate)
     ds = ds.map_batches(_extract_and_measure, batch_format="pyarrow")
     ds = geocode(ds, concurrency=geocode_concurrency)
     ds = tile_encode(ds)
@@ -82,9 +89,10 @@ def narrow_pages(sf_dir: str, *, geocode_concurrency: int = 4):
 
 
 def detect_pipeline(sf_dir: str, *, materialize_narrow: bool = True,
-                    concurrency: int = 4, with_metrics: bool = False):
+                    concurrency: int | None = None, with_metrics: bool = False,
+                    replicate: int = 1):
     """Full flagship pipeline; returns a Dataset of classified pages."""
-    ds = narrow_pages(sf_dir, geocode_concurrency=concurrency)
+    ds = narrow_pages(sf_dir, geocode_concurrency=concurrency, replicate=replicate)
     if with_metrics:
         from ..state.metrics import count_stage
 
@@ -94,7 +102,8 @@ def detect_pipeline(sf_dir: str, *, materialize_narrow: bool = True,
     bg = background_stats(ds, VALUE_COL)
     det = contextual_detect(ds, bg, VALUE_COL, concurrency=concurrency)
     det = pip_join(det, concurrency=concurrency)
-    det = count_in_cell(det, "hex_r7")
+    # count from the narrow stream so the detect/pip chain runs once
+    det = count_in_cell(det, "hex_r7", counts_from=ds)
     det = det.map_batches(_final_qa, batch_format="pyarrow")
     if with_metrics:
         from ..state.metrics import count_stage

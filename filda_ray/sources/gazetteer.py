@@ -57,7 +57,12 @@ class GazetteerLookup:
         self.country = np.asarray(gaz.column("country").to_pylist(), dtype=object)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        host_id = P.host_of_url(batch.column("url").to_pylist())
+        import pyarrow.compute as pc
+
+        # vectorized host parse: url layout https://host{NNNN}.example.com/...
+        host_id = pc.cast(
+            pc.utf8_slice_codeunits(batch.column("url"), 12, 16), pa.int64()
+        ).to_numpy(zero_copy_only=False)
         ok = (host_id >= 0) & (host_id < len(self.lat))
         idx = np.where(ok, host_id, 0)
         lat = np.where(ok, self.lat[idx], np.nan)
@@ -71,16 +76,32 @@ class GazetteerLookup:
         )
 
 
-def geocode(ds, gaz_ref=None, *, concurrency: int = 4, batch_size: int = 4096):
-    """Dataset op: pages -> pages + (host_id, lat, lon, country)."""
+def geocode(ds, gaz_ref=None, *, concurrency: int | None = None,
+            batch_size: int | None = None):
+    """Dataset op: pages -> pages + (host_id, lat, lon, country).
+
+    Default: stateless tasks with the gazetteer fetched once per
+    worker process (broadcast ``ray.put`` + worker_state cache —
+    elastic, no pool spin-up).  Pass ``concurrency`` to force an
+    explicit actor pool instead (same class, same results).
+    """
     import ray
+
+    from ..ops.workercache import worker_state
 
     if gaz_ref is None:
         gaz_ref = ray.put(build_gazetteer())
-    return ds.map_batches(
-        GazetteerLookup,
-        fn_constructor_args=(gaz_ref,),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=autoscale(concurrency),
-    )
+    if concurrency is not None:
+        return ds.map_batches(
+            GazetteerLookup,
+            fn_constructor_args=(gaz_ref,),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=autoscale(concurrency),
+        )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lookup = worker_state(gaz_ref, lambda: GazetteerLookup(gaz_ref))
+        return lookup(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

@@ -81,35 +81,67 @@ def render_html(host_id: np.ndarray, texts) -> np.ndarray:
 
 
 def synth_pages_batch(batch: pa.Table) -> pa.Table:
-    """documents batch -> pages batch (map_batches body, Arrow in/out)."""
+    """documents batch -> pages batch (map_batches body, Arrow in/out).
+
+    Fully vectorized: host/coord arithmetic in numpy, url/html
+    construction with pyarrow.compute string kernels (no Python loop)."""
     doc_id = batch.column("doc_id").to_numpy()
-    texts = batch.column("text").to_pylist()
     host = host_id_of(doc_id)
-    tbl = pa.table(
+    host_s = pc.utf8_lpad(pc.cast(pa.array(host, pa.int64()), pa.string()), 4, "0")
+    doc_s = pc.cast(pa.array(doc_id, pa.int64()), pa.string())
+    url = pc.binary_join_element_wise("https://host", host_s, ".example.com/doc/", doc_s, "")
+    text = batch.column("text").cast(pa.string())
+    html_str = pc.binary_join_element_wise(
+        '<!doctype html><html><head><meta charset="utf-8"><title>host', host_s,
+        "</title></head><body><p>", pc.fill_null(text, ""), "</p></body></html>", "",
+    )
+    return pa.table(
         {
             "doc_id": pa.array(doc_id, pa.int64()),
-            "url": pa.array(url_of(doc_id, host), pa.string()),
+            "url": url,
             "warc_ts": pa.array(warc_ts_us(doc_id), pa.timestamp("us")),
-            "html": pa.array(render_html(host, texts), pa.binary()),
-            "text": batch.column("text").cast(pa.string()),
+            "html": pc.cast(html_str, pa.binary()),
+            "text": text,
             "lang": batch.column("lang").cast(pa.string()),
         }
     )
-    return tbl
 
 
-def read_pages(sf_dir: str, *, parallelism: int = -1):
+REPLICA_STRIDE = 10_000_000
+
+
+def read_pages(sf_dir: str, *, replicate: int = 1):
     """ray.data pipeline: documents.parquet -> pages Dataset.
 
     Column-pruned read (doc_id, text, lang only) + one vectorized
     map_batches; streams — no materialization.
+
+    ``replicate`` > 1 deterministically tiles the corpus (bench-scale
+    synthesis): replica r shifts doc_id by r*REPLICA_STRIDE, which
+    re-derives new hosts/coordinates/timestamps — a larger page table
+    with the same statistical shape, no external data.
     """
     import ray.data as rd
 
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    return ds.map_batches(synth_pages_batch, batch_format="pyarrow")
+    if replicate > 1:
+        def expand(batch: pa.Table) -> pa.Table:
+            tables = []
+            ids = batch.column("doc_id").to_numpy()
+            for r in range(replicate):
+                tables.append(batch.set_column(
+                    batch.schema.get_field_index("doc_id"), "doc_id",
+                    pa.array(ids + r * REPLICA_STRIDE, pa.int64())))
+            return pa.concat_tables(tables)
+
+        # small input bundles: Ray bundles map tasks by PRE-expansion
+        # bytes, so without this the tiny documents table collapses the
+        # whole fused chain into one task; 128 docs/task * replicate
+        # keeps post-expansion blocks at a few MB and parallelism wide
+        ds = ds.map_batches(expand, batch_format="pyarrow", batch_size=128)
+    return ds.map_batches(synth_pages_batch, batch_format="pyarrow", batch_size=None)
 
 
 def host_of_url(urls) -> np.ndarray:
