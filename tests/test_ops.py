@@ -1,0 +1,165 @@
+"""Operator-level tests on small in-memory / sf0.001 data."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(rows: dict):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(rows))
+
+
+def test_dedup_exact_keeps_min_id(ray_session):
+    from filda_ray.ops.dedup import dedup_exact
+
+    ds = _ds({"doc_id": [5, 3, 9, 1], "text": ["a", "a", "b", "b"]})
+    out = dedup_exact(ds).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 3]
+    # idempotence: dedup of deduped output is identical
+    out2 = dedup_exact(_ds({"doc_id": out["doc_id"].tolist(),
+                            "text": out["text"].tolist()})).to_pandas().sort_values("doc_id")
+    assert out2["doc_id"].tolist() == [1, 3]
+
+
+def test_minhash_finds_planted_neardups(ray_session):
+    from filda_ray.ops.dedup import minhash_lsh_pairs, verify_jaccard
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 8
+    near = base.replace("runs", "sprints")
+    far = "completely unrelated content about database engines and queries " * 8
+    ds = _ds({"doc_id": [1, 2, 3], "text": [base, near, far]})
+    pairs = minhash_lsh_pairs(ds).to_pandas()
+    assert (1, 2) in set(zip(pairs.doc_a, pairs.doc_b))
+    verified = verify_jaccard(pairs, {1: base, 2: near, 3: far}, threshold=0.5)
+    assert set(zip(verified.doc_a, verified.doc_b)) == {(1, 2)}
+
+
+def test_simhash_finds_planted_neardups(ray_session):
+    from filda_ray.ops.dedup import simhash_pairs
+
+    # simhash needs vocabulary mass for stable bit margins: 120 words,
+    # one changed -> hamming ~2; disjoint vocab -> hamming ~32
+    words = [f"word{i}" for i in range(120)]
+    base = " ".join(words)
+    near = " ".join(words[:-1] + ["changed"])
+    far = " ".join(f"other{i}" for i in range(120))
+    ds = _ds({"doc_id": [1, 2, 3], "text": [base, near, far]})
+    pairs = simhash_pairs(ds, max_hamming=8).to_pandas()
+    assert (1, 2) in set(zip(pairs.doc_a, pairs.doc_b))
+
+
+def test_asof_join_no_match_gives_null(ray_session):
+    from filda_ray.ops.temporal import asof_join
+
+    left = _ds({"k": [1, 1], "ts": [10, 30], "x": [1.0, 2.0]})
+    right = _ds({"k": [1], "ts": [20], "prev": [99.0]})
+    out = asof_join(left, right, on="ts", by="k",
+                    right_cols=["k", "ts", "prev"]).to_pandas().sort_values("ts")
+    assert np.isnan(out.iloc[0]["prev"])  # ts=10 has no earlier right row
+    assert out.iloc[1]["prev"] == 99.0    # ts=30 matches ts=20
+
+
+def test_broadcast_join_and_semi_anti(ray_session):
+    from filda_ray.ops.relational import broadcast_join, semi_anti_filter
+
+    big = _ds({"k": [1, 2, 3, 4], "v": [10.0, 20.0, 30.0, 40.0]})
+    small = pa.table({"k": [2, 4], "name": ["two", "four"]})
+    j = broadcast_join(big, small, on="k").to_pandas().sort_values("k")
+    assert j["name"].tolist() == [None, "two", None, "four"]
+    semi = semi_anti_filter(big, np.array([2, 4]), on="k").to_pandas()
+    assert sorted(semi["k"]) == [2, 4]
+    anti = semi_anti_filter(big, np.array([2, 4]), on="k", anti=True).to_pandas()
+    assert sorted(anti["k"]) == [1, 3]
+
+
+def test_cosine_topk_exact_vs_numpy(ray_session):
+    from filda_ray.ops.embed import cosine_topk
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(200, 16).astype(np.float64)
+    q = vecs[:2]
+    ds = _ds({"vec_id": list(range(200)),
+              "embedding": [list(map(float, v)) for v in vecs]})
+    out = cosine_topk(ds, q, k=5, dtype=np.float64).to_pandas()
+    n = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for qi in range(2):
+        sims = n @ (q[qi] / np.linalg.norm(q[qi]))
+        want = set(np.argsort(-sims)[:5])
+        got = set(out[out.query_id == qi]["vec_id"])
+        assert got == want
+
+
+def test_knn_hotspots_counts(ray_session):
+    from filda_ray.kernels import cells
+    from filda_ray.ops.hotspot import count_in_cell, knn_hotspots
+
+    # three points in the same hex, one ~1 hex away, one far away
+    lat = np.array([10.0, 10.0, 10.0, 10.004, 40.0])
+    lon = np.array([20.0, 20.0, 20.0, 20.0, 80.0])
+    cell = cells.hex_cell(lat, lon)
+    ds = _ds({"doc_id": [0, 1, 2, 3, 4],
+              "hex_r7": cell,
+              "hex_prefix": cells.hex_prefix(cell)})
+    out = count_in_cell(ds).to_pandas().sort_values("doc_id")
+    assert out["n_in_cell"].tolist()[:3] == [3, 3, 3]
+    assert out["n_in_cell"].tolist()[4] == 1
+    hot = knn_hotspots(ds, k_ring=1).to_pandas().sort_values("doc_id")
+    assert hot["n_kring"].iloc[0] >= 3  # the cluster sees itself
+    assert hot["n_kring"].iloc[4] == 1
+
+
+def test_climatology_matches_numpy(ray_session):
+    from filda_ray.ops.temporal import climatology
+
+    rng = np.random.RandomState(1)
+    v = rng.gamma(2.0, 3.0, 300)
+    key = np.repeat([1, 2, 3], 100)
+    ds = _ds({"k": key.tolist(), "v": v.tolist()})
+    out = climatology(ds, key_cols=["k"], value_col="v").to_pandas().set_index("k")
+    for k in (1, 2, 3):
+        sel = v[key == k]
+        assert out.loc[k, "n"] == 100
+        assert np.isclose(out.loc[k, "mean"], sel.mean())
+        assert np.isclose(out.loc[k, "std"], sel.std(ddof=1))
+        from filda_ray.kernels.stats import gamma_log_moment
+
+        a, b = gamma_log_moment(sel)
+        assert np.isclose(out.loc[k, "alpha"], a)
+        assert np.isclose(out.loc[k, "beta"], b)
+
+
+def test_estimator_routing_and_fallback(ray_session):
+    from filda_ray.ops.score import Estimator
+
+    est = Estimator()
+    batch = pa.table({
+        "n_chars": pa.array([300, 30, 0, 10_000], pa.int64()),
+        "n_tokens": pa.array([50, 5, 0, 100], pa.int64()),  # 50>=20 biphasic; 5 uni; 0 invalid
+    })
+    out = est(batch)
+    qa = out.column("est_qa").to_pylist()
+    assert qa[0] in (0, 2)   # biphasic (or degraded)
+    assert qa[1] == 1        # uniphasic
+    assert qa[2] == 3        # invalid
+    p = out.column("est_p").to_pylist()
+    assert p[1] == 1.0
+
+
+def test_hash_join_matches_pandas(ray_session, sf_dir):
+    import ray.data as rd
+
+    from filda_ray.ops.relational import hash_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    j = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                  num_partitions=4).to_pandas()
+    import pyarrow.parquet as pq
+
+    po = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    pc_ = pq.read_table(f"{sf_dir}/customer.parquet").to_pandas()
+    want = po.merge(pc_, left_on="o_custkey", right_on="c_custkey")
+    assert len(j) == len(want)

@@ -1,0 +1,89 @@
+"""End-to-end pipeline tests over sf0.001 (SURVEY.md §5 items 2-4)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+GOLDENS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
+
+
+@pytest.fixture(scope="module")
+def flagship_df(ray_session, sf_dir):
+    from filda_ray.pipelines.flagship import detect_pipeline
+
+    return (
+        detect_pipeline(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_flagship_shape_and_invariant(flagship_df):
+    assert len(flagship_df) == 500
+    # per-row invariant: byte-identical extracted text per url
+    assert flagship_df["text_match"].all()
+    # every row geocoded and admin-joined (gazetteer covers all hosts)
+    assert (flagship_df["admin_id"] >= 0).all()
+    assert flagship_df["status"].isin([0, 1, 2]).all()
+
+
+def test_golden_tile_assignments(flagship_df):
+    golden = pq.read_table(os.path.join(GOLDENS, "cells_sf0001.parquet")).to_pandas()
+    got = flagship_df[["doc_id", "pc_tile", "hex_r7", "s2_l12", "hex_prefix"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, golden, check_dtype=False)
+
+
+def test_golden_detections(flagship_df):
+    golden = pq.read_table(os.path.join(GOLDENS, "detections_sf0001.parquet")).to_pandas()
+    cols = list(golden.columns)
+    got = flagship_df[cols].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, golden, check_dtype=False)
+
+
+def test_repartition_invariance(ray_session, sf_dir):
+    """FIXTURES.md invariant 2: results identical under repartition(k)."""
+    from filda_ray.ops.background import background_stats
+    from filda_ray.pipelines.flagship import narrow_pages
+
+    base = narrow_pages(sf_dir).materialize()
+    ref = None
+    for k in (1, 4, 32):
+        bg = (
+            background_stats(base.repartition(k), "n_chars")
+            .to_pandas()
+            .sort_values("pc_tile")
+            .reset_index(drop=True)
+        )
+        if ref is None:
+            ref = bg
+        else:
+            pd.testing.assert_frame_equal(bg, ref)
+
+
+def test_detections_only_filter(ray_session, sf_dir):
+    from filda_ray.pipelines.flagship import detections_only
+
+    df = detections_only(sf_dir).to_pandas()
+    assert (df["status"] > 0).all()
+
+
+def test_metrics_stage(ray_session, sf_dir):
+    from filda_ray.pipelines.flagship import detect_pipeline
+    from filda_ray.state.metrics import get_metrics_actor, snapshot
+
+    actor = get_metrics_actor("test_metrics")
+    import ray
+
+    ray.get(actor.reset.remote())
+    det = detect_pipeline(sf_dir, with_metrics=True)
+    n = det.count()
+    import time
+
+    time.sleep(0.5)  # metric adds are fire-and-forget
+    snap = snapshot(get_metrics_actor("filda_metrics"))
+    assert snap.get("narrow_pages", 0) >= n
+    assert snap.get("classified", 0) >= n

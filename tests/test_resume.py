@@ -1,0 +1,68 @@
+"""Checkpoint/resume tests (FIXTURES.md invariant 3, north_rule
+'resumable from checkpoint with per-partition lineage + metrics')."""
+
+import json
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+
+def _read_all(out_dir):
+    from filda_ray.state.manifest import read_product
+
+    return (
+        read_product(out_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_write_resume_identical(ray_session, sf_dir, tmp_path):
+    from filda_ray.pipelines.flagship import write_detections
+    from filda_ray.state.manifest import MANIFEST, load_done
+
+    out1 = str(tmp_path / "full")
+    write_detections(sf_dir, out1)
+    full = _read_all(out1)
+    assert len(full) == 500
+    done = load_done(out1)
+    assert sum(r["rows"] for r in done.values()) == 500
+    # lineage recorded per partition
+    rec = next(iter(done.values()))
+    assert rec["lineage"]["pipeline"] == "detect_pipeline"
+    assert "extractor_version" in rec["lineage"]
+
+    # simulate a crash: drop half the partitions (dirs + manifest lines)
+    out2 = str(tmp_path / "crashed")
+    shutil.copytree(out1, out2)
+    parts = sorted(done)
+    keep = set(parts[: len(parts) // 2])
+    for p in parts:
+        if p not in keep:
+            shutil.rmtree(os.path.join(out2, f"part={p}"))
+    with open(os.path.join(out2, MANIFEST), "w") as f:
+        for p in keep:
+            f.write(json.dumps(done[p]) + "\n")
+
+    # resume: must redo ONLY the missing partitions and converge
+    write_detections(sf_dir, out2)
+    resumed = _read_all(out2)
+    pd.testing.assert_frame_equal(resumed, full)
+    done2 = load_done(out2)
+    assert set(done2) == set(done)
+
+
+def test_resume_skips_done_partitions(ray_session, sf_dir, tmp_path):
+    from filda_ray.pipelines.flagship import detect_pipeline
+    from filda_ray.state.manifest import resume_filter, write_product
+
+    out = str(tmp_path / "prod")
+    det = detect_pipeline(sf_dir)
+    write_product(det, out, partition_col="pc_tile", sort_cols=["doc_id"])
+    det2, done = resume_filter(detect_pipeline(sf_dir), out, "pc_tile")
+    # everything done -> nothing left to write
+    assert det2.count() == 0
+    assert len(done) > 0
