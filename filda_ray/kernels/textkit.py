@@ -177,26 +177,38 @@ def fingerprint64(texts) -> np.ndarray:
 
 
 def shingle_hashes(text: str, w: int = 3) -> np.ndarray:
-    """uint64 hashes of w-token shingles (sorted-unique)."""
-    from .hashing import content_hash64
+    """uint64 hashes of w-token shingles (sorted-unique).
+
+    Vectorized: per-token hashes once, then a rolling hash_combine of
+    w consecutive token hashes (no Python string joins per shingle).
+    """
+    from .hashing import content_hash64, hash_combine
 
     toks = _TOKEN_RE.findall(text.lower()) if text else []
-    if len(toks) < w:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)]
-    if not shingles:
+    if not toks:
         return np.empty(0, dtype=np.uint64)
-    return np.unique(content_hash64(shingles))
+    th = content_hash64(toks)
+    if len(toks) < w:
+        h = th[:1]
+        for k in range(1, len(toks)):
+            h = hash_combine(h, th[k:k + 1])
+        return h
+    h = th[: len(toks) - w + 1].copy()
+    for k in range(1, w):
+        h = hash_combine(h, th[k: len(toks) - w + 1 + k])
+    return np.unique(h)
 
 
 _MERSENNE61 = np.uint64((1 << 61) - 1)
 
 
 def minhash_params(num_perm: int, seed: int = 1):
-    """(a, b) arrays for the affine permutations h -> (a*h + b) mod p."""
+    """(a, b) arrays for the affine permutations h -> (a*h + b) mod p.
+
+    ``a`` is kept below 2^30 so the vectorized 61-bit modular multiply
+    in ``minhash_signature`` never overflows uint64."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    a = rng.randint(1, (1 << 30) - 1, size=num_perm, dtype=np.uint64)
     b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
     return a, b
 
@@ -204,41 +216,45 @@ def minhash_params(num_perm: int, seed: int = 1):
 def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """MinHash signature (num_perm,) of a shingle-hash set.
 
-    Uses float-free exact arithmetic: (a*h + b) mod 2^61-1 computed in
-    python-int per permutation would be slow; instead reduce inputs to
-    61 bits and use numpy uint64 with Mersenne folding.
+    Exact (a*h + b) mod 2^61-1 arithmetic (a < 2^30), fully vectorized
+    as one (num_perm x n_shingles) matrix op with overflow-free 61-bit
+    folding: a*h = a*hi*2^30 + a*lo where h = hi*2^30 + lo, and
+    x*2^30 mod (2^61-1) folds as ((x & (2^31-1)) << 30) + (x >> 31).
     """
     if hashes.size == 0:
         return np.full(a.shape[0], np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
     h = (hashes & _MERSENNE61).astype(np.uint64)
-    sig = np.empty(a.shape[0], dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for k in range(a.shape[0]):
-            # 61-bit modmul via 128-bit emulation: split h into hi/lo 31/30 bits
-            lo = h & np.uint64((1 << 30) - 1)
-            hi = h >> np.uint64(30)
-            # a*h = a*hi*2^30 + a*lo ; fold mod 2^61-1 pieces
-            t1 = (a[k] * hi) % _MERSENNE61
-            t1 = (t1 << np.uint64(30)) % _MERSENNE61
-            t2 = (a[k] * lo) % _MERSENNE61
-            v = (t1 + t2 + b[k]) % _MERSENNE61
-            sig[k] = v.min()
-    return sig
+    lo = (h & np.uint64((1 << 30) - 1))[None, :]
+    hi = (h >> np.uint64(30))[None, :]
+    ak = a[:, None]
+    mask31 = np.uint64((1 << 31) - 1)
+    u = ak * hi                                   # < 2^61, no overflow
+    t1 = ((u & mask31) << np.uint64(30)) + (u >> np.uint64(31))  # u*2^30 mod fold, < 2^61+2^30
+    t1 = np.where(t1 >= _MERSENNE61, t1 - _MERSENNE61, t1)
+    t2 = ak * lo                                  # < 2^60
+    v = (t1 + t2 + b[:, None]) % _MERSENNE61      # sum < 2^63
+    return v.min(axis=1)
 
 
 def minhash_bands(sig: np.ndarray, num_bands: int) -> np.ndarray:
     """uint64 hash per LSH band (rows = num_perm / num_bands)."""
+    return minhash_bands_matrix(sig[None, :], num_bands)[0]
+
+
+def minhash_bands_matrix(sigs: np.ndarray, num_bands: int) -> np.ndarray:
+    """(docs, num_perm) signatures -> (docs, num_bands) band hashes,
+    vectorized: fold hash_combine across the rows of each band."""
     from .hashing import hash_combine
 
-    rows = sig.shape[0] // num_bands
-    out = np.empty(num_bands, dtype=np.uint64)
-    for band in range(num_bands):
-        chunk = sig[band * rows:(band + 1) * rows]
-        h = np.uint64(band + 1)
-        for x in chunk:
-            h = hash_combine(np.array([h]), np.array([x]))[0]
-        out[band] = h
-    return out
+    docs, num_perm = sigs.shape
+    rows = num_perm // num_bands
+    chunks = sigs[:, : num_bands * rows].reshape(docs, num_bands, rows)
+    h = np.broadcast_to(
+        (np.arange(num_bands, dtype=np.uint64) + np.uint64(1))[None, :], (docs, num_bands)
+    ).copy()
+    for r in range(rows):
+        h = hash_combine(h.ravel(), chunks[:, :, r].ravel()).reshape(docs, num_bands)
+    return h
 
 
 def jaccard(h1: np.ndarray, h2: np.ndarray) -> float:
