@@ -1,0 +1,96 @@
+"""CLI entry points.
+
+Usage (each command owns its Ray session; the library never inits):
+
+    python -m filda_ray.cli detect --sf-dir /root/testdata/sf0.001 --out /tmp/det
+    python -m filda_ray.cli detect --resume --out /tmp/det    # skip done partitions
+    python -m filda_ray.cli query flagship_detect --sf-dir /root/testdata/sf0.01
+    python -m filda_ray.cli list-queries
+
+On a real cluster the same commands run under ``ray job submit --
+python -m filda_ray.cli ...`` with ``--address auto``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="filda_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("detect", help="run the flagship detection pipeline to a product dir")
+    d.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    d.add_argument("--out", required=True)
+    d.add_argument("--replicate", type=int, default=1)
+    d.add_argument("--resume", action="store_true",
+                   help="skip partitions already in the manifest (default behavior; flag kept for clarity)")
+
+    q = sub.add_parser("query", help="run a named query and print a sample + row count")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=10)
+
+    sub.add_parser("list-queries")
+
+    m = sub.add_parser("metrics", help="print pipeline metrics snapshot")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "list-queries":
+        from filda_ray.pipelines.queries import ORACLES, QUERIES
+
+        for name in QUERIES:
+            kind = "sql-oracled" if name in ORACLES else "rows-only"
+            print(f"{name:28s} {kind}")
+        return 0
+
+    _init_ray(args.num_cpus)
+    import ray
+
+    try:
+        if args.cmd == "detect":
+            from filda_ray.pipelines.flagship import write_detections
+
+            done = write_detections(args.sf_dir, args.out, replicate=args.replicate)
+            rows = sum(r["rows"] for r in done.values())
+            print(json.dumps({"partitions": len(done), "rows": rows, "out": args.out}))
+        elif args.cmd == "query":
+            from filda_ray.pipelines.queries import QUERIES
+
+            if args.name not in QUERIES:
+                print(f"unknown query {args.name!r}; see list-queries", file=sys.stderr)
+                return 2
+            res = QUERIES[args.name](args.sf_dir)
+            df = res.to_pandas() if hasattr(res, "to_pandas") else res
+            print(df.head(args.limit).to_string())
+            print(f"... {len(df)} rows")
+        elif args.cmd == "metrics":
+            from filda_ray.state.metrics import snapshot
+
+            print(json.dumps(snapshot()))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

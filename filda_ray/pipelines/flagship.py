@@ -93,10 +93,12 @@ def detect_pipeline(sf_dir: str, *, materialize_narrow: bool = True,
                     replicate: int = 1):
     """Full flagship pipeline; returns a Dataset of classified pages."""
     ds = narrow_pages(sf_dir, geocode_concurrency=concurrency, replicate=replicate)
+    mactor = None
     if with_metrics:
-        from ..state.metrics import count_stage
+        from ..state.metrics import count_stage, get_metrics_actor
 
-        ds = count_stage(ds, "narrow_pages")
+        mactor = get_metrics_actor()
+        ds = count_stage(ds, "narrow_pages", mactor)
     if materialize_narrow:
         ds = ds.materialize()
     bg = background_stats(ds, VALUE_COL)
@@ -108,7 +110,7 @@ def detect_pipeline(sf_dir: str, *, materialize_narrow: bool = True,
     if with_metrics:
         from ..state.metrics import count_stage
 
-        det = count_stage(det, "classified")
+        det = count_stage(det, "classified", mactor)
     return det
 
 

@@ -721,6 +721,13 @@ def q_langid(sf_dir: str):
     return langid_op(ds).select_columns(["doc_id", "lang_guess"])
 
 
+def q_media_features(sf_dir: str):
+    from ..ops.multimodal import decode_media, synth_media
+
+    out = decode_media(synth_media(sf_dir))
+    return out.select_columns(["media_id", "kind", "feat_mean", "decode_ok"])
+
+
 def q_score(sf_dir: str):
     from ..ops.score import score_op
 
@@ -755,6 +762,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh,
     "langid": q_langid,
     "estimator_score": q_score,
+    "media_features": q_media_features,
 }
 
 ORACLES = {

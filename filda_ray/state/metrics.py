@@ -28,10 +28,10 @@ class MetricsActor:
 
 
 def get_metrics_actor(name: str = "filda_metrics"):
-    try:
-        return ray.get_actor(name)
-    except ValueError:
-        return MetricsActor.options(name=name, lifetime=None).remote()
+    # get_if_exists makes concurrent get-or-create atomic (two stages
+    # racing here used to produce a second, orphaned actor whose adds
+    # were silently lost)
+    return MetricsActor.options(name=name, get_if_exists=True).remote()
 
 
 def count_stage(ds, stage: str, actor=None):
