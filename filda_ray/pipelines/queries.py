@@ -663,6 +663,140 @@ WHERE rn <= 10
 
 
 # ---------------------------------------------------------------------------
+# skew-aware / hierarchical / gather-join aggregates
+# ---------------------------------------------------------------------------
+
+def _narrow(sf_dir: str):
+    return flagship.narrow_pages(sf_dir)
+
+
+def q_salted_host_counts(sf_dir: str):
+    """Two-stage salted count per host (mega-host skew demo); result
+    identical to a plain group count — which is exactly the oracle."""
+    from ..ops.rollup import salted_aggregate_count
+
+    return salted_aggregate_count(_narrow(sf_dir), "host_id", out_col="n_pages")
+
+
+def sql_salted_host_counts() -> str:
+    return f"""
+WITH pages AS ({P.sql_pages_cte()})
+SELECT host_id, count(*) AS n_pages FROM pages GROUP BY host_id
+"""
+
+
+def q_tile_rollup(sf_dir: str):
+    from ..ops.rollup import parent_rollup
+
+    return parent_rollup(_narrow(sf_dir), value_col="n_chars", factor=2)
+
+
+def sql_tile_rollup() -> str:
+    return f"""
+WITH pages AS ({P.sql_pages_cte()}),
+tiled AS (
+  SELECT cast(length(text) as double) AS v,
+         least(greatest(cast(floor((lat+90)/10.0) as bigint),0),17) AS trow,
+         ((cast(floor((lon+180)/10.0) as bigint) % 36)+36)%36 AS tcol
+  FROM pages
+)
+SELECT cast((trow // 2) * 18 + (tcol // 2) as int) AS parent_tile,
+       count(*) AS n,
+       sum(v) AS sum_value,
+       sum(v) / count(*) AS mean_value
+FROM tiled GROUP BY 1
+"""
+
+
+RESAMPLE_OFFSETS = ((0, 0.5), (1, 0.25), (3, 0.25))  # exact binary fractions
+
+
+def q_resample_hosts(sf_dir: str):
+    """Weighted gather-join resample (M9 analog): per host, weighted
+    mean of (host, host+1, host+3) total n_chars, renormalized over
+    hosts that exist."""
+    import ray.data as rd
+
+    from ..ops.rollup import weighted_resample
+    from ray.data.aggregate import Sum
+
+    hv = (
+        _narrow(sf_dir)
+        .groupby("host_id")
+        .aggregate(Sum("n_chars", alias_name="v"))
+    )
+    hv_tbl = pa.concat_tables(
+        list(hv.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    hosts = hv_tbl.column("host_id").to_numpy()
+    edges = pa.table(
+        {
+            "dst": pa.array(np.repeat(hosts, len(RESAMPLE_OFFSETS))),
+            "src": pa.array(
+                np.stack([(hosts + d) % P.N_HOSTS for d, _ in RESAMPLE_OFFSETS], axis=1).ravel()
+            ),
+            "weight": pa.array(np.tile(np.array([w for _, w in RESAMPLE_OFFSETS]), len(hosts))),
+        }
+    )
+    out = weighted_resample(hv_tbl.rename_columns(["key", "v"]),
+                            rd.from_arrow(edges), key_col="key")
+
+    def rn(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["host_id", "resampled", "n_src"])
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
+def sql_resample_hosts() -> str:
+    offs = " UNION ALL ".join(
+        f"SELECT host_id AS dst, (host_id + {d}) % {P.N_HOSTS} AS src, {w!r} AS w FROM hv"
+        for d, w in RESAMPLE_OFFSETS
+    )
+    return f"""
+WITH pages AS ({P.sql_pages_cte()}),
+hv AS (SELECT host_id, cast(sum(length(text)) as double) AS v FROM pages GROUP BY host_id),
+e AS ({offs})
+SELECT e.dst AS host_id,
+       sum(e.w * s.v) / sum(e.w) AS resampled,
+       count(*) AS n_src
+FROM e JOIN hv s ON s.host_id = e.src
+GROUP BY e.dst
+"""
+
+
+def q_vector_stats(sf_dir: str):
+    """Per-row list-column aggregate (A7 posterior-summarization
+    analog: per-fire trace matrix -> per-row stats, MCBEF.py:916-933)."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        mat = np.asarray(b.column("embedding").to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "vec_id": b.column("vec_id"),
+                "vec_mean": pa.array(mat.mean(axis=1)),
+                "vec_min": pa.array(mat.min(axis=1)),
+                "vec_max": pa.array(mat.max(axis=1)),
+                "vec_median": pa.array(np.median(mat, axis=1)),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def sql_vector_stats() -> str:
+    return """
+SELECT vec_id,
+       list_aggregate(cast(embedding as DOUBLE[]), 'avg') AS vec_mean,
+       list_aggregate(cast(embedding as DOUBLE[]), 'min') AS vec_min,
+       list_aggregate(cast(embedding as DOUBLE[]), 'max') AS vec_max,
+       list_aggregate(cast(embedding as DOUBLE[]), 'median') AS vec_median
+FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible; pytest-checked instead)
 # ---------------------------------------------------------------------------
 
@@ -753,6 +887,10 @@ QUERIES = {
     "low_quantile_price": q_low_quantile,
     "pricing_summary": q_pricing,
     "embedding_topk": q_embed_topk,
+    "salted_host_counts": q_salted_host_counts,
+    "tile_rollup": q_tile_rollup,
+    "resample_hosts": q_resample_hosts,
+    "vector_stats": q_vector_stats,
     # rows-only (non-SQL-expressible; covered by pytest goldens/oracles)
     "cells_hex_s2": q_cells,
     "pip_biome": q_pip_biome,
@@ -783,4 +921,8 @@ ORACLES = {
     "low_quantile_price": sql_low_quantile(),
     "pricing_summary": sql_pricing(),
     "embedding_topk": sql_embed_topk(),
+    "salted_host_counts": sql_salted_host_counts(),
+    "tile_rollup": sql_tile_rollup(),
+    "resample_hosts": sql_resample_hosts(),
+    "vector_stats": sql_vector_stats(),
 }
