@@ -31,21 +31,20 @@ def broadcast_join(ds, small: pa.Table, *, on: str, cols: list[str] | None = Non
         return keys[order], {c: t.column(c).take(pa.array(order)) for c in cols}
 
     def gather(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         keys, side = worker_state(ref, build)
         k = batch.column(on).to_numpy(zero_copy_only=False)
         idx = np.searchsorted(keys, k)
         idx = np.clip(idx, 0, max(len(keys) - 1, 0))
-        hit = (len(keys) > 0) & (keys[idx] == k)
+        hit = pa.array((len(keys) > 0) & (keys[idx] == k))
         out = batch
         for c, arr in side.items():
             taken = arr.take(pa.array(idx))
-            if pa.types.is_floating(taken.type):
-                vals = np.where(hit, taken.to_numpy(zero_copy_only=False), np.nan)
-                out = out.append_column(c, pa.array(vals, taken.type))
-            else:
-                out = out.append_column(
-                    c, pa.array(taken.to_pandas().where(hit), taken.type)
-                )
+            if isinstance(taken, pa.ChunkedArray):
+                taken = taken.combine_chunks()
+            # misses become proper NULLs (validity bitmap), never NaN
+            out = out.append_column(c, pc.if_else(hit, taken, pa.scalar(None, taken.type)))
         return out
 
     return ds.map_batches(gather, batch_format="pyarrow")

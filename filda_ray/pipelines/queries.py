@@ -855,6 +855,21 @@ def q_langid(sf_dir: str):
     return langid_op(ds).select_columns(["doc_id", "lang_guess"])
 
 
+def q_fingerprints(sf_dir: str):
+    rd = _rd()
+    from ..ops.text import fingerprint_op
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return fingerprint_op(ds).select_columns(["doc_id", "fingerprint", "simhash"])
+
+
+def q_estimate(sf_dir: str):
+    from .estimate import estimate_pipeline, summarize
+
+    scored = estimate_pipeline(sf_dir)
+    return summarize(scored)
+
+
 def q_media_features(sf_dir: str):
     from ..ops.multimodal import decode_media, synth_media
 
@@ -901,6 +916,8 @@ QUERIES = {
     "langid": q_langid,
     "estimator_score": q_score,
     "media_features": q_media_features,
+    "fingerprints": q_fingerprints,
+    "estimate_summary": q_estimate,
 }
 
 ORACLES = {
