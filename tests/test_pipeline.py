@@ -64,6 +64,21 @@ def test_repartition_invariance(ray_session, sf_dir):
             pd.testing.assert_frame_equal(bg, ref)
 
 
+def test_background_hist_equals_shuffle_path(ray_session, sf_dir):
+    """The exact-histogram background path must equal the general
+    re-key + groupby shuffle path on occupied tiles."""
+    from filda_ray.ops.background import background_stats, background_stats_shuffle
+    from filda_ray.pipelines.flagship import narrow_pages
+
+    narrow = narrow_pages(sf_dir).materialize()
+    a = background_stats(narrow, "n_chars").to_pandas().sort_values("pc_tile").reset_index(drop=True)
+    b = background_stats_shuffle(narrow, "n_chars").to_pandas()
+    b = b[b.pc_tile.isin(a.pc_tile)].sort_values("pc_tile").reset_index(drop=True)[a.columns]
+    assert len(a) == len(b)
+    for c in a.columns:
+        assert np.array_equal(a[c].to_numpy(), b[c].to_numpy()), c
+
+
 def test_detections_only_filter(ray_session, sf_dir):
     from filda_ray.pipelines.flagship import detections_only
 

@@ -1,0 +1,70 @@
+"""Property-based tests (hypothesis) for the pure kernels
+(SURVEY.md §5 item 4)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from filda_ray.kernels import cells, qa, s2
+from filda_ray.ops.background import _weighted_median
+
+
+finite_lat = st.floats(min_value=-89.9, max_value=89.9, allow_nan=False)
+finite_lon = st.floats(min_value=-179.99, max_value=179.99, allow_nan=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(finite_lat, finite_lon)
+def test_hex_containment_roundtrip(lat, lon):
+    cell = cells.hex_cell(np.array([lat]), np.array([lon]))
+    res, q, r = cells.hex_unpack(cell)
+    clat, clon = cells.hex_center(q, r, int(res[0]))
+    assert np.array_equal(cells.hex_cell(clat, clon), cell)
+
+
+@settings(max_examples=200, deadline=None)
+@given(finite_lat, finite_lon)
+def test_s2_parent_consistency(lat, lon):
+    la, lo = np.array([lat]), np.array([lon])
+    c12 = s2.s2_cell(la, lo, 12)
+    for lvl in (10, 6, 2):
+        assert np.array_equal(s2.s2_parent(c12, lvl), s2.s2_cell(la, lo, lvl))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.booleans(), min_size=len(qa.QA_BITS), max_size=len(qa.QA_BITS)))
+def test_qa_roundtrip(bits):
+    flags = {name: np.array([b]) for name, b in zip(qa.QA_BITS, bits)}
+    packed = qa.qa_pack(flags)
+    unpacked = qa.qa_unpack(packed)
+    for name in flags:
+        assert unpacked[name][0] == flags[name][0]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=50),
+                          st.integers(min_value=1, max_value=5)),
+                min_size=1, max_size=30))
+def test_weighted_median_equals_expanded(pairs):
+    values = np.array([float(v) for v, _ in pairs])
+    counts = np.array([c for _, c in pairs], dtype=np.int64)
+    order = np.argsort(values, kind="mergesort")
+    got = _weighted_median(values[order], counts[order])
+    want = float(np.median(np.repeat(values, counts)))
+    assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+                min_size=0, max_size=50),
+       st.integers(min_value=0, max_value=3))
+def test_pc_neighbors_contains_self_and_symmetric(vals, ring):
+    if not vals:
+        return
+    lat = np.clip(np.array(vals[:1]), -89.9, 89.9)
+    lon = np.zeros(1)
+    t = cells.pc_tile(lat, lon)
+    nb, keep = cells.pc_distinct_neighbors_mask(t, ring=max(ring, 1))
+    ids = nb[0][keep[0]]
+    assert int(t[0]) in ids.tolist()
+    assert len(set(ids.tolist())) == len(ids)
