@@ -25,18 +25,24 @@ def encode_batch(batch: pa.Table, *, hex_res: int = cells.HEX_DEFAULT_RES,
                  tile_deg: float = cells.PC_TILE_DEG) -> pa.Table:
     lat = batch.column("lat").to_numpy(zero_copy_only=False)
     lon = batch.column("lon").to_numpy(zero_copy_only=False)
-    ok = ~(np.isnan(lat) | np.isnan(lon))
-    lat0 = np.where(ok, lat, 0.0)
-    lon0 = np.where(ok, lon, 0.0)
-    pc = cells.pc_tile(lat0, lon0, tile_deg)
-    hexc = cells.hex_cell(lat0, lon0, hex_res)
-    s2c = s2.s2_cell(lat0, lon0, s2_level)
-    pfx = cells.hex_prefix(hexc)
+    # memoize by distinct coordinate pair: geocoded corpora repeat
+    # host-level coordinates heavily, so encode unique points and
+    # gather (identical results, ~100x fewer trig/Hilbert evaluations)
+    pair = np.stack([lat, lon], axis=1)
+    uniq, inv = np.unique(pair, axis=0, return_inverse=True)
+    ulat, ulon = uniq[:, 0], uniq[:, 1]
+    ok_u = ~(np.isnan(ulat) | np.isnan(ulon))
+    ulat0 = np.where(ok_u, ulat, 0.0)
+    ulon0 = np.where(ok_u, ulon, 0.0)
+    upc = np.where(ok_u, cells.pc_tile(ulat0, ulon0, tile_deg), -1).astype(np.int32)
+    uhex = np.where(ok_u, cells.hex_cell(ulat0, ulon0, hex_res), 0).astype(np.uint64)
+    us2 = np.where(ok_u, s2.s2_cell(ulat0, ulon0, s2_level), 0).astype(np.uint64)
+    upfx = np.where(ok_u, cells.hex_prefix(uhex), 0).astype(np.uint32)
     return (
-        batch.append_column("pc_tile", pa.array(np.where(ok, pc, -1).astype(np.int32)))
-        .append_column("hex_r7", pa.array(np.where(ok, hexc, 0), pa.uint64()))
-        .append_column("s2_l12", pa.array(np.where(ok, s2c, 0), pa.uint64()))
-        .append_column("hex_prefix", pa.array(np.where(ok, pfx, 0), pa.uint32()))
+        batch.append_column("pc_tile", pa.array(upc[inv]))
+        .append_column("hex_r7", pa.array(uhex[inv], pa.uint64()))
+        .append_column("s2_l12", pa.array(us2[inv], pa.uint64()))
+        .append_column("hex_prefix", pa.array(upfx[inv], pa.uint32()))
     )
 
 
