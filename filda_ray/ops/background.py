@@ -139,6 +139,10 @@ def background_stats(ds, value_col: str, tile_col: str = "pc_tile",
     # #tiles x #distinct values), not one partial per input block
     parts = parts.repartition(8).map_batches(_merge_partials, batch_format="pyarrow")
     df = parts.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"tile": pd.Series(dtype=np.int32),
+                           "value": pd.Series(dtype=np.float64),
+                           "n": pd.Series(dtype=np.int64)})
     merged = df.groupby(["tile", "value"], sort=True)["n"].sum().reset_index()
 
     tiles = merged["tile"].to_numpy()

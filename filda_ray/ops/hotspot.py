@@ -34,6 +34,8 @@ def cell_counts(ds, cell_col: str = "hex_r7"):
 
     parts = ds.select_columns([cell_col]).map_batches(partial, batch_format="pyarrow")
     df = parts.to_pandas()  # small: one row per (batch, distinct cell)
+    if df.empty:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
     agg = df.groupby(cell_col, sort=True)["n"].sum()
     return agg.index.to_numpy(), agg.to_numpy()
 

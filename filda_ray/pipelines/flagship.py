@@ -123,6 +123,27 @@ def detections_only(sf_dir: str, **kw):
     )
 
 
+# product field metadata (aux_infor_dict analog, FILDA_IO.py:1337-1474)
+PRODUCT_FIELD_METADATA = {
+    "url": {"long_name": "page url (detection identity)"},
+    "lat": {"long_name": "geocoded latitude", "units": "degrees_north"},
+    "lon": {"long_name": "geocoded longitude", "units": "degrees_east"},
+    "pc_tile": {"long_name": "Plate-Carree 10-degree tile id"},
+    "hex_r7": {"long_name": "hex cell id (H3-style, res 7 equivalent)"},
+    "s2_l12": {"long_name": "S2 quadtree cell id, level 12"},
+    "hex_prefix": {"long_name": "coarse hex partition prefix"},
+    "bg_median": {"long_name": "neighborhood background median of n_chars"},
+    "bg_mad": {"long_name": "neighborhood background MAD (unscaled)"},
+    "win_ring": {"long_name": "adaptive window ring used (1 or 2)"},
+    "score": {"long_name": "robust z anomaly score",
+              "legend": "z = (v - median) / (1.4826*MAD + 1e-9)"},
+    "status": {"long_name": "detection status", "legend": "0 none, 1 low, 2 high"},
+    "qa_bits": {"long_name": "algorithm QA bitfield",
+                "legend": "see filda_ray.kernels.qa.QA_BITS"},
+    "n_in_cell": {"long_name": "pages sharing the fine hex cell"},
+}
+
+
 def write_detections(sf_dir: str, out_dir: str, **kw):
     """Flagship + resumable partitioned product (partition = pc_tile)."""
     from ..state.manifest import resume_filter, write_product
@@ -135,4 +156,5 @@ def write_detections(sf_dir: str, out_dir: str, **kw):
         partition_col="pc_tile",
         lineage={"input": f"{sf_dir}/documents.parquet", "pipeline": "detect_pipeline"},
         sort_cols=["doc_id"],
+        field_metadata=PRODUCT_FIELD_METADATA,
     )

@@ -59,7 +59,8 @@ def resume_filter(ds, out_dir: str, partition_col: str):
 
 
 def write_product(ds, out_dir: str, *, partition_col: str, lineage: dict | None = None,
-                  sort_cols: list[str] | None = None):
+                  sort_cols: list[str] | None = None,
+                  field_metadata: dict[str, dict[str, str]] | None = None):
     """Write ``ds`` partitioned by ``partition_col`` with manifest.
 
     One groupby(partition).map_groups writes each partition
@@ -82,8 +83,16 @@ def write_product(ds, out_dir: str, *, partition_col: str, lineage: dict | None 
         tmp_dir = final_dir + ".tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
         os.makedirs(tmp_dir, exist_ok=True)
-        pq.write_table(pa.Table.from_pandas(g, preserve_index=False),
-                       os.path.join(tmp_dir, "data.parquet"))
+        tbl = pa.Table.from_pandas(g, preserve_index=False)
+        if field_metadata:
+            # per-field units/long_name metadata (aux_infor_dict analog,
+            # FILDA_IO.py:1337-1474): travels in the parquet schema
+            fields = []
+            for f in tbl.schema:
+                meta = field_metadata.get(f.name)
+                fields.append(f.with_metadata({k: str(v) for k, v in meta.items()}) if meta else f)
+            tbl = tbl.cast(pa.schema(fields, metadata=tbl.schema.metadata))
+        pq.write_table(tbl, os.path.join(tmp_dir, "data.parquet"))
         shutil.rmtree(final_dir, ignore_errors=True)
         os.rename(tmp_dir, final_dir)
         with open(os.path.join(out_dir, MANIFEST), "a") as f:

@@ -148,6 +148,17 @@ def test_estimator_routing_and_fallback(ray_session):
     assert p[1] == 1.0
 
 
+def test_empty_input_hardening(ray_session):
+    from filda_ray.ops.background import background_stats
+    from filda_ray.ops.hotspot import count_in_cell
+
+    empty = _ds({"pc_tile": pa.array([], pa.int32()),
+                 "n_chars": pa.array([], pa.int64()),
+                 "hex_r7": pa.array([], pa.uint64())})
+    assert background_stats(empty, "n_chars").count() == 0
+    assert count_in_cell(empty).count() == 0
+
+
 def test_multimodal_decode_plumbing(ray_session, sf_dir):
     from filda_ray.ops.multimodal import (DeterministicFakeDecoder, decode_media,
                                           synth_media)

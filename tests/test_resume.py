@@ -30,6 +30,13 @@ def test_write_resume_identical(ray_session, sf_dir, tmp_path):
     assert len(full) == 500
     done = load_done(out1)
     assert sum(r["rows"] for r in done.values()) == 500
+    # field metadata travels in the parquet schema (aux_infor_dict analog)
+    import pyarrow.parquet as pq
+
+    first_part = os.path.join(out1, f"part={sorted(done)[0]}", "data.parquet")
+    schema = pq.read_schema(first_part)
+    assert schema.field("score").metadata[b"long_name"] == b"robust z anomaly score"
+    assert b"legend" in schema.field("status").metadata
     # lineage recorded per partition
     rec = next(iter(done.values()))
     assert rec["lineage"]["pipeline"] == "detect_pipeline"
