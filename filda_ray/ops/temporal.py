@@ -164,6 +164,38 @@ def climatology(ds, *, key_cols: list[str], value_col: str, ts_col: str | None =
     return merged.map_batches(finalize, batch_format="pyarrow")
 
 
+def sessionize(ds, *, key_col: str, ts_col: str, gap_s: int, num_buckets: int = 16):
+    """Session-window aggregation per key (gap-based): a new session
+    starts when the time since the previous event exceeds ``gap_s``.
+
+    Streaming-shaped op per ray_guide: hash-bucket by key, sort within
+    the group, vectorized diff/cumsum — no per-event Python.  Output:
+    (key, n_sessions, n_events).  SQL mirror: lag() window + sum of
+    new-session flags.
+    """
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("__bucket", pa.array((k % num_buckets).astype(np.int32)))
+
+    narrow = ds.select_columns([key_col, ts_col]).map_batches(add_bucket, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        k = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        gap = np.r_[0, ts[1:] - ts[:-1]]
+        new_session = new_key | (gap > gap_s * 1_000_000)
+        df = pd.DataFrame({key_col: k, "__ns": new_session.astype(np.int64)})
+        out = df.groupby(key_col, as_index=False).agg(
+            n_sessions=("__ns", "sum"), n_events=("__ns", "size")
+        )
+        return out
+
+    return narrow.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def window_aggregate(ds, *, key_col: str, ts_col: str, value_col: str, bucket_s: int):
     """Tumbling-window sum/count/mean per (key, window) — the engine's
     stream-shaped aggregate (ray_guide 'Streaming-shaped workloads');

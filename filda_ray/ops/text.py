@@ -56,6 +56,51 @@ def langid_op(ds, text_col: str = "text"):
     return ds.map_batches(lambda b: langid_stage(b, text_col), batch_format="pyarrow")
 
 
+def vocab_count(ds, text_col: str = "text", *, top_k: int | None = None):
+    """Corpus vocabulary counts (training-data op): per-batch token
+    count partials (one row per distinct token per batch — the
+    pre-aggregate-before-shuffle pattern) -> merge -> optional top-k.
+
+    Tokenization = single-space split (SQL mirror: unnest(string_split)).
+    Returns Dataset(token, n) sorted by (-n, token) when top_k is set.
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        counts: dict[str, int] = {}
+        for t in texts:
+            if not t:
+                continue
+            for w in t.split(" "):
+                counts[w] = counts.get(w, 0) + 1
+        if not counts:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"token": pa.array(list(counts.keys()), pa.string()),
+                         "n": pa.array(np.fromiter(counts.values(), dtype=np.int64,
+                                                   count=len(counts)))})
+
+    from ray.data.aggregate import Sum
+
+    merged = ds.map_batches(partial, batch_format="pyarrow").groupby("token").aggregate(
+        Sum("n", alias_name="n")
+    )
+
+    def clean(b: pa.Table) -> pa.Table:
+        return pa.table({"token": b.column("token"),
+                         "n": b.column("n").cast(pa.int64())})
+
+    merged = merged.map_batches(clean, batch_format="pyarrow")
+    if top_k is None:
+        return merged
+    df = merged.to_pandas()  # vocab is small relative to corpus
+    df = df.sort_values(["n", "token"], ascending=[False, True], kind="mergesort").head(top_k)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False))
+
+
 def fingerprint_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch.column(text_col).to_pylist()
     fp = textkit.fingerprint64(texts)

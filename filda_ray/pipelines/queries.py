@@ -764,6 +764,80 @@ GROUP BY e.dst
 """
 
 
+def q_hash_sample(sf_dir: str):
+    """Deterministic Bernoulli-by-hash sample + split assignment."""
+    rd = _rd()
+    from ..ops.sample import hash_sample, split_assign
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    ds = hash_sample(ds, "doc_id", 0.5, seed=0)
+    ds = split_assign(ds, "doc_id", seed=1)
+    return ds.select_columns(["doc_id", "lang", "split"])
+
+
+def sql_hash_sample() -> str:
+    from ..ops.sample import sql_hash_uniform, sql_split_assign
+
+    return f"""
+SELECT doc_id, lang, {sql_split_assign('doc_id', seed=1)} AS split
+FROM documents
+WHERE {sql_hash_uniform('doc_id', 0)} < 0.5
+"""
+
+
+def q_vocab(sf_dir: str):
+    rd = _rd()
+    from ..ops.text import vocab_count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return vocab_count(ds, top_k=20)
+
+
+def sql_vocab() -> str:
+    return """
+SELECT token, n FROM (
+  SELECT token, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+  ORDER BY n DESC, token ASC LIMIT 20
+)
+"""
+
+
+def q_sessionize(sf_dir: str):
+    rd = _rd()
+    from ..ops.temporal import sessionize
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = sessionize(ds, key_col="user_id", ts_col="ts", gap_s=1800)
+
+    def clean(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id").cast(pa.int64()),
+                "n_sessions": b.column("n_sessions").cast(pa.int64()),
+                "n_events": b.column("n_events").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+def sql_sessionize() -> str:
+    return """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                      > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+)
+SELECT user_id, cast(sum(new_s) as bigint) AS n_sessions, count(*) AS n_events
+FROM o GROUP BY user_id
+"""
+
+
 def q_vector_stats(sf_dir: str):
     """Per-row list-column aggregate (A7 posterior-summarization
     analog: per-fire trace matrix -> per-row stats, MCBEF.py:916-933)."""
@@ -906,6 +980,9 @@ QUERIES = {
     "tile_rollup": q_tile_rollup,
     "resample_hosts": q_resample_hosts,
     "vector_stats": q_vector_stats,
+    "hash_sample_split": q_hash_sample,
+    "vocab_top20": q_vocab,
+    "sessionize_events": q_sessionize,
     # rows-only (non-SQL-expressible; covered by pytest goldens/oracles)
     "cells_hex_s2": q_cells,
     "pip_biome": q_pip_biome,
@@ -942,4 +1019,7 @@ ORACLES = {
     "tile_rollup": sql_tile_rollup(),
     "resample_hosts": sql_resample_hosts(),
     "vector_stats": sql_vector_stats(),
+    "hash_sample_split": sql_hash_sample(),
+    "vocab_top20": sql_vocab(),
+    "sessionize_events": sql_sessionize(),
 }
