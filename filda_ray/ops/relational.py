@@ -88,6 +88,26 @@ def semi_anti_filter(ds, keys: np.ndarray, *, on: str, anti: bool = False):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def distinct_rows(ds, key_cols: list[str], *, n_buckets: int = 64):
+    """Exact distinct over key columns (np.unique candidate-dedup
+    analog, FILDA.py:395-398/491-497): bounded hash buckets + one
+    vectorized drop_duplicates per bucket — never a per-key UDF."""
+    from ..kernels.hashing import splitmix64
+
+    def bucket(b: pa.Table) -> pa.Table:
+        h = np.zeros(len(b), dtype=np.uint64)
+        for c in key_cols:
+            h = splitmix64(h ^ b.column(c).to_numpy(zero_copy_only=False).astype(np.uint64))
+        return b.append_column("__bk", pa.array((h % np.uint64(n_buckets)).astype(np.int32)))
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop(columns="__bk").drop_duplicates(key_cols).reset_index(drop=True)
+
+    return ds.map_batches(bucket, batch_format="pyarrow").groupby("__bk").map_groups(
+        uniq, batch_format="pandas"
+    )
+
+
 def top_k_per_group(ds, *, group_col, value_col: str, k: int, ascending: bool = False,
                     tie_col: str | None = None):
     """Grouped top-k (bottom-k with ascending=True): the reference's

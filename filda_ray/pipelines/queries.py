@@ -764,6 +764,41 @@ GROUP BY e.dst
 """
 
 
+def q_candidate_union(sf_dir: str):
+    """Two candidate predicates -> union -> exact dedup (the M12
+    candidate-merge pattern: np.concatenate + np.unique,
+    FILDA.py:491-497, as union + distinct_rows)."""
+    rd = _rd()
+    import pyarrow.compute as pac
+
+    from ..ops.relational import distinct_rows
+    from ..ops.text import quality_op
+
+    base = quality_op(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ).select_columns(["doc_id", "n_chars", "distinct_ratio"])
+    c1 = base.map_batches(
+        lambda b: b.filter(pac.greater_equal(b.column("n_chars"), 400)),
+        batch_format="pyarrow",
+    )
+    c2 = base.map_batches(
+        lambda b: b.filter(pac.less(b.column("distinct_ratio"), 0.5)),
+        batch_format="pyarrow",
+    )
+    merged = distinct_rows(c1.union(c2), ["doc_id"])
+    return merged.select_columns(["doc_id", "n_chars"])
+
+
+def sql_candidate_union() -> str:
+    dr = ("cast(array_length(list_distinct(string_split(text, ' '))) as double)"
+          " / array_length(string_split(text, ' '))")
+    return f"""
+SELECT doc_id, cast(length(text) as bigint) AS n_chars FROM documents WHERE length(text) >= 400
+UNION
+SELECT doc_id, cast(length(text) as bigint) AS n_chars FROM documents WHERE {dr} < 0.5
+"""
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic Bernoulli-by-hash sample + split assignment."""
     rd = _rd()
@@ -983,6 +1018,7 @@ QUERIES = {
     "hash_sample_split": q_hash_sample,
     "vocab_top20": q_vocab,
     "sessionize_events": q_sessionize,
+    "candidate_union": q_candidate_union,
     # rows-only (non-SQL-expressible; covered by pytest goldens/oracles)
     "cells_hex_s2": q_cells,
     "pip_biome": q_pip_biome,
@@ -1022,4 +1058,5 @@ ORACLES = {
     "hash_sample_split": sql_hash_sample(),
     "vocab_top20": sql_vocab(),
     "sessionize_events": sql_sessionize(),
+    "candidate_union": sql_candidate_union(),
 }
