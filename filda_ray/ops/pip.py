@@ -27,13 +27,18 @@ class PIPJoin:
     def __call__(self, batch: pa.Table) -> pa.Table:
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
         lon = batch.column("lon").to_numpy(zero_copy_only=False)
-        ok = ~(np.isnan(lat) | np.isnan(lon))
+        # memoize by distinct coordinate (host-level repetition): run
+        # the geometric PIP once per unique point, gather by inverse
+        pair = np.stack([lat, lon], axis=1)
+        uniq, inv = np.unique(pair, axis=0, return_inverse=True)
+        ulat, ulon = uniq[:, 0], uniq[:, 1]
+        ok = ~(np.isnan(ulat) | np.isnan(ulon))
         out = batch
         for col, idx in self.indexes.items():
-            ids = np.full(len(lat), -1, dtype=np.int32)
+            uids = np.full(len(ulat), -1, dtype=np.int32)
             if ok.any():
-                ids[ok] = idx.query(lon[ok], lat[ok])
-            out = out.append_column(col, pa.array(ids, pa.int32()))
+                uids[ok] = idx.query(ulon[ok], ulat[ok])
+            out = out.append_column(col, pa.array(uids[inv], pa.int32()))
         return out
 
 
