@@ -70,32 +70,100 @@ def count_in_cell(ds, cell_col: str = "hex_r7", out_col: str = "n_in_cell",
     return ds.map_batches(gather, batch_format="pyarrow")
 
 
-def knn_hotspots(ds, *, k_ring: int = 1, prefix_col: str = "hex_prefix",
-                 cell_col: str = "hex_r7", out_col: str = "n_kring"):
-    """Per-row count of rows within ``k_ring`` hex cells, computed
-    per-prefix (groupby(prefix).map_groups — the shuffle key is the
-    coarse partition prefix, so each group holds one spatial block).
+def knn_hotspots(ds, *, k_ring: int = 1, cell_col: str = "hex_r7",
+                 out_col: str = "n_kring", prefix_shift: int = 5):
+    """Per-row count of rows within ``k_ring`` hex cells — EXACT across
+    partition boundaries via halo exchange:
 
-    Edge note: neighbors across a prefix boundary are missed by design
-    at this altitude (prefix blocks are 32x32 hexes vs k_ring<=2);
-    the background op handles cross-tile neighborhoods exactly where
-    it matters.  Documented partitioning assumption per SURVEY §2
-    custom-operator rules.
+    1. reduce rows to (cell, count) — per-batch partials, one small
+       groupby shuffle (cardinality = occupied cells, not rows);
+    2. emit each (cell, count) to the prefix block of every cell in
+       its k-ring ('halo': a boundary cell is visible to adjacent
+       blocks; duplication factor ~ block perimeter / area);
+    3. per-prefix vectorized neighbor-sum for OWNED cells only;
+    4. gather n_kring back onto rows by cell id (broadcast; swap for a
+       hash join when occupied-cell cardinality outgrows the object
+       store).
+
+    Partitioning assumption (documented per SURVEY §2 custom-op
+    rules): k_ring hexes never span more than adjacent prefix blocks,
+    i.e. k_ring < 2^prefix_shift.
     """
+    import ray
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        cellv = g[cell_col].to_numpy().astype(np.uint64)
-        uniq, inv, ucnt = np.unique(cellv, return_inverse=True, return_counts=True)
-        disk = cells.hex_disk(uniq, k_ring)  # (u, m)
-        # neighbor count per unique cell = sum of counts of neighbor cells present
-        order = np.argsort(uniq)
-        su, sc = uniq[order], ucnt[order]
+    from .workercache import worker_state
+
+    assert k_ring < (1 << prefix_shift)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        u, n = np.unique(c, return_counts=True)
+        return pa.table({"cell": pa.array(u, pa.uint64()),
+                         "n": pa.array(n.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.select_columns([cell_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def halo_emit(batch: pa.Table) -> pa.Table:
+        c = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        disk = cells.hex_disk(c, k_ring)            # (rows, m)
+        pfx = cells.hex_prefix(disk.ravel()).reshape(disk.shape)
+        own = cells.hex_prefix(c)
+        rows_c, rows_n, rows_p, rows_owned = [], [], [], []
+        m = disk.shape[1]
+        # distinct prefixes per row (m small: 7 or 19)
+        keep = np.ones_like(pfx, dtype=bool)
+        for j in range(1, m):
+            dup = np.zeros(len(c), dtype=bool)
+            for i in range(j):
+                dup |= pfx[:, j] == pfx[:, i]
+            keep[:, j] = ~dup
+        flat = keep.ravel()
+        cc = np.repeat(c, m)[flat]
+        nn = np.repeat(n, m)[flat]
+        pp = pfx.ravel()[flat]
+        oo = np.repeat(own, m)[flat] == pp
+        return pa.table(
+            {"cell": pa.array(cc, pa.uint64()), "n": pa.array(nn),
+             "pfx": pa.array(pp, pa.uint32()), "owned": pa.array(oo)}
+        )
+
+    halo = counts.map_batches(halo_emit, batch_format="pyarrow")
+
+    def per_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        cellv = g["cell"].to_numpy().astype(np.uint64)
+        nv = g["n"].to_numpy().astype(np.int64)
+        owned = g["owned"].to_numpy().astype(bool)
+        order = np.argsort(cellv, kind="mergesort")
+        su, sn = cellv[order], nv[order]
+        oc = cellv[owned]
+        disk = cells.hex_disk(oc, k_ring)
         idx = np.searchsorted(su, disk)
-        idx = np.clip(idx, 0, len(su) - 1)
-        hit = su[idx] == disk
-        ncnt = np.where(hit, sc[idx], 0).sum(axis=1)
-        g = g.copy()
-        g[out_col] = ncnt[inv].astype(np.int32)
-        return g
+        idx = np.clip(idx, 0, max(len(su) - 1, 0))
+        hit = (len(su) > 0) & (su[idx] == disk)
+        total = np.where(hit, sn[idx], 0).sum(axis=1)
+        return pd.DataFrame({"cell": oc, out_col: total.astype(np.int64)})
 
-    return ds.groupby(prefix_col).map_groups(per_group, batch_format="pandas")
+    nk = halo.groupby("pfx").map_groups(per_prefix, batch_format="pandas")
+    nk_tbl = pa.concat_tables(list(nk.iter_batches(batch_format="pyarrow", batch_size=None)))
+    keys = nk_tbl.column("cell").to_numpy()
+    vals = nk_tbl.column(out_col).to_numpy()
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], vals[order]))
+
+    def gather(batch: pa.Table) -> pa.Table:
+        kk, vv = worker_state(ref, lambda: ray.get(ref))
+        c = batch.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        idx = np.searchsorted(kk, c)
+        idx = np.clip(idx, 0, max(len(kk) - 1, 0))
+        hit = (len(kk) > 0) & (kk[idx] == c)
+        return batch.append_column(out_col, pa.array(np.where(hit, vv[idx], 0).astype(np.int32)))
+
+    return ds.map_batches(gather, batch_format="pyarrow")

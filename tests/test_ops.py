@@ -111,6 +111,28 @@ def test_knn_hotspots_counts(ray_session):
     assert hot["n_kring"].iloc[4] == 1
 
 
+def test_knn_hotspots_exact_across_prefix_boundaries(ray_session):
+    """Halo exchange must make k-ring counts exact even when neighbors
+    fall in different prefix blocks (random points, brute force oracle)."""
+    from filda_ray.kernels import cells
+    from filda_ray.ops.hotspot import knn_hotspots
+
+    rng = np.random.RandomState(7)
+    # dense cluster of points in a tiny area -> many boundary-adjacent cells
+    lat = 10.0 + rng.rand(400) * 0.5
+    lon = 20.0 + rng.rand(400) * 0.5
+    cell = cells.hex_cell(lat, lon)
+    ds = _ds({"doc_id": list(range(400)), "hex_r7": cell})
+    for k in (1, 2):
+        got = knn_hotspots(ds, k_ring=k).to_pandas().sort_values("doc_id")["n_kring"].to_numpy()
+        # brute force: count rows whose cell is within hex distance k
+        want = np.array([
+            int((cells.hex_distance(np.repeat(cell[i:i+1], len(cell)), cell) <= k).sum())
+            for i in range(len(cell))
+        ])
+        assert np.array_equal(got, want), f"k={k}"
+
+
 def test_climatology_matches_numpy(ray_session):
     from filda_ray.ops.temporal import climatology
 
