@@ -170,6 +170,31 @@ def test_estimator_routing_and_fallback(ray_session):
     assert p[1] == 1.0
 
 
+def test_hll_approx_distinct(ray_session):
+    from filda_ray.ops.sketch import approx_distinct, hll_estimate, hll_update
+
+    # kernel-level accuracy
+    rng = np.random.RandomState(0)
+    h = rng.randint(0, 2**63, size=100_000, dtype=np.int64).astype(np.uint64)
+    from filda_ray.kernels.hashing import splitmix64
+
+    regs = np.zeros(1 << 12, dtype=np.uint8)
+    hll_update(regs, splitmix64(h))
+    est = hll_estimate(regs)
+    true = len(np.unique(h))
+    assert abs(est - true) / true < 0.05
+    # dataset-level: estimate vs exact distinct user_ids
+    import duckdb
+    import ray.data as rd
+
+    exact = duckdb.sql(
+        "select count(distinct user_id) from '/root/testdata/sf0.001/events.parquet'"
+    ).fetchone()[0]
+    ds = rd.read_parquet("/root/testdata/sf0.001/events.parquet", columns=["user_id"])
+    est2 = approx_distinct(ds, "user_id")
+    assert abs(est2 - exact) / exact < 0.10
+
+
 def test_empty_input_hardening(ray_session):
     from filda_ray.ops.background import background_stats
     from filda_ray.ops.hotspot import count_in_cell
