@@ -79,9 +79,19 @@ def _final_qa(batch: pa.Table) -> pa.Table:
     return batch.append_column("qa_bits", pa.array(qa, pa.uint32()))
 
 
-def narrow_pages(sf_dir: str, *, geocode_concurrency: int | None = None, replicate: int = 1):
-    """pages -> narrow geocoded+tiled stream (shared pipeline prefix)."""
-    ds = read_pages(sf_dir, replicate=replicate)
+def narrow_pages(sf_dir: str, *, geocode_concurrency: int | None = None, replicate: int = 1,
+                 pages_dir: str | None = None):
+    """pages -> narrow geocoded+tiled stream (shared pipeline prefix).
+
+    ``pages_dir``: read a materialized pages Parquet table (production
+    shape) instead of synthesizing inline from documents.parquet.
+    """
+    if pages_dir is not None:
+        from ..sources.pages import read_pages_parquet
+
+        ds = read_pages_parquet(pages_dir)
+    else:
+        ds = read_pages(sf_dir, replicate=replicate)
     ds = ds.map_batches(_extract_and_measure, batch_format="pyarrow")
     ds = geocode(ds, concurrency=geocode_concurrency)
     ds = tile_encode(ds)
@@ -90,9 +100,10 @@ def narrow_pages(sf_dir: str, *, geocode_concurrency: int | None = None, replica
 
 def detect_pipeline(sf_dir: str, *, materialize_narrow: bool = True,
                     concurrency: int | None = None, with_metrics: bool = False,
-                    replicate: int = 1):
+                    replicate: int = 1, pages_dir: str | None = None):
     """Full flagship pipeline; returns a Dataset of classified pages."""
-    ds = narrow_pages(sf_dir, geocode_concurrency=concurrency, replicate=replicate)
+    ds = narrow_pages(sf_dir, geocode_concurrency=concurrency, replicate=replicate,
+                      pages_dir=pages_dir)
     mactor = None
     if with_metrics:
         from ..state.metrics import count_stage, get_metrics_actor

@@ -64,6 +64,18 @@ def test_repartition_invariance(ray_session, sf_dir):
             pd.testing.assert_frame_equal(bg, ref)
 
 
+def test_from_parquet_pages_equals_inline(ray_session, sf_dir, tmp_path):
+    """The materialized-pages ingest path (production input_hint shape
+    on disk) must produce identical detections to inline synthesis."""
+    from filda_ray.pipelines.flagship import detect_pipeline
+    from filda_ray.sources.pages import write_pages_parquet
+
+    pdir = write_pages_parquet(sf_dir, str(tmp_path / "pages"))
+    a = detect_pipeline(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = detect_pipeline(sf_dir, pages_dir=pdir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
 def test_background_hist_equals_shuffle_path(ray_session, sf_dir):
     """The exact-histogram background path must equal the general
     re-key + groupby shuffle path on occupied tiles."""
