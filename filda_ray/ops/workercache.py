@@ -19,13 +19,17 @@ bench scale; the estimator (``ops.score``) keeps (1).
 from __future__ import annotations
 
 _CACHE: dict = {}
+_MAX_ENTRIES = 8  # bound per-worker memory across many pipelines
 
 
 def worker_state(key, builder):
     """Build-once-per-worker-process state.  ``key`` must be hashable
-    (an ObjectRef works and ties cache lifetime to the run's ref)."""
-    st = _CACHE.get(key)
+    (an ObjectRef works and ties cache lifetime to the run's ref).
+    LRU-bounded so long sessions don't pin stale broadcast objects."""
+    st = _CACHE.pop(key, None)
     if st is None:
         st = builder()
-        _CACHE[key] = st
+    _CACHE[key] = st  # reinsert = most-recently-used
+    while len(_CACHE) > _MAX_ENTRIES:
+        _CACHE.pop(next(iter(_CACHE)))
     return st
