@@ -194,6 +194,95 @@ def background_stats(ds, value_col: str, tile_col: str = "pc_tile",
 
 
 # ---------------------------------------------------------------------------
+# hex-grid variant: background over k-ring neighborhoods of the fine
+# hex cells (the north_star's per-pixel contextual kernel on the
+# H3-style grid; ring-k1 escalating to ring-k2)
+# ---------------------------------------------------------------------------
+
+def _hex_hist_partial(batch: pa.Table, value_col: str, cell_col: str) -> pa.Table:
+    c = batch.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+    v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    ok = ~np.isnan(v)
+    key_c, key_v = c[ok], v[ok]
+    order = np.lexsort((key_v, key_c))
+    kc, kv = key_c[order], key_v[order]
+    boundary = np.r_[True, (kc[1:] != kc[:-1]) | (kv[1:] != kv[:-1])]
+    starts = np.flatnonzero(boundary)
+    counts = np.diff(np.r_[starts, len(kc)])
+    return pa.table(
+        {"cell": pa.array(kc[starts], pa.uint64()),
+         "value": pa.array(kv[starts]),
+         "n": pa.array(counts.astype(np.int64))}
+    )
+
+
+def background_stats_hex(ds, value_col: str, cell_col: str = "hex_r7",
+                         k1: int = 1, k2: int = 2):
+    """Per-hex-cell background median/MAD over ring-k1 and ring-k2
+    neighborhoods (adaptive-window analog on the fine hex grid).
+
+    Same mergeable-histogram design as the PC path: (cell, value)
+    count partials -> merge -> per occupied cell, concatenate the
+    histograms of its hex_disk(k) neighbors and take exact weighted
+    median/MAD.  Output: cell, bg{1,2}_{median,mad,n}.
+    """
+    import ray.data as rd
+
+    parts = ds.select_columns([cell_col, value_col]).map_batches(
+        lambda b: _hex_hist_partial(b, value_col, cell_col), batch_format="pyarrow"
+    )
+    df = parts.to_pandas()
+    if df.empty:
+        return rd.from_arrow(pa.table(
+            {"cell": pa.array([], pa.uint64()),
+             "bg1_median": pa.array([], pa.float64()), "bg1_mad": pa.array([], pa.float64()),
+             "bg1_n": pa.array([], pa.int64()),
+             "bg2_median": pa.array([], pa.float64()), "bg2_mad": pa.array([], pa.float64()),
+             "bg2_n": pa.array([], pa.int64())}))
+    merged = df.groupby(["cell", "value"], sort=True)["n"].sum().reset_index()
+    cellv = merged["cell"].to_numpy().astype(np.uint64)
+    vals = merged["value"].to_numpy()
+    cnts = merged["n"].to_numpy()
+    uniq = np.unique(cellv)
+    starts = np.searchsorted(cellv, uniq, side="left")
+    ends = np.searchsorted(cellv, uniq, side="right")
+    hist = {int(c): (vals[s:e], cnts[s:e]) for c, s, e in zip(uniq, starts, ends)}
+
+    disks = {k: cells.hex_disk(uniq, k) for k in (k1, k2)}
+    out = {"cell": [], "bg1_median": [], "bg1_mad": [], "bg1_n": [],
+           "bg2_median": [], "bg2_mad": [], "bg2_n": []}
+    for i, c in enumerate(uniq):
+        out["cell"].append(int(c))
+        for tag, k in (("bg1", k1), ("bg2", k2)):
+            vs, cs = [], []
+            for nb in disks[k][i]:
+                h = hist.get(int(nb))
+                if h is not None:
+                    vs.append(h[0])
+                    cs.append(h[1])
+            if vs:
+                v = np.concatenate(vs)
+                n = np.concatenate(cs)
+                order = np.argsort(v, kind="mergesort")
+                med, mad = _median_mad_hist(v[order], n[order])
+                out[f"{tag}_median"].append(med)
+                out[f"{tag}_mad"].append(mad)
+                out[f"{tag}_n"].append(int(n.sum()))
+            else:
+                out[f"{tag}_median"].append(np.nan)
+                out[f"{tag}_mad"].append(np.nan)
+                out[f"{tag}_n"].append(0)
+    return rd.from_arrow(pa.table(
+        {"cell": pa.array(np.asarray(out["cell"], dtype=np.uint64)),
+         "bg1_median": pa.array(out["bg1_median"], pa.float64()),
+         "bg1_mad": pa.array(out["bg1_mad"], pa.float64()),
+         "bg1_n": pa.array(out["bg1_n"], pa.int64()),
+         "bg2_median": pa.array(out["bg2_median"], pa.float64()),
+         "bg2_mad": pa.array(out["bg2_mad"], pa.float64()),
+         "bg2_n": pa.array(out["bg2_n"], pa.int64())}))
+
+
+# ---------------------------------------------------------------------------
 # shuffle path (general floats; the original re-key + groupby design)
 # ---------------------------------------------------------------------------
 

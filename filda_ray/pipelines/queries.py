@@ -964,6 +964,15 @@ def q_langid(sf_dir: str):
     return langid_op(ds).select_columns(["doc_id", "lang_guess"])
 
 
+def q_hex_background(sf_dir: str):
+    """Contextual background on the fine hex grid (north_star's
+    per-pixel kernel on the H3-style index; ring-1/ring-2)."""
+    from ..ops.background import background_stats_hex
+
+    narrow = flagship.narrow_pages(sf_dir)
+    return background_stats_hex(narrow, "n_chars")
+
+
 def q_fingerprints(sf_dir: str):
     rd = _rd()
     from ..ops.text import fingerprint_op
@@ -1031,6 +1040,7 @@ QUERIES = {
     "media_features": q_media_features,
     "fingerprints": q_fingerprints,
     "estimate_summary": q_estimate,
+    "hex_background": q_hex_background,
 }
 
 ORACLES = {

@@ -91,6 +91,34 @@ def test_background_hist_equals_shuffle_path(ray_session, sf_dir):
         assert np.array_equal(a[c].to_numpy(), b[c].to_numpy()), c
 
 
+def test_hex_background_vs_bruteforce(ray_session):
+    """Hex-grid background median/MAD must equal an all-pairs brute
+    force over hex k-ring neighborhoods."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from filda_ray.kernels import cells
+    from filda_ray.kernels.stats import median_mad
+    from filda_ray.ops.background import background_stats_hex
+
+    rng = np.random.RandomState(4)
+    lat = 30.0 + rng.rand(300) * 0.3
+    lon = -40.0 + rng.rand(300) * 0.3
+    vals = rng.randint(50, 500, 300).astype(np.int64)
+    cell = cells.hex_cell(lat, lon)
+    ds = rd.from_arrow(pa.table({"hex_r7": pa.array(cell, pa.uint64()),
+                                 "n_chars": pa.array(vals)}))
+    bg = background_stats_hex(ds, "n_chars").to_pandas().set_index("cell")
+    dist_ok = lambda c, k: cells.hex_distance(np.repeat(np.array([c], dtype=np.uint64), len(cell)), cell) <= k
+    for c in list(bg.index)[:40]:
+        for tag, k in (("bg1", 1), ("bg2", 2)):
+            sel = vals[dist_ok(np.uint64(c), k)]
+            med, mad = median_mad(sel.astype(np.float64))
+            assert bg.loc[c, f"{tag}_n"] == len(sel)
+            assert bg.loc[c, f"{tag}_median"] == med
+            assert bg.loc[c, f"{tag}_mad"] == mad
+
+
 def test_detections_only_filter(ray_session, sf_dir):
     from filda_ray.pipelines.flagship import detections_only
 
