@@ -964,6 +964,37 @@ def q_langid(sf_dir: str):
     return langid_op(ds).select_columns(["doc_id", "lang_guess"])
 
 
+def q_top_anomalies(sf_dir: str):
+    """Global top-20 pages by anomaly score: per-batch partial top-k
+    inside map_batches, then one tiny final sort+limit — streaming
+    consumption, nothing materializes beyond 20 rows per block."""
+    det = flagship.detect_pipeline(sf_dir).select_columns(
+        ["doc_id", "url", "pc_tile", "score", "status"]
+    )
+    k = 20
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b.column("score").to_numpy(zero_copy_only=False)
+        kk = min(k, len(s))
+        if kk == 0:
+            return b
+        top = np.argpartition(-np.nan_to_num(s, nan=-np.inf), kk - 1)[:kk]
+        return b.take(pa.array(np.sort(top)))
+
+    out = det.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def sql_top_anomalies() -> str:
+    inner = sql_flagship()
+    return f"""
+SELECT doc_id, url, pc_tile, score, status FROM ({inner})
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_hex_background(sf_dir: str):
     """Contextual background on the fine hex grid (north_star's
     per-pixel kernel on the H3-style index; ring-1/ring-2)."""
@@ -1028,6 +1059,7 @@ QUERIES = {
     "vocab_top20": q_vocab,
     "sessionize_events": q_sessionize,
     "candidate_union": q_candidate_union,
+    "top_anomalies": q_top_anomalies,
     # rows-only (non-SQL-expressible; covered by pytest goldens/oracles)
     "cells_hex_s2": q_cells,
     "pip_biome": q_pip_biome,
@@ -1069,4 +1101,5 @@ ORACLES = {
     "vocab_top20": sql_vocab(),
     "sessionize_events": sql_sessionize(),
     "candidate_union": sql_candidate_union(),
+    "top_anomalies": sql_top_anomalies(),
 }
