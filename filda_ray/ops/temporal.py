@@ -164,6 +164,69 @@ def climatology(ds, *, key_cols: list[str], value_col: str, ts_col: str | None =
     return merged.map_batches(finalize, batch_format="pyarrow")
 
 
+def range_join(events, windows: pa.Table, *, ts_col: str = "ts",
+               start_col: str = "start_us", end_col: str = "end_us",
+               bucket_s: int = 21600):
+    """Interval join: event rows matched to every window with
+    start <= ts < end (half-open).
+
+    Scale pattern: windows (the small side) are exploded to every time
+    bucket they overlap and broadcast as a per-bucket index; each event
+    batch probes only its bucket's windows (vectorized interval test).
+    No shuffle of events; window duplication = span / bucket_s.
+    Reference analog: nearest/inside-period static-layer selection
+    generalized from point (as-of) to interval semantics.
+    """
+    import ray
+
+    from .workercache import worker_state
+
+    b_us = bucket_s * 1_000_000
+    starts = windows.column(start_col).to_numpy().astype(np.int64)
+    ends = windows.column(end_col).to_numpy().astype(np.int64)
+    wids = windows.column("window_id").to_numpy().astype(np.int64)
+    # bucket -> arrays of (start, end, id) for windows overlapping it
+    index: dict[int, list] = {}
+    for s, e, w in zip(starts, ends, wids):
+        for b in range(s // b_us, max(s // b_us, (e - 1) // b_us) + 1):
+            index.setdefault(int(b), []).append((s, e, w))
+    packed = {b: (np.array([x[0] for x in v], dtype=np.int64),
+                  np.array([x[1] for x in v], dtype=np.int64),
+                  np.array([x[2] for x in v], dtype=np.int64))
+              for b, v in index.items()}
+    ref = ray.put(packed)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        idx = worker_state(ref, lambda: ray.get(ref))
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy()
+        buckets = ts // b_us
+        out_rows = []
+        out_wid = []
+        for b in np.unique(buckets):
+            wv = idx.get(int(b))
+            if wv is None:
+                continue
+            m = buckets == b
+            rows = np.flatnonzero(m)
+            tsb = ts[rows]
+            ws, we, wi = wv
+            # (events_in_bucket x windows_in_bucket) interval test
+            hit = (tsb[:, None] >= ws[None, :]) & (tsb[:, None] < we[None, :])
+            r, c = np.nonzero(hit)
+            out_rows.append(rows[r])
+            out_wid.append(wi[c])
+        if not out_rows:
+            t = batch.take(pa.array([], pa.int64()))
+            return t.append_column("window_id", pa.array([], pa.int64()))
+        rows = np.concatenate(out_rows)
+        wid = np.concatenate(out_wid)
+        order = np.argsort(rows, kind="mergesort")
+        t = batch.take(pa.array(rows[order]))
+        return t.append_column("window_id", pa.array(wid[order]))
+
+    return events.map_batches(probe, batch_format="pyarrow")
+
+
 def sessionize(ds, *, key_col: str, ts_col: str, gap_s: int, num_buckets: int = 16):
     """Session-window aggregation per key (gap-based): a new session
     starts when the time since the previous event exceeds ``gap_s``.

@@ -964,6 +964,53 @@ def q_langid(sf_dir: str):
     return langid_op(ds).select_columns(["doc_id", "lang_guess"])
 
 
+WINDOW_START_US = 1704067200000000  # 2024-01-01, matches events span
+N_WINDOWS = 80
+WINDOW_SPAN_US = 8 * 3600 * 1_000_000   # 8h windows
+WINDOW_STEP_US = 9 * 3600 * 1_000_000   # 9h apart (gaps + no overlap)
+
+
+def _windows_table() -> pa.Table:
+    wid = np.arange(N_WINDOWS, dtype=np.int64)
+    start = WINDOW_START_US + wid * WINDOW_STEP_US
+    return pa.table({"window_id": pa.array(wid),
+                     "start_us": pa.array(start),
+                     "end_us": pa.array(start + WINDOW_SPAN_US)})
+
+
+def q_range_join(sf_dir: str):
+    """Interval join: events matched to deterministic 8h windows
+    (start <= ts < end); bucketed broadcast probe, no event shuffle."""
+    rd = _rd()
+    from ..ops.temporal import range_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    out = range_join(ev, _windows_table())
+
+    def clean(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": b.column("event_id"),
+             "ts_us": b.column("ts").cast(pa.int64()),
+             "window_id": b.column("window_id")}
+        )
+
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+def sql_range_join() -> str:
+    return f"""
+WITH w AS (
+  SELECT i AS window_id,
+         {WINDOW_START_US} + i * {WINDOW_STEP_US} AS start_us,
+         {WINDOW_START_US} + i * {WINDOW_STEP_US} + {WINDOW_SPAN_US} AS end_us
+  FROM (SELECT unnest(range(0, {N_WINDOWS})) AS i)
+)
+SELECT e.event_id, epoch_us(e.ts) AS ts_us, w.window_id
+FROM events e JOIN w
+  ON epoch_us(e.ts) >= w.start_us AND epoch_us(e.ts) < w.end_us
+"""
+
+
 def q_top_anomalies(sf_dir: str):
     """Global top-20 pages by anomaly score: per-batch partial top-k
     inside map_batches, then one tiny final sort+limit — streaming
@@ -1060,6 +1107,7 @@ QUERIES = {
     "sessionize_events": q_sessionize,
     "candidate_union": q_candidate_union,
     "top_anomalies": q_top_anomalies,
+    "range_join_windows": q_range_join,
     # rows-only (non-SQL-expressible; covered by pytest goldens/oracles)
     "cells_hex_s2": q_cells,
     "pip_biome": q_pip_biome,
@@ -1102,4 +1150,5 @@ ORACLES = {
     "sessionize_events": sql_sessionize(),
     "candidate_union": sql_candidate_union(),
     "top_anomalies": sql_top_anomalies(),
+    "range_join_windows": sql_range_join(),
 }
