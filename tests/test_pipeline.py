@@ -119,6 +119,39 @@ def test_hex_background_vs_bruteforce(ray_session):
             assert bg.loc[c, f"{tag}_mad"] == mad
 
 
+def test_op_repartition_invariance(ray_session, sf_dir):
+    """More FIXTURES invariant-2 coverage: dedup pair sets, kNN
+    counts, and hash-sample membership identical under repartition."""
+    import ray.data as rd
+
+    from filda_ray.ops.dedup import simhash_pairs
+    from filda_ray.ops.hotspot import knn_hotspots
+    from filda_ray.ops.sample import hash_sample
+    from filda_ray.pipelines.flagship import narrow_pages
+
+    narrow = narrow_pages(sf_dir).materialize()
+    ref_knn = ref_sample = None
+    for k in (2, 16):
+        part = narrow.repartition(k)
+        knn = knn_hotspots(part).to_pandas().sort_values("doc_id")["n_kring"].to_numpy()
+        samp = hash_sample(part, "doc_id", 0.3).to_pandas()["doc_id"].sort_values().to_numpy()
+        if ref_knn is None:
+            ref_knn, ref_sample = knn, samp
+        else:
+            assert np.array_equal(knn, ref_knn)
+            assert np.array_equal(samp, ref_sample)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ref_pairs = None
+    for k in (1, 8):
+        pairs = simhash_pairs(docs.repartition(k)).to_pandas()
+        s = set(zip(pairs.doc_a, pairs.doc_b))
+        if ref_pairs is None:
+            ref_pairs = s
+        else:
+            assert s == ref_pairs
+
+
 def test_detections_only_filter(ray_session, sf_dir):
     from filda_ray.pipelines.flagship import detections_only
 
