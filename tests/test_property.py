@@ -54,6 +54,25 @@ def test_weighted_median_equals_expanded(pairs):
     assert got == want
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_characters="<",
+                                      blacklist_categories=("Cs",)),
+               max_size=300))
+def test_extract_invariant_property(text):
+    """render -> extract is byte-identical for any '<'-free text
+    (the per-row invariant, property form)."""
+    import numpy as np
+
+    from filda_ray.kernels.textkit import extract_text, extract_text_arrow
+    from filda_ray.sources.pages import render_html
+
+    html = render_html(np.array([7]), [text])
+    assert extract_text(html)[0] == text
+    import pyarrow as pa
+
+    assert extract_text_arrow(pa.array(list(html), pa.binary()))[0].as_py() == text
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
                 min_size=0, max_size=50),
