@@ -69,6 +69,24 @@ def md5_hex(values) -> np.ndarray:
     return out
 
 
+def md5_hex64(values):
+    """(hex digests, uint64 of the first 8 digest bytes) in one pass —
+    the numeric twin feeds shuffle-bucket assignment without a second
+    per-row hash."""
+    hexes = np.empty(len(values), dtype=object)
+    h64 = np.zeros(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        if v is None:
+            hexes[i] = None
+            continue
+        if isinstance(v, str):
+            v = v.encode("utf-8")
+        d = hashlib.md5(v).digest()
+        hexes[i] = d.hex()
+        h64[i] = int.from_bytes(d[:8], "little")
+    return hexes, h64
+
+
 def salt_for(keys: np.ndarray, n_salts: int, *, seed: int = 7) -> np.ndarray:
     """Deterministic salt in [0, n_salts) per row, for splitting hot keys.
 

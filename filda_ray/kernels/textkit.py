@@ -64,11 +64,20 @@ def extract_text_arrow(html):
     """Vectorized Arrow twin of ``extract_text`` (same semantics,
     same EXTRACTOR_VERSION): RE2 kernels instead of a Python loop.
     Equivalence is pinned by tests; the hot path uses this one.
+
+    Invalid UTF-8 (routine in Common-Crawl-style input) would make the
+    validating binary->string cast raise and kill the job; such batches
+    fall back to the scalar kernel, which decodes errors='replace' —
+    output stays byte-identical between paths by construction.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    hs = pc.cast(html, pa.string())
+    try:
+        hs = pc.cast(html, pa.string())
+    except pa.ArrowInvalid:
+        vals = html.to_pylist() if hasattr(html, "to_pylist") else list(html)
+        return pa.array(extract_text(vals), pa.string())
     body = pc.struct_field(pc.extract_regex(hs, _ARROW_BODY_PAT), "body")
     out = pc.replace_substring_regex(body, _ARROW_TAG_PAT, "")
     return pc.fill_null(out, "")

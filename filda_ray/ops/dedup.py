@@ -23,6 +23,9 @@ from ..kernels import textkit
 from ..kernels.hashing import md5_hex
 from . import autoscale
 
+MAX_BUCKET = 1000  # runaway-bucket guard (drop, per ray_guide near-dup notes)
+N_SHUFFLE_BUCKETS = 64
+
 
 def add_content_hash(ds, text_col: str = "text", out_col: str = "content_md5"):
     def f(batch: pa.Table) -> pa.Table:
@@ -32,18 +35,35 @@ def add_content_hash(ds, text_col: str = "text", out_col: str = "content_md5"):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id"):
+def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id",
+                n_buckets: int = N_SHUFFLE_BUCKETS):
     """Keep the min-id row per distinct content (deterministic winner).
 
-    Shuffle key = content hash (uniform by construction — no salting
-    needed); group bodies are tiny (duplicate sets).
+    Scale design: at web scale ~every document is unique, so a
+    per-distinct-hash UDF (groupby(md5).map_groups) degrades to one
+    Python call per row.  Instead the shuffle key is a BOUNDED hash
+    bucket (md5's first 8 bytes % n_buckets — uniform by construction,
+    no salting needed) and each bucket runs ONE vectorized sort +
+    first-wins pass, the same pattern as ``relational.distinct_rows``
+    and the minhash band buckets.
     """
-    hashed = add_content_hash(ds, text_col)
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    def hash_and_bucket(batch: pa.Table) -> pa.Table:
+        from ..kernels.hashing import md5_hex64
 
-    return hashed.groupby("content_md5").map_groups(first, batch_format="pandas")
+        hexes, h64 = md5_hex64(batch.column(text_col).to_pylist())
+        bk = (h64 % np.uint64(n_buckets)).astype(np.int32)
+        return batch.append_column("content_md5", pa.array(hexes, pa.string())) \
+                    .append_column("__bk", pa.array(bk))
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["content_md5", id_col], kind="mergesort")
+        keep = g["content_md5"].ne(g["content_md5"].shift())
+        return g.loc[keep].drop(columns="__bk").reset_index(drop=True)
+
+    return ds.map_batches(hash_and_bucket, batch_format="pyarrow").groupby(
+        "__bk"
+    ).map_groups(first_wins, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -80,10 +100,6 @@ class MinHashStage:
                 "band_hash": pa.array(bands.ravel(), pa.uint64()),
             }
         )
-
-
-MAX_BUCKET = 1000  # runaway-bucket guard (drop, per ray_guide near-dup notes)
-N_SHUFFLE_BUCKETS = 64
 
 
 def _pairs_from_runs(key: np.ndarray, doc: np.ndarray, extra: np.ndarray | None = None):

@@ -65,9 +65,13 @@ class BgJoinDetect:
         ok = (t >= 0) & (t < len(self.m1))
         ti = np.where(ok, t, 0)
         use1 = self.n1[ti] >= self.min_bg_n
-        med = np.where(use1, self.m1[ti], self.m2[ti])
-        mad = np.where(use1, self.d1[ti], self.d2[ti])
-        n = np.where(use1, self.n1[ti], self.n2[ti])
+        # rows with out-of-range tile ids (e.g. ungeocoded pages) must
+        # not be classified against tile 0's background: force the
+        # low_n path (n=0 -> status 0) and null the background stats,
+        # mirroring the bg-build side's exclusion of t < 0
+        med = np.where(ok, np.where(use1, self.m1[ti], self.m2[ti]), np.nan)
+        mad = np.where(ok, np.where(use1, self.d1[ti], self.d2[ti]), np.nan)
+        n = np.where(ok, np.where(use1, self.n1[ti], self.n2[ti]), 0)
         win_ring = np.where(use1, 1, 2).astype(np.int32)
         low_n = n < self.min_bg_n
         z = (v - med) / (MAD_SCALE * mad + EPS)

@@ -19,8 +19,24 @@ from . import autoscale
 
 
 def _to_matrix(col, dtype=np.float32) -> np.ndarray:
-    arr = col.to_pylist()
-    return np.asarray(arr, dtype=dtype)
+    """list<float> column -> (n, d) matrix WITHOUT per-row Python:
+    flatten the Arrow values buffer (zero-copy for non-null fixed-width
+    data) and reshape.  Falls back to to_pylist only for ragged/null
+    lists, which embedding columns never are."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_fixed_size_list(t) and col.null_count == 0:
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(col), t.list_size).astype(dtype, copy=False)
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)) and col.null_count == 0:
+        offsets = col.offsets.to_numpy()
+        widths = np.diff(offsets)
+        if widths.size and (widths == widths[0]).all():
+            d = int(widths[0])
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(len(col), d).astype(dtype, copy=False)
+    return np.asarray(col.to_pylist(), dtype=dtype)
 
 
 class CosineTopK:

@@ -114,8 +114,8 @@ def knn_hotspots(ds, *, k_ring: int = 1, cell_col: str = "hex_r7",
         c = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
         n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
         disk = cells.hex_disk(c, k_ring)            # (rows, m)
-        pfx = cells.hex_prefix(disk.ravel()).reshape(disk.shape)
-        own = cells.hex_prefix(c)
+        pfx = cells.hex_prefix(disk.ravel(), prefix_shift).reshape(disk.shape)
+        own = cells.hex_prefix(c, prefix_shift)
         rows_c, rows_n, rows_p, rows_owned = [], [], [], []
         m = disk.shape[1]
         # distinct prefixes per row (m small: 7 or 19)

@@ -880,7 +880,9 @@ def q_vector_stats(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def stats(b: pa.Table) -> pa.Table:
-        mat = np.asarray(b.column("embedding").to_pylist(), dtype=np.float64)
+        from ..ops.embed import _to_matrix
+
+        mat = _to_matrix(b.column("embedding"), np.float64)
         return pa.table(
             {
                 "vec_id": b.column("vec_id"),
@@ -1021,11 +1023,14 @@ def q_top_anomalies(sf_dir: str):
     k = 20
 
     def partial(b: pa.Table) -> pa.Table:
-        s = b.column("score").to_numpy(zero_copy_only=False)
+        s = np.nan_to_num(b.column("score").to_numpy(zero_copy_only=False), nan=-np.inf)
         kk = min(k, len(s))
         if kk == 0:
             return b
-        top = np.argpartition(-np.nan_to_num(s, nan=-np.inf), kk - 1)[:kk]
+        # tie-break by doc_id within the batch so boundary-score ties
+        # select exactly the rows the final (score DESC, doc_id ASC)
+        # sort would keep
+        top = np.lexsort((b.column("doc_id").to_numpy(zero_copy_only=False), -s))[:kk]
         return b.take(pa.array(np.sort(top)))
 
     out = det.map_batches(partial, batch_format="pyarrow").to_pandas()

@@ -73,6 +73,22 @@ def test_extract_invariant_property(text):
     assert extract_text_arrow(pa.array(list(html), pa.binary()))[0].as_py() == text
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.binary(max_size=120), min_size=1, max_size=8))
+def test_extract_invalid_utf8_paths_agree(payloads):
+    """Arbitrary bytes — including invalid UTF-8 — through both
+    extraction paths: the Arrow kernel must never raise and must stay
+    byte-identical to the scalar kernel (errors='replace' semantics)."""
+    import pyarrow as pa
+
+    from filda_ray.kernels.textkit import extract_text, extract_text_arrow
+
+    htmls = [b"<html><body>" + p + b"</body></html>" for p in payloads]
+    scalar = extract_text(htmls)
+    arrow = extract_text_arrow(pa.array(htmls, pa.binary()))
+    assert list(scalar) == arrow.to_pylist()
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
                 min_size=0, max_size=50),
