@@ -88,6 +88,96 @@ def gamma_log_moment(values: np.ndarray):
     return float(alpha), float(mean / alpha)
 
 
+def grouped_weighted_median_mad(owner: np.ndarray, values: np.ndarray,
+                                counts: np.ndarray, n_owners: int):
+    """Vectorized weighted median + MAD per owner group.
+
+    Input rows are (owner_idx, value, count) triplets of a multiset
+    {value repeated count times} per owner; duplicate (owner, value)
+    rows are fine (counts add).  Returns (median, MAD, n) arrays of
+    length ``n_owners``; owners with no rows get (nan, nan, 0).
+    Interpolation matches numpy/DuckDB (avg of the two middle elements
+    for even totals).
+
+    The trick that removes the per-group Python loop: with rows sorted
+    by (owner, value), the GLOBAL cumulative-count array is strictly
+    increasing, so one ``np.searchsorted(gcum, seg_base + rank + 1)``
+    call resolves the target rank of EVERY owner segment at once.
+    """
+    med = np.full(n_owners, np.nan)
+    mad = np.full(n_owners, np.nan)
+    tot = np.zeros(n_owners, dtype=np.int64)
+    if len(owner) == 0:
+        return med, mad, tot
+
+    def _pass(o, v, c):
+        gcum = np.cumsum(c)
+        seg_start = np.r_[0, np.flatnonzero(o[1:] != o[:-1]) + 1]
+        seg_end = np.r_[seg_start[1:], len(o)]
+        base = np.where(seg_start > 0, gcum[seg_start - 1], 0)
+        totals = gcum[seg_end - 1] - base
+        odd = (totals % 2) == 1
+        r1 = np.where(odd, totals // 2, totals // 2 - 1)
+        i1 = np.searchsorted(gcum, base + r1 + 1)
+        i2 = np.searchsorted(gcum, base + totals // 2 + 1)
+        m = np.where(odd, v[i1], 0.5 * (v[i1] + v[i2]))
+        return o[seg_start], m, totals
+
+    o = np.asarray(owner, dtype=np.int64)
+    v = np.asarray(values, dtype=np.float64)
+    c = np.asarray(counts, dtype=np.int64)
+    order = np.lexsort((v, o))
+    o, v, c = o[order], v[order], c[order]
+    po, pm, ptot = _pass(o, v, c)
+    med[po] = pm
+    tot[po] = ptot
+    dev = np.abs(v - med[o])
+    order2 = np.lexsort((dev, o))
+    po2, pmad, _ = _pass(o[order2], dev[order2], c[order2])
+    mad[po2] = pmad
+    return med, mad, tot
+
+
+def grouped_weighted_low_mean(owner: np.ndarray, values: np.ndarray,
+                              counts: np.ndarray, n_owners: int,
+                              frac: float = 0.25):
+    """Per-owner mean of the lowest max(1, floor(n*frac)) elements of
+    the weighted multiset — the reference's trimmed lowest-25%%
+    background mean (FILDA.py:1362-1368) as a grouped vectorized
+    kernel over histogram rows.  Returns (mean, k_used) arrays of
+    length ``n_owners``; empty owners get (nan, 0).
+
+    Same global-cumsum trick as ``grouped_weighted_median_mad``: one
+    searchsorted resolves the k-th boundary of every owner at once;
+    the partial element at the boundary contributes (k - below_count)
+    copies.
+    """
+    mean = np.full(n_owners, np.nan)
+    kk = np.zeros(n_owners, dtype=np.int64)
+    if len(owner) == 0:
+        return mean, kk
+    o = np.asarray(owner, dtype=np.int64)
+    v = np.asarray(values, dtype=np.float64)
+    c = np.asarray(counts, dtype=np.int64)
+    order = np.lexsort((v, o))
+    o, v, c = o[order], v[order], c[order]
+    gcum = np.cumsum(c)
+    gvsum = np.cumsum(v * c)
+    seg_start = np.r_[0, np.flatnonzero(o[1:] != o[:-1]) + 1]
+    seg_end = np.r_[seg_start[1:], len(o)]
+    base = np.where(seg_start > 0, gcum[seg_start - 1], 0)
+    vbase = np.where(seg_start > 0, gvsum[seg_start - 1], 0.0)
+    totals = gcum[seg_end - 1] - base
+    k = np.maximum(1, np.floor(totals * frac).astype(np.int64))
+    j = np.searchsorted(gcum, base + k)
+    below_cnt = np.where(j > seg_start, gcum[np.maximum(j - 1, 0)] - base, 0)
+    below_sum = np.where(j > seg_start, gvsum[np.maximum(j - 1, 0)] - vbase, 0.0)
+    s = below_sum + (k - below_cnt) * v[j]
+    mean[o[seg_start]] = s / k
+    kk[o[seg_start]] = k
+    return mean, kk
+
+
 # ---------------------------------------------------------------------------
 # Combinable partials (engine addition for pre-aggregation)
 # ---------------------------------------------------------------------------

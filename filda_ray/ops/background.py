@@ -122,14 +122,36 @@ def _median_mad_hist(values: np.ndarray, counts: np.ndarray):
     return med, _weighted_median(dev[order], counts[order])
 
 
+def _expand_slices(ss: np.ndarray, ll: np.ndarray, oi: np.ndarray):
+    """(slice_start, slice_len, owner) per pair -> flat (owner, index)
+    arrays enumerating every histogram row of every owner's window —
+    the grouped-arange expansion shared by the PC and hex paths."""
+    total = int(ll.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    idx = np.arange(total) - np.repeat(np.cumsum(ll) - ll, ll) + np.repeat(ss, ll)
+    return np.repeat(oi, ll), idx
+
+
+DEFAULT_RINGS = (1, MAX_RING)
+TRIM_FRAC = 0.25  # lowest-25% background mean, FILDA.py:1362-1368
+
+
 def background_stats(ds, value_col: str, tile_col: str = "pc_tile",
-                     tile_deg: float = cells.PC_TILE_DEG):
+                     tile_deg: float = cells.PC_TILE_DEG,
+                     rings: tuple = DEFAULT_RINGS, trim_frac: float = TRIM_FRAC):
     """Dataset op: rows -> per-tile background stats table (histogram
     path; exact for discrete-valued metrics).
 
-    Columns out: pc_tile, bg{1,2}_{median,mad,n}.
+    ``rings`` is the adaptive-window ladder (reference grows half-win
+    5->31 step 1, FILDA.py:804-845; the engine escalates through a
+    configurable ring list instead).  Columns out, per ring k:
+    bg{k}_{median,mad,n,trim} — trim is the lowest-``trim_frac`` mean
+    of the same window (FRP background analog, FILDA.py:1335-1368).
     """
     import ray.data as rd
+
+    from ..kernels.stats import grouped_weighted_low_mean, grouped_weighted_median_mad
 
     parts = ds.select_columns([tile_col, value_col]).map_batches(
         lambda b: _hist_partial(b, value_col, tile_col), batch_format="pyarrow"
@@ -145,52 +167,31 @@ def background_stats(ds, value_col: str, tile_col: str = "pc_tile",
                            "n": pd.Series(dtype=np.int64)})
     merged = df.groupby(["tile", "value"], sort=True)["n"].sum().reset_index()
 
-    tiles = merged["tile"].to_numpy()
-    vals = merged["value"].to_numpy()
-    cnts = merged["n"].to_numpy()
+    tiles = merged["tile"].to_numpy().astype(np.int64)
+    vals = merged["value"].to_numpy().astype(np.float64)
+    cnts = merged["n"].to_numpy().astype(np.int64)
     uniq_tiles = np.unique(tiles)
-    # per-tile slices (merged is sorted by tile, value)
     starts = np.searchsorted(tiles, uniq_tiles, side="left")
     ends = np.searchsorted(tiles, uniq_tiles, side="right")
-    hist = {int(t): (vals[s:e], cnts[s:e]) for t, s, e in zip(uniq_tiles, starts, ends)}
 
-    nb1, keep1 = cells.pc_distinct_neighbors_mask(uniq_tiles.astype(np.int32), 1, tile_deg)
-    nb2, keep2 = cells.pc_distinct_neighbors_mask(uniq_tiles.astype(np.int32), MAX_RING, tile_deg)
-
-    rows = {"pc_tile": [], "bg1_median": [], "bg1_mad": [], "bg1_n": [],
-            "bg2_median": [], "bg2_mad": [], "bg2_n": []}
-    for i, t in enumerate(uniq_tiles):
-        out = [int(t)]
-        for nb, keep in ((nb1, keep1), (nb2, keep2)):
-            vs, cs = [], []
-            for nt in nb[i][keep[i]]:
-                h = hist.get(int(nt))
-                if h is not None:
-                    vs.append(h[0])
-                    cs.append(h[1])
-            if vs:
-                v = np.concatenate(vs)
-                c = np.concatenate(cs)
-                order = np.argsort(v, kind="mergesort")
-                v, c = v[order], c[order]
-                med, mad = _median_mad_hist(v, c)
-                out += [med, mad, int(c.sum())]
-            else:
-                out += [np.nan, np.nan, 0]
-        for k, val in zip(rows, out):
-            rows[k].append(val)
-    bg = pa.table(
-        {
-            "pc_tile": pa.array(np.asarray(rows["pc_tile"], dtype=np.int32)),
-            "bg1_median": pa.array(np.asarray(rows["bg1_median"], dtype=np.float64)),
-            "bg1_mad": pa.array(np.asarray(rows["bg1_mad"], dtype=np.float64)),
-            "bg1_n": pa.array(np.asarray(rows["bg1_n"], dtype=np.int64)),
-            "bg2_median": pa.array(np.asarray(rows["bg2_median"], dtype=np.float64)),
-            "bg2_mad": pa.array(np.asarray(rows["bg2_mad"], dtype=np.float64)),
-            "bg2_n": pa.array(np.asarray(rows["bg2_n"], dtype=np.int64)),
-        }
-    )
-    return rd.from_arrow(bg)
+    out = {"pc_tile": pa.array(uniq_tiles.astype(np.int32))}
+    for k in rings:
+        nb, keep = cells.pc_distinct_neighbors_mask(uniq_tiles.astype(np.int32), k, tile_deg)
+        pos = np.searchsorted(uniq_tiles, nb)
+        pos_c = np.clip(pos, 0, max(len(uniq_tiles) - 1, 0))
+        hit = keep & (len(uniq_tiles) > 0) & (uniq_tiles[pos_c] == nb)
+        ss = np.where(hit, starts[pos_c], 0).ravel()
+        ll = np.where(hit, ends[pos_c] - starts[pos_c], 0).ravel()
+        oi = np.broadcast_to(np.arange(len(uniq_tiles))[:, None], nb.shape).ravel()
+        owner, idx = _expand_slices(ss, ll, oi)
+        med, mad, n = grouped_weighted_median_mad(owner, vals[idx], cnts[idx], len(uniq_tiles))
+        trim, _ = grouped_weighted_low_mean(owner, vals[idx], cnts[idx], len(uniq_tiles),
+                                            frac=trim_frac)
+        out[f"bg{k}_median"] = pa.array(med)
+        out[f"bg{k}_mad"] = pa.array(mad)
+        out[f"bg{k}_n"] = pa.array(n)
+        out[f"bg{k}_trim"] = pa.array(trim)
+    return rd.from_arrow(pa.table(out))
 
 
 # ---------------------------------------------------------------------------
@@ -216,70 +217,109 @@ def _hex_hist_partial(batch: pa.Table, value_col: str, cell_col: str) -> pa.Tabl
     )
 
 
+def _hex_stats_for_owned(oc: np.ndarray, sc: np.ndarray, sv: np.ndarray,
+                         sn: np.ndarray, k: int):
+    """(median, mad, n) over the disk(k) neighborhood of each owned
+    cell, from (cell, value, n) histogram rows sorted by (cell, value).
+
+    Fully vectorized: per (owned, neighbor) pair the histogram slice of
+    the neighbor cell is located by searchsorted, the slices are
+    expanded into (owner_idx, value, count) triplets with one
+    grouped-arange, and ``grouped_weighted_median_mad`` resolves every
+    owner in one pass.
+    """
+    from ..kernels.stats import grouped_weighted_median_mad
+
+    uc, ustart = np.unique(sc, return_index=True)
+    uend = np.r_[ustart[1:], len(sc)]
+    disk = cells.hex_disk(oc, k)                       # (m, w)
+    pos = np.searchsorted(uc, disk)
+    pos_c = np.clip(pos, 0, max(len(uc) - 1, 0))
+    hit = (len(uc) > 0) & (uc[pos_c] == disk)
+    ss = np.where(hit, ustart[pos_c], 0).ravel()
+    ll = np.where(hit, uend[pos_c] - ustart[pos_c], 0).ravel()
+    oi = np.broadcast_to(np.arange(len(oc))[:, None], disk.shape).ravel()
+    total = int(ll.sum())
+    if total == 0:
+        return (np.full(len(oc), np.nan), np.full(len(oc), np.nan),
+                np.zeros(len(oc), dtype=np.int64))
+    idx = np.arange(total) - np.repeat(np.cumsum(ll) - ll, ll) + np.repeat(ss, ll)
+    owner = np.repeat(oi, ll)
+    return grouped_weighted_median_mad(owner, sv[idx], sn[idx], len(oc))
+
+
+_HEX_BG_SCHEMA = pa.schema(
+    [("cell", pa.uint64()),
+     ("bg1_median", pa.float64()), ("bg1_mad", pa.float64()), ("bg1_n", pa.int64()),
+     ("bg2_median", pa.float64()), ("bg2_mad", pa.float64()), ("bg2_n", pa.int64())]
+)
+
+
 def background_stats_hex(ds, value_col: str, cell_col: str = "hex_r7",
-                         k1: int = 1, k2: int = 2):
+                         k1: int = 1, k2: int = 2, *, prefix_shift: int = 5):
     """Per-hex-cell background median/MAD over ring-k1 and ring-k2
     neighborhoods (adaptive-window analog on the fine hex grid).
 
-    Same mergeable-histogram design as the PC path: (cell, value)
-    count partials -> merge -> per occupied cell, concatenate the
-    histograms of its hex_disk(k) neighbors and take exact weighted
-    median/MAD.  Output: cell, bg{1,2}_{median,mad,n}.
+    Distributed design (no driver materialization): (cell, value, n)
+    count partials are HALO-emitted to the coarse hex prefix of every
+    cell in their disk(k2) — a boundary cell is visible to adjacent
+    prefix blocks, duplication ~ block perimeter/area — then each
+    prefix group computes exact weighted median/MAD for its OWNED
+    cells only, fully vectorized (no per-cell Python).  The same
+    halo-exchange pattern as ``hotspot.knn_hotspots``.
+
+    Partitioning assumption: k2 < 2^prefix_shift (a k2-disk spans at
+    most adjacent prefix blocks).  Output: cell, bg{1,2}_{median,mad,n}.
     """
-    import ray.data as rd
+    assert k2 < (1 << prefix_shift)
 
     parts = ds.select_columns([cell_col, value_col]).map_batches(
         lambda b: _hex_hist_partial(b, value_col, cell_col), batch_format="pyarrow"
     )
-    df = parts.to_pandas()
-    if df.empty:
-        return rd.from_arrow(pa.table(
-            {"cell": pa.array([], pa.uint64()),
-             "bg1_median": pa.array([], pa.float64()), "bg1_mad": pa.array([], pa.float64()),
-             "bg1_n": pa.array([], pa.int64()),
-             "bg2_median": pa.array([], pa.float64()), "bg2_mad": pa.array([], pa.float64()),
-             "bg2_n": pa.array([], pa.int64())}))
-    merged = df.groupby(["cell", "value"], sort=True)["n"].sum().reset_index()
-    cellv = merged["cell"].to_numpy().astype(np.uint64)
-    vals = merged["value"].to_numpy()
-    cnts = merged["n"].to_numpy()
-    uniq = np.unique(cellv)
-    starts = np.searchsorted(cellv, uniq, side="left")
-    ends = np.searchsorted(cellv, uniq, side="right")
-    hist = {int(c): (vals[s:e], cnts[s:e]) for c, s, e in zip(uniq, starts, ends)}
 
-    disks = {k: cells.hex_disk(uniq, k) for k in (k1, k2)}
-    out = {"cell": [], "bg1_median": [], "bg1_mad": [], "bg1_n": [],
-           "bg2_median": [], "bg2_mad": [], "bg2_n": []}
-    for i, c in enumerate(uniq):
-        out["cell"].append(int(c))
+    def halo_emit(batch: pa.Table) -> pa.Table:
+        c = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        disk = cells.hex_disk(c, k2)
+        pfx = cells.hex_prefix(disk.ravel(), prefix_shift).reshape(disk.shape)
+        own = cells.hex_prefix(c, prefix_shift)
+        m = disk.shape[1]
+        keep = np.ones_like(pfx, dtype=bool)
+        for j in range(1, m):
+            dup = np.zeros(len(c), dtype=bool)
+            for i in range(j):
+                dup |= pfx[:, j] == pfx[:, i]
+            keep[:, j] = ~dup
+        flat = keep.ravel()
+        return pa.table(
+            {"cell": pa.array(np.repeat(c, m)[flat], pa.uint64()),
+             "value": pa.array(np.repeat(v, m)[flat]),
+             "n": pa.array(np.repeat(n, m)[flat]),
+             "pfx": pa.array(pfx.ravel()[flat], pa.uint32()),
+             "owned": pa.array(np.repeat(own, m)[flat] == pfx.ravel()[flat])}
+        )
+
+    halo = parts.map_batches(halo_emit, batch_format="pyarrow")
+
+    def per_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        cellv = g["cell"].to_numpy().astype(np.uint64)
+        vals = g["value"].to_numpy().astype(np.float64)
+        cnts = g["n"].to_numpy().astype(np.int64)
+        owned = g["owned"].to_numpy().astype(bool)
+        oc = np.unique(cellv[owned])
+        if len(oc) == 0:
+            return pd.DataFrame({f.name: pd.Series(dtype=f.type.to_pandas_dtype())
+                                 for f in _HEX_BG_SCHEMA})
+        order = np.lexsort((vals, cellv))
+        sc, sv, sn = cellv[order], vals[order], cnts[order]
+        out = {"cell": oc}
         for tag, k in (("bg1", k1), ("bg2", k2)):
-            vs, cs = [], []
-            for nb in disks[k][i]:
-                h = hist.get(int(nb))
-                if h is not None:
-                    vs.append(h[0])
-                    cs.append(h[1])
-            if vs:
-                v = np.concatenate(vs)
-                n = np.concatenate(cs)
-                order = np.argsort(v, kind="mergesort")
-                med, mad = _median_mad_hist(v[order], n[order])
-                out[f"{tag}_median"].append(med)
-                out[f"{tag}_mad"].append(mad)
-                out[f"{tag}_n"].append(int(n.sum()))
-            else:
-                out[f"{tag}_median"].append(np.nan)
-                out[f"{tag}_mad"].append(np.nan)
-                out[f"{tag}_n"].append(0)
-    return rd.from_arrow(pa.table(
-        {"cell": pa.array(np.asarray(out["cell"], dtype=np.uint64)),
-         "bg1_median": pa.array(out["bg1_median"], pa.float64()),
-         "bg1_mad": pa.array(out["bg1_mad"], pa.float64()),
-         "bg1_n": pa.array(out["bg1_n"], pa.int64()),
-         "bg2_median": pa.array(out["bg2_median"], pa.float64()),
-         "bg2_mad": pa.array(out["bg2_mad"], pa.float64()),
-         "bg2_n": pa.array(out["bg2_n"], pa.int64())}))
+            med, mad, n = _hex_stats_for_owned(oc, sc, sv, sn, k)
+            out[f"{tag}_median"], out[f"{tag}_mad"], out[f"{tag}_n"] = med, mad, n
+        return pd.DataFrame(out)
+
+    return halo.groupby("pfx").map_groups(per_prefix, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -287,11 +327,11 @@ def background_stats_hex(ds, value_col: str, cell_col: str = "hex_r7",
 # ---------------------------------------------------------------------------
 
 def _rekey_batch(batch: pa.Table, value_col: str, tile_col: str,
-                 tile_deg: float) -> pa.Table:
+                 tile_deg: float, max_ring: int = MAX_RING) -> pa.Table:
     """(tile, value) rows -> (center_tile, value, ring) expanded rows."""
     tiles = batch.column(tile_col).to_numpy(zero_copy_only=False).astype(np.int64)
     vals = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
-    nb = cells.pc_neighbors(tiles, MAX_RING, tile_deg)  # (n, 25)
+    nb = cells.pc_neighbors(tiles, max_ring, tile_deg)  # (n, (2k+1)^2)
     ncols = int(round(360.0 / tile_deg))
     row = tiles // ncols
     col = tiles % ncols
@@ -317,30 +357,31 @@ def _rekey_batch(batch: pa.Table, value_col: str, tile_col: str,
     )
 
 
-def _group_stats(g: pd.DataFrame) -> pd.DataFrame:
-    v = g["value"].to_numpy()
-    r = g["ring"].to_numpy()
-    m1, d1 = median_mad(v[r <= 1])
-    m2, d2 = median_mad(v)
-    return pd.DataFrame(
-        {
-            "pc_tile": [int(g["center_tile"].iloc[0])],
-            "bg1_median": [m1],
-            "bg1_mad": [d1],
-            "bg1_n": [int((r <= 1).sum())],
-            "bg2_median": [m2],
-            "bg2_mad": [d2],
-            "bg2_n": [len(v)],
-        }
-    )
-
-
 def background_stats_shuffle(ds, value_col: str, tile_col: str = "pc_tile",
-                             tile_deg: float = cells.PC_TILE_DEG):
+                             tile_deg: float = cells.PC_TILE_DEG,
+                             rings: tuple = DEFAULT_RINGS, trim_frac: float = TRIM_FRAC):
     """General-float path: one groupby shuffle of narrow re-keyed rows."""
+    from ..kernels.stats import trimmed_low_mean
+
     narrow = ds.select_columns([tile_col, value_col])
+    max_ring = max(rings)
     rekeyed = narrow.map_batches(
-        lambda b: _rekey_batch(b, value_col, tile_col, tile_deg),
+        lambda b: _rekey_batch(b, value_col, tile_col, tile_deg, max_ring),
         batch_format="pyarrow",
     )
-    return rekeyed.groupby("center_tile").map_groups(_group_stats, batch_format="pandas")
+
+    def group_stats(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        r = g["ring"].to_numpy()
+        out = {"pc_tile": [int(g["center_tile"].iloc[0])]}
+        for k in rings:
+            sel = v[r <= k]
+            m, d = median_mad(sel)
+            t, _ = trimmed_low_mean(sel, trim_frac)
+            out[f"bg{k}_median"] = [m]
+            out[f"bg{k}_mad"] = [d]
+            out[f"bg{k}_n"] = [int(sel.size)]
+            out[f"bg{k}_trim"] = [t]
+        return pd.DataFrame(out)
+
+    return rekeyed.groupby("center_tile").map_groups(group_stats, batch_format="pandas")

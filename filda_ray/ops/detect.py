@@ -32,60 +32,86 @@ EPS = 1e-9
 
 
 class BgJoinDetect:
-    """Actor stage: gather broadcast bg stats by tile id + classify."""
+    """Actor stage: gather broadcast bg stats by tile id + classify.
+
+    The ring ladder is discovered from the bg table's bg{k}_* columns
+    (configurable per ``background_stats(rings=...)``): the smallest
+    ring with n >= min_bg_n wins, else the largest — the adaptive
+    window escalation generalized from the fixed ring-1/ring-2 pair
+    (reference grows half-win 5->31 step 1, FILDA.py:804-845)."""
 
     def __init__(self, bg_ref, value_col: str, min_bg_n: int = MIN_BG_N,
                  z_lo: float = Z_LO, z_hi: float = Z_HI):
+        import re
+
         import ray
 
         bg: pa.Table = ray.get(bg_ref) if not isinstance(bg_ref, pa.Table) else bg_ref
         tiles = bg.column("pc_tile").to_numpy()
         size = int(tiles.max()) + 1 if len(tiles) else 1
+        self.size = size
         self.min_bg_n = min_bg_n
         self.z_lo = z_lo
         self.z_hi = z_hi
         self.value_col = value_col
+        self.rings = sorted(
+            int(m.group(1)) for c in bg.column_names
+            if (m := re.fullmatch(r"bg(\d+)_median", c))
+        )
+        self.has_trim = all(f"bg{k}_trim" in bg.column_names for k in self.rings)
         # dense index arrays: O(#tiles) memory, O(1) per-row gather
-        self.m1 = np.full(size, np.nan)
-        self.d1 = np.full(size, np.nan)
-        self.n1 = np.zeros(size, dtype=np.int64)
-        self.m2 = np.full(size, np.nan)
-        self.d2 = np.full(size, np.nan)
-        self.n2 = np.zeros(size, dtype=np.int64)
-        self.m1[tiles] = bg.column("bg1_median").to_numpy()
-        self.d1[tiles] = bg.column("bg1_mad").to_numpy()
-        self.n1[tiles] = bg.column("bg1_n").to_numpy()
-        self.m2[tiles] = bg.column("bg2_median").to_numpy()
-        self.d2[tiles] = bg.column("bg2_mad").to_numpy()
-        self.n2[tiles] = bg.column("bg2_n").to_numpy()
+        self.m, self.d, self.n, self.t = {}, {}, {}, {}
+        for k in self.rings:
+            self.m[k] = np.full(size, np.nan)
+            self.d[k] = np.full(size, np.nan)
+            self.n[k] = np.zeros(size, dtype=np.int64)
+            self.m[k][tiles] = bg.column(f"bg{k}_median").to_numpy()
+            self.d[k][tiles] = bg.column(f"bg{k}_mad").to_numpy()
+            self.n[k][tiles] = bg.column(f"bg{k}_n").to_numpy()
+            if self.has_trim:
+                self.t[k] = np.full(size, np.nan)
+                self.t[k][tiles] = bg.column(f"bg{k}_trim").to_numpy()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = batch.column("pc_tile").to_numpy(zero_copy_only=False).astype(np.int64)
         v = batch.column(self.value_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        ok = (t >= 0) & (t < len(self.m1))
+        ok = (t >= 0) & (t < self.size)
         ti = np.where(ok, t, 0)
-        use1 = self.n1[ti] >= self.min_bg_n
+        last = self.rings[-1]
+        med = self.m[last][ti].copy()
+        mad = self.d[last][ti].copy()
+        n = self.n[last][ti].copy()
+        trim = self.t[last][ti].copy() if self.has_trim else None
+        win_ring = np.full(len(t), last, dtype=np.int32)
+        for k in reversed(self.rings[:-1]):
+            use = self.n[k][ti] >= self.min_bg_n
+            med = np.where(use, self.m[k][ti], med)
+            mad = np.where(use, self.d[k][ti], mad)
+            n = np.where(use, self.n[k][ti], n)
+            if trim is not None:
+                trim = np.where(use, self.t[k][ti], trim)
+            win_ring = np.where(use, k, win_ring).astype(np.int32)
         # rows with out-of-range tile ids (e.g. ungeocoded pages) must
         # not be classified against tile 0's background: force the
         # low_n path (n=0 -> status 0) and null the background stats,
         # mirroring the bg-build side's exclusion of t < 0
-        med = np.where(ok, np.where(use1, self.m1[ti], self.m2[ti]), np.nan)
-        mad = np.where(ok, np.where(use1, self.d1[ti], self.d2[ti]), np.nan)
-        n = np.where(ok, np.where(use1, self.n1[ti], self.n2[ti]), 0)
-        win_ring = np.where(use1, 1, 2).astype(np.int32)
+        med = np.where(ok, med, np.nan)
+        mad = np.where(ok, mad, np.nan)
+        n = np.where(ok, n, 0)
         low_n = n < self.min_bg_n
         z = (v - med) / (MAD_SCALE * mad + EPS)
         status = np.where(low_n, 0, np.where(z >= self.z_hi, 2, np.where(z >= self.z_lo, 1, 0)))
+        first = self.rings[0]
         qa = qa_pack(
             {
-                "bg_ring1": use1 & ~low_n,
-                "bg_ring2": ~use1 & ~low_n,
+                "bg_ring1": (win_ring == first) & ~low_n,
+                "bg_ring2": (win_ring != first) & ~low_n,
                 "bg_low_n": low_n,
                 "anom_lo": status >= 1,
                 "anom_hi": status == 2,
             }
         )
-        return (
+        out = (
             batch.append_column("bg_median", pa.array(med))
             .append_column("bg_mad", pa.array(mad))
             .append_column("bg_n", pa.array(n.astype(np.int64)))
@@ -94,6 +120,9 @@ class BgJoinDetect:
             .append_column("status", pa.array(status.astype(np.int32)))
             .append_column("qa_detect", pa.array(qa, pa.uint32()))
         )
+        if trim is not None:
+            out = out.append_column("bg_trim", pa.array(np.where(ok, trim, np.nan)))
+        return out
 
 
 def contextual_detect(ds, bg_ds, value_col: str, *, concurrency: int | None = None,

@@ -55,7 +55,7 @@ def _nan_to_null(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 FLAGSHIP_COLS = ["doc_id", "url", "pc_tile", "n_chars", "bg_median", "bg_mad",
-                 "bg_n", "win_ring", "score", "status", "admin_id"]
+                 "bg_n", "bg_trim", "win_ring", "score", "status", "admin_id"]
 
 
 def q_flagship(sf_dir: str):
@@ -95,15 +95,38 @@ bg AS (
          count(*)  AS bg2_n
   FROM nbr GROUP BY center
 ),
+r1 AS (
+  SELECT center, v, row_number() OVER (PARTITION BY center ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY center) AS cnt
+  FROM nbr WHERE dist <= 1
+),
+trim1 AS (
+  SELECT center AS pc_tile, avg(v) AS bg1_trim
+  FROM r1 WHERE rn <= greatest(1, cast(floor(cnt * 0.25) as bigint))
+  GROUP BY center
+),
+r2 AS (
+  SELECT center, v, row_number() OVER (PARTITION BY center ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY center) AS cnt
+  FROM nbr
+),
+trim2 AS (
+  SELECT center AS pc_tile, avg(v) AS bg2_trim
+  FROM r2 WHERE rn <= greatest(1, cast(floor(cnt * 0.25) as bigint))
+  GROUP BY center
+),
 j AS (
   SELECT d.doc_id, d.url, d.pc_tile, d.n_chars, d.lat, d.lon,
          CASE WHEN b.bg1_n >= 10 THEN b.bg1_median ELSE b.bg2_median END AS bg_median,
          CASE WHEN b.bg1_n >= 10 THEN b.bg1_mad    ELSE b.bg2_mad    END AS bg_mad,
          CASE WHEN b.bg1_n >= 10 THEN b.bg1_n      ELSE b.bg2_n      END AS bg_n,
+         CASE WHEN b.bg1_n >= 10 THEN t1.bg1_trim  ELSE t2.bg2_trim  END AS bg_trim,
          cast(CASE WHEN b.bg1_n >= 10 THEN 1 ELSE 2 END as int) AS win_ring
   FROM tiled d JOIN bg b USING (pc_tile)
+  LEFT JOIN trim1 t1 USING (pc_tile)
+  LEFT JOIN trim2 t2 USING (pc_tile)
 )
-SELECT doc_id, url, pc_tile, n_chars, bg_median, bg_mad, bg_n, win_ring,
+SELECT doc_id, url, pc_tile, n_chars, bg_median, bg_mad, bg_n, bg_trim, win_ring,
        (n_chars - bg_median) / (1.4826 * bg_mad + 1e-9) AS score,
        cast(CASE WHEN bg_n < 10 THEN 0
                  WHEN (n_chars - bg_median) / (1.4826 * bg_mad + 1e-9) >= 6.0 THEN 2

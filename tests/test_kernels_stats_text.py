@@ -118,3 +118,42 @@ def test_qa_pack_unpack_inverse():
     unpacked = qa.qa_unpack(packed)
     for k in flags:
         assert np.array_equal(flags[k], unpacked[k])
+
+
+def test_grouped_weighted_median_mad_vs_bruteforce():
+    from filda_ray.kernels.stats import grouped_weighted_median_mad, median_mad
+
+    rng = np.random.RandomState(9)
+    for _ in range(20):
+        n = rng.randint(1, 60)
+        owner = rng.randint(0, 6, n)
+        values = rng.randint(0, 30, n).astype(np.float64)
+        counts = rng.randint(1, 5, n)
+        med, mad, tot = grouped_weighted_median_mad(owner, values, counts, 6)
+        for g in range(6):
+            sel = owner == g
+            exp = np.repeat(values[sel], counts[sel])
+            if exp.size == 0:
+                assert np.isnan(med[g]) and np.isnan(mad[g]) and tot[g] == 0
+            else:
+                m, d = median_mad(exp)
+                assert med[g] == m and mad[g] == d and tot[g] == exp.size
+
+
+def test_grouped_weighted_low_mean_vs_bruteforce():
+    from filda_ray.kernels.stats import grouped_weighted_low_mean, trimmed_low_mean
+
+    rng = np.random.RandomState(10)
+    for _ in range(20):
+        n = rng.randint(1, 60)
+        owner = rng.randint(0, 5, n)
+        values = rng.randint(0, 40, n).astype(np.float64)
+        counts = rng.randint(1, 4, n)
+        mean, k = grouped_weighted_low_mean(owner, values, counts, 5, frac=0.25)
+        for g in range(5):
+            exp = np.repeat(values[owner == g], counts[owner == g])
+            if exp.size == 0:
+                assert np.isnan(mean[g]) and k[g] == 0
+            else:
+                m, kk = trimmed_low_mean(exp, 0.25)
+                assert mean[g] == m and k[g] == kk

@@ -91,6 +91,30 @@ def test_background_hist_equals_shuffle_path(ray_session, sf_dir):
         assert np.array_equal(a[c].to_numpy(), b[c].to_numpy()), c
 
 
+def test_background_ring_ladder(ray_session, sf_dir):
+    """Configurable adaptive-window ladder rings=(1,2,4): the histogram
+    and shuffle paths agree on every bg{k}_* column, and the detect
+    stage escalates through the ladder (any non-final win_ring met the
+    min-count threshold)."""
+    from filda_ray.ops.background import background_stats, background_stats_shuffle
+    from filda_ray.ops.detect import contextual_detect
+    from filda_ray.pipelines.flagship import narrow_pages
+
+    narrow = narrow_pages(sf_dir).materialize()
+    rings = (1, 2, 4)
+    bg = background_stats(narrow, "n_chars", rings=rings)
+    a = bg.to_pandas().sort_values("pc_tile").reset_index(drop=True)
+    b = background_stats_shuffle(narrow, "n_chars", rings=rings).to_pandas()
+    b = b[b.pc_tile.isin(a.pc_tile)].sort_values("pc_tile").reset_index(drop=True)[a.columns]
+    assert len(a) == len(b)
+    for c in a.columns:
+        assert np.array_equal(a[c].to_numpy(), b[c].to_numpy()), c
+    det = contextual_detect(narrow, bg, "n_chars").to_pandas()
+    assert set(det["win_ring"].unique()) <= set(rings)
+    non_final = det[det["win_ring"] < 4]
+    assert (non_final["bg_n"] >= 10).all()
+
+
 def test_hex_background_vs_bruteforce(ray_session):
     """Hex-grid background median/MAD must equal an all-pairs brute
     force over hex k-ring neighborhoods."""
@@ -117,6 +141,32 @@ def test_hex_background_vs_bruteforce(ray_session):
             assert bg.loc[c, f"{tag}_n"] == len(sel)
             assert bg.loc[c, f"{tag}_median"] == med
             assert bg.loc[c, f"{tag}_mad"] == mad
+
+
+def test_hex_background_repartition_invariance(ray_session):
+    """The halo-exchange hex background must be exact across partition
+    boundaries: identical output under different block layouts."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from filda_ray.kernels import cells
+    from filda_ray.ops.background import background_stats_hex
+
+    rng = np.random.RandomState(11)
+    lat = 10.0 + rng.rand(400) * 0.5
+    lon = 20.0 + rng.rand(400) * 0.5
+    cell = cells.hex_cell(lat, lon)
+    tbl = pa.table({"hex_r7": pa.array(cell, pa.uint64()),
+                    "n_chars": pa.array(rng.randint(10, 900, 400).astype(np.int64))})
+    ref = None
+    for parts in (2, 16):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        out = background_stats_hex(ds, "n_chars").to_pandas().sort_values(
+            "cell").reset_index(drop=True)
+        if ref is None:
+            ref = out
+        else:
+            assert ref.equals(out)
 
 
 def test_op_repartition_invariance(ray_session, sf_dir):
