@@ -42,16 +42,34 @@ def bucket_op(ds, ts_col: str, bucket_s: int, out_col: str = "bucket_ts"):
 
 
 def asof_join(left, right, *, on: str, by: str, num_buckets: int = 16,
-              right_cols: list[str] | None = None, direction: str = "backward"):
+              right_cols: list[str] | None = None, direction: str = "backward",
+              time_chunk_us: int | None = None):
     """As-of join: for each left row, latest right row with
     right.on <= left.on (within the same ``by`` key).
 
     Both sides are hash-bucketed on ``by`` (co-partitioning), unioned,
-    and each bucket sorts once and runs ``pd.merge_asof`` — the
-    portable partitioned as-of pattern.  Skewed keys: bucket count is
-    on ``by``'s hash; a single hot key still lands in one group —
-    acceptable for dimension-like right sides; salt upstream if not.
+    and each group sorts once and runs ``pd.merge_asof`` — the
+    portable partitioned as-of pattern.
+
+    Scale: a bare key-hash bucketing materializes 1/num_buckets of
+    BOTH sides per task — unbounded working set at 100-TB inputs.  Two
+    levers, composable:
+
+    - ``num_buckets``: size proportional to input blocks (results are
+      bucket-count invariant; tested).
+    - ``time_chunk_us``: co-partition by (key-hash, time chunk) so a
+      group holds only one chunk's rows.  Boundary handling: the last
+      right row of each (key, chunk) is CARRIED into every later chunk
+      up to the next chunk where that key has rights (and to the final
+      left chunk for the last one), so a left row early in a chunk
+      still sees the latest right from earlier chunks.  Carry volume
+      <= keys x chunks; only ``direction='backward'`` is supported in
+      chunked mode.  Reference analog: nearest-period static-layer
+      selection (MCBEF_IO.py:210) generalized.
     """
+    lcols = left.schema().names
+    rkeep = [by, on] + [c for c in (right_cols or []) if c not in (by, on)]
+    payload = [c for c in rkeep if c not in (by, on)]
 
     def tag(side: int):
         def f(batch: pa.Table) -> pa.Table:
@@ -59,23 +77,17 @@ def asof_join(left, right, *, on: str, by: str, num_buckets: int = 16,
 
         return f
 
-    lcols = left.schema().names
-    rkeep = [by, on] + [c for c in (right_cols or []) if c not in (by, on)]
-    both = left.map_batches(tag(0), batch_format="pyarrow").union(
-        right.select_columns(rkeep).map_batches(tag(1), batch_format="pyarrow")
-    )
-
     def add_bucket(batch: pa.Table) -> pa.Table:
         k = batch.column(by).to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.append_column(
-            "__bucket", pa.array((k % num_buckets).astype(np.int32))
-        )
-
-    both = both.map_batches(add_bucket, batch_format="pyarrow")
-
-    payload = [c for c in rkeep if c not in (by, on)]
+        b = batch.append_column("__bucket", pa.array((k % num_buckets).astype(np.int32)))
+        if time_chunk_us is not None:
+            ts = batch.column(on).cast(pa.int64()).to_numpy()
+            b = b.append_column("__chunk", pa.array(ts // time_chunk_us, type=pa.int64()))
+        return b
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
+        drop = [c for c in ("__bucket", "__chunk") if c in g.columns]
+        g = g.drop(columns=drop)
         l = g[g["__side"] == 0].sort_values(on, kind="mergesort")
         r = g[g["__side"] == 1].sort_values(on, kind="mergesort")
         # the union null-fills each side with the other's columns; keep
@@ -93,8 +105,90 @@ def asof_join(left, right, *, on: str, by: str, num_buckets: int = 16,
         )
         return out
 
-    out = both.groupby("__bucket").map_groups(merge, batch_format="pandas")
-    return out
+    rnarrow = right.select_columns(rkeep)
+    if time_chunk_us is None:
+        both = left.map_batches(tag(0), batch_format="pyarrow").union(
+            rnarrow.map_batches(tag(1), batch_format="pyarrow")
+        ).map_batches(add_bucket, batch_format="pyarrow")
+        return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+    assert direction == "backward", "chunked as-of supports backward only"
+    # global max left chunk (one pruned pass over the narrow ts column)
+    def _maxp(b: pa.Table) -> pa.Table:
+        ts = b.column(on).cast(pa.int64()).to_numpy()
+        m = int(ts.max()) if len(ts) else np.iinfo(np.int64).min
+        return pa.table({"m": pa.array([m], pa.int64())})
+
+    mx = left.select_columns([on]).map_batches(_maxp, batch_format="pyarrow").to_pandas()
+    max_chunk = int(mx["m"].max()) // time_chunk_us if len(mx) else 0
+
+    def rlast_partial(b: pa.Table) -> pa.Table:
+        """Per-batch last row per (key, chunk) — shrinks the carry
+        shuffle to <= (keys x chunks) rows."""
+        if len(b) == 0:
+            return b
+        k = b.column(by).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = b.column(on).cast(pa.int64()).to_numpy()
+        ch = ts // time_chunk_us
+        order = np.lexsort((ts, ch, k))
+        ko, co = k[order], ch[order]
+        is_last = np.r_[(ko[1:] != ko[:-1]) | (co[1:] != co[:-1]), True]
+        return b.take(pa.array(order[is_last]))
+
+    def carry_emit(g: pd.DataFrame) -> pd.DataFrame:
+        """Bucket group of last-per-(key,chunk) rows -> carry copies
+        into (c_i, c_{i+1}] (and (c_last, max_chunk] for the last)."""
+        k = g[by].to_numpy().astype(np.int64)
+        if np.issubdtype(g[on].to_numpy().dtype, np.datetime64):
+            ts = g[on].to_numpy().astype("datetime64[us]").astype(np.int64)
+        else:
+            ts = g[on].to_numpy().astype(np.int64)
+        ch = ts // time_chunk_us
+        order = np.lexsort((ts, ch, k))
+        g = g.iloc[order].reset_index(drop=True)
+        k, ch = k[order], ch[order]
+        # true last per (key, chunk) after cross-batch merge
+        is_last = np.r_[(k[1:] != k[:-1]) | (ch[1:] != ch[:-1]), True]
+        g, k, ch = g[is_last].reset_index(drop=True), k[is_last], ch[is_last]
+        same_key = np.r_[k[1:] == k[:-1], False]
+        nxt = np.r_[ch[1:], 0]
+        hi = np.where(same_key, nxt, max_chunk) + 1      # exclusive
+        lo = ch + 1
+        reps = np.maximum(hi - lo, 0).astype(np.int64)
+        tot = int(reps.sum())
+        if tot == 0:
+            out = g.iloc[:0].copy()
+            out["__chunk"] = pd.Series(dtype=np.int64)
+            return out.drop(columns=["__bucket"])
+        cc = np.arange(tot) - np.repeat(np.cumsum(reps) - reps, reps) + np.repeat(lo, reps)
+        out = g.iloc[np.repeat(np.arange(len(g)), reps)].reset_index(drop=True)
+        out = out.drop(columns=["__bucket"])
+        out["__chunk"] = cc
+        return out
+
+    def rbucket(b: pa.Table) -> pa.Table:
+        k = b.column(by).to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("__bucket", pa.array((k % num_buckets).astype(np.int32)))
+
+    carries = (
+        rnarrow.map_batches(rlast_partial, batch_format="pyarrow")
+        .map_batches(rbucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(carry_emit, batch_format="pandas")
+    )
+
+    def carry_tag(b: pa.Table) -> pa.Table:
+        b = b.append_column("__side", pa.array(np.full(len(b), 1, dtype=np.int8)))
+        k = b.column(by).to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("__bucket", pa.array((k % num_buckets).astype(np.int32)))
+
+    both = (
+        left.map_batches(tag(0), batch_format="pyarrow")
+        .union(rnarrow.map_batches(tag(1), batch_format="pyarrow"))
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .union(carries.map_batches(carry_tag, batch_format="pyarrow"))
+    )
+    return both.groupby(["__bucket", "__chunk"]).map_groups(merge, batch_format="pandas")
 
 
 def climatology(ds, *, key_cols: list[str], value_col: str, ts_col: str | None = None,

@@ -372,8 +372,12 @@ def q_asof(sf_dir: str):
         )
 
     right = right.map_batches(prep_right, batch_format="pyarrow")
+    # exercise the scale path: (key-hash, 7-day time chunk)
+    # co-partitioning with boundary carries — oracle-checked vs
+    # DuckDB ASOF JOIN, so chunking provably preserves semantics
     out = temporal.asof_join(left, right, on="ts", by="user_id",
-                             right_cols=["user_id", "ts", "prev_ts", "prev_value"])
+                             right_cols=["user_id", "ts", "prev_ts", "prev_value"],
+                             num_buckets=32, time_chunk_us=7 * 86_400 * 1_000_000)
     df = out.to_pandas()
     res = pd.DataFrame(
         {

@@ -62,6 +62,35 @@ def test_asof_join_no_match_gives_null(ray_session):
     assert out.iloc[1]["prev"] == 99.0    # ts=30 matches ts=20
 
 
+def test_asof_join_chunked_and_bucket_invariance(ray_session):
+    """Scale levers must not change results: bucket count and
+    time-chunk co-partitioning (with boundary carries) all reproduce
+    the plain 16-bucket join on a skewed key distribution."""
+    import pandas as pd
+
+    from filda_ray.ops.temporal import asof_join
+
+    rng = np.random.RandomState(5)
+    nl, nr = 400, 300
+    lk = np.where(rng.rand(nl) < 0.6, 0, rng.randint(0, 20, nl)).astype(np.int64)
+    rk = np.where(rng.rand(nr) < 0.6, 0, rng.randint(0, 20, nr)).astype(np.int64)
+    lts = rng.randint(0, 100_000, nl).astype(np.int64)
+    rts = rng.choice(200_000, nr, replace=False).astype(np.int64)
+    left = _ds({"k": lk, "ts": lts, "lid": np.arange(nl, dtype=np.int64)})
+    right = _ds({"k": rk, "ts": rts, "pv": rng.rand(nr)})
+
+    def run(**kw):
+        out = asof_join(left, right, on="ts", by="k",
+                        right_cols=["k", "ts", "pv"], **kw).to_pandas()
+        return out.sort_values("lid").reset_index(drop=True)[["lid", "pv"]]
+
+    ref = run(num_buckets=16)
+    for kw in ({"num_buckets": 64},
+               {"num_buckets": 8, "time_chunk_us": 7_000},
+               {"num_buckets": 64, "time_chunk_us": 1_000}):
+        pd.testing.assert_frame_equal(ref, run(**kw))
+
+
 def test_broadcast_join_and_semi_anti(ray_session):
     from filda_ray.ops.relational import broadcast_join, semi_anti_filter
 
