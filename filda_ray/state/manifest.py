@@ -9,16 +9,24 @@ first-class here:
 layout::
 
     out_dir/
-      _manifest.jsonl     # one line per completed partition:
-                          #   {partition, rows, lineage, ts_version}
-      part=<value>/       # parquet files of that partition
+      _manifest.jsonl     # driver-written consolidated view (for
+                          # humans/tools; regenerated after each run)
+      part=<value>/
+        data.parquet
+        _SUCCESS.json     # the partition's completion marker:
+                          #   {partition, rows, lineage}
 
-Protocol: write each partition's files under a temp dir, fsync-rename
-the directory into place, then append the manifest line — a partition
-is 'done' iff its manifest line exists.  ``resume_filter`` drops
-already-done partitions from the input stream, so a killed run redoes
-only unfinished partitions (FIXTURES.md invariant 3:
-resume-from-checkpoint == fresh run).
+Protocol: write each partition's files (data + marker) under a
+UNIQUELY-SUFFIXED temp dir, rename the directory into place — a
+partition is 'done' iff its ``_SUCCESS.json`` exists.  The marker
+travels inside the partition directory, so completion state is
+per-partition files, never a shared append-only log: concurrent
+writers and speculative retries on different nodes cannot corrupt it,
+and a multi-node cluster without a shared scratch FS still works as
+long as the OUTPUT dir is shared (inherent to file output).
+``resume_filter`` drops already-done partitions from the input stream,
+so a killed run redoes only unfinished partitions (FIXTURES.md
+invariant 3: resume-from-checkpoint == fresh run).
 """
 
 from __future__ import annotations
@@ -26,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -33,17 +42,21 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 MANIFEST = "_manifest.jsonl"
+SUCCESS = "_SUCCESS.json"
 
 
 def load_done(out_dir: str) -> dict[int, dict]:
-    path = os.path.join(out_dir, MANIFEST)
     done: dict[int, dict] = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            for line in f:
-                if line.strip():
-                    rec = json.loads(line)
-                    done[rec["partition"]] = rec
+    if not os.path.isdir(out_dir):
+        return done
+    for d in sorted(os.listdir(out_dir)):
+        marker = os.path.join(out_dir, d, SUCCESS)
+        # ".tmp-" dirs are in-flight attempts (marker already inside);
+        # only a renamed-into-place partition counts as done
+        if d.startswith("part=") and ".tmp-" not in d and os.path.exists(marker):
+            with open(marker) as f:
+                rec = json.load(f)
+            done[rec["partition"]] = rec
     return done
 
 
@@ -80,8 +93,9 @@ def write_product(ds, out_dir: str, *, partition_col: str, lineage: dict | None 
         if sort_cols:
             g = g.sort_values(sort_cols, kind="mergesort")
         final_dir = os.path.join(out_dir, f"part={part}")
-        tmp_dir = final_dir + ".tmp"
-        shutil.rmtree(tmp_dir, ignore_errors=True)
+        # unique temp dir per attempt: concurrent/speculative retries of
+        # the same partition never rmtree each other's work-in-progress
+        tmp_dir = final_dir + f".tmp-{uuid.uuid4().hex[:12]}"
         os.makedirs(tmp_dir, exist_ok=True)
         tbl = pa.Table.from_pandas(g, preserve_index=False)
         if field_metadata:
@@ -93,17 +107,28 @@ def write_product(ds, out_dir: str, *, partition_col: str, lineage: dict | None 
                 fields.append(f.with_metadata({k: str(v) for k, v in meta.items()}) if meta else f)
             tbl = tbl.cast(pa.schema(fields, metadata=tbl.schema.metadata))
         pq.write_table(tbl, os.path.join(tmp_dir, "data.parquet"))
+        with open(os.path.join(tmp_dir, SUCCESS), "w") as f:
+            json.dump({"partition": part, "rows": int(len(g)), "lineage": lineage}, f)
         shutil.rmtree(final_dir, ignore_errors=True)
-        os.rename(tmp_dir, final_dir)
-        with open(os.path.join(out_dir, MANIFEST), "a") as f:
-            f.write(json.dumps({"partition": part, "rows": int(len(g)),
-                                "lineage": lineage}) + "\n")
+        try:
+            os.rename(tmp_dir, final_dir)
+        except OSError:
+            # another attempt won the rename race; its marker means the
+            # partition is complete — discard this attempt's copy
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            if not os.path.exists(os.path.join(final_dir, SUCCESS)):
+                raise
         return pd.DataFrame({"partition": [part], "rows": [len(g)]})
 
     summary = ds.groupby(partition_col).map_groups(write_group, batch_format="pandas")
     # consume to drive execution; summary is tiny (one row per partition)
     summary.materialize()
-    return load_done(out_dir)
+    done = load_done(out_dir)
+    # consolidated driver-side view (regenerated, never worker-appended)
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        for part in sorted(done):
+            f.write(json.dumps(done[part]) + "\n")
+    return done
 
 
 def read_product(out_dir: str):
@@ -113,6 +138,7 @@ def read_product(out_dir: str):
     parts = [
         os.path.join(out_dir, d, "data.parquet")
         for d in sorted(os.listdir(out_dir))
-        if d.startswith("part=")
+        if d.startswith("part=") and ".tmp-" not in d
+        and os.path.exists(os.path.join(out_dir, d, SUCCESS))
     ]
     return rd.read_parquet(parts)

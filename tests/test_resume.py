@@ -73,3 +73,24 @@ def test_resume_skips_done_partitions(ray_session, sf_dir, tmp_path):
     # everything done -> nothing left to write
     assert det2.count() == 0
     assert len(done) > 0
+
+def test_inflight_tmp_attempt_not_done_and_rewrite_safe(ray_session, sf_dir, tmp_path):
+    """A crashed in-flight attempt leaves a part=N.tmp-* dir that
+    already contains a _SUCCESS marker; it must NOT count as done, and
+    a resumed run must redo the partition and converge."""
+    from filda_ray.pipelines.flagship import write_detections
+    from filda_ray.state.manifest import SUCCESS, load_done
+
+    out = str(tmp_path / "prod")
+    write_detections(sf_dir, out)
+    done = load_done(out)
+    full = _read_all(out)
+    p = sorted(done)[0]
+    shutil.rmtree(os.path.join(out, f"part={p}"))
+    tmp = os.path.join(out, f"part={p}.tmp-deadbeef")
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, SUCCESS), "w") as f:
+        json.dump({"partition": p, "rows": 0, "lineage": {}}, f)
+    assert p not in load_done(out)
+    write_detections(sf_dir, out)
+    pd.testing.assert_frame_equal(_read_all(out), full)
