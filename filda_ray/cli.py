@@ -41,6 +41,8 @@ def main(argv=None):
     d.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     d.add_argument("--out", required=True)
     d.add_argument("--replicate", type=int, default=1)
+    d.add_argument("--config", default=None,
+                   help="namelist-style run config file (key : value; see filda_ray.config)")
     d.add_argument("--resume", action="store_true",
                    help="skip partitions already in the manifest (default behavior; flag kept for clarity)")
 
@@ -70,7 +72,15 @@ def main(argv=None):
         if args.cmd == "detect":
             from filda_ray.pipelines.flagship import write_detections
 
-            done = write_detections(args.sf_dir, args.out, replicate=args.replicate)
+            config = None
+            if args.config:
+                from filda_ray.config import RunConfig
+
+                config = RunConfig.from_file(args.config)
+                if args.replicate != 1:
+                    config.replicate = args.replicate
+            done = write_detections(args.sf_dir, args.out, replicate=args.replicate,
+                                    config=config)
             rows = sum(r["rows"] for r in done.values())
             print(json.dumps({"partitions": len(done), "rows": rows, "out": args.out}))
         elif args.cmd == "query":

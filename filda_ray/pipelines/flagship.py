@@ -100,8 +100,23 @@ def narrow_pages(sf_dir: str, *, geocode_concurrency: int | None = None, replica
 
 def detect_pipeline(sf_dir: str, *, materialize_narrow: bool = True,
                     concurrency: int | None = None, with_metrics: bool = False,
-                    replicate: int = 1, pages_dir: str | None = None):
-    """Full flagship pipeline; returns a Dataset of classified pages."""
+                    replicate: int = 1, pages_dir: str | None = None,
+                    config=None):
+    """Full flagship pipeline; returns a Dataset of classified pages.
+
+    ``config`` (a ``filda_ray.config.RunConfig``, e.g. parsed from a
+    namelist file) overrides the individual kwargs and threads the
+    detection thresholds / ring ladder through every stage — the
+    reference's namelist-driven run shape (FILDA.py:57-130).
+    """
+    from ..config import RunConfig
+
+    cfg = config or RunConfig()
+    if config is not None:
+        materialize_narrow = cfg.materialize_narrow
+        concurrency = cfg.concurrency or concurrency
+        replicate = cfg.replicate
+        pages_dir = cfg.pages_dir or pages_dir
     ds = narrow_pages(sf_dir, geocode_concurrency=concurrency, replicate=replicate,
                       pages_dir=pages_dir)
     mactor = None
@@ -112,8 +127,9 @@ def detect_pipeline(sf_dir: str, *, materialize_narrow: bool = True,
         ds = count_stage(ds, "narrow_pages", mactor)
     if materialize_narrow:
         ds = ds.materialize()
-    bg = background_stats(ds, VALUE_COL)
-    det = contextual_detect(ds, bg, VALUE_COL, concurrency=concurrency)
+    bg = background_stats(ds, cfg.value_col, rings=cfg.rings, trim_frac=cfg.trim_frac)
+    det = contextual_detect(ds, bg, cfg.value_col, concurrency=concurrency,
+                            min_bg_n=cfg.min_bg_n, z_lo=cfg.z_lo, z_hi=cfg.z_hi)
     det = pip_join(det, concurrency=concurrency)
     # count from the narrow stream so the detect/pip chain runs once
     det = count_in_cell(det, "hex_r7", counts_from=ds)
@@ -155,17 +171,24 @@ PRODUCT_FIELD_METADATA = {
 }
 
 
-def write_detections(sf_dir: str, out_dir: str, **kw):
-    """Flagship + resumable partitioned product (partition = pc_tile)."""
+def write_detections(sf_dir: str, out_dir: str, *, config=None, **kw):
+    """Flagship + resumable partitioned product (partition = pc_tile,
+    or ``config.partition_col``).  The parsed run config is recorded in
+    every partition's lineage so a product is reproducible from its
+    own manifest."""
     from ..state.manifest import resume_filter, write_product
 
-    det = detect_pipeline(sf_dir, **kw)
-    det, done = resume_filter(det, out_dir, "pc_tile")
+    det = detect_pipeline(sf_dir, config=config, **kw)
+    partition_col = config.partition_col if config is not None else "pc_tile"
+    lineage = {"input": f"{sf_dir}/documents.parquet", "pipeline": "detect_pipeline"}
+    if config is not None:
+        lineage["config"] = config.to_lineage()
+    det, done = resume_filter(det, out_dir, partition_col)
     return write_product(
         det,
         out_dir,
-        partition_col="pc_tile",
-        lineage={"input": f"{sf_dir}/documents.parquet", "pipeline": "detect_pipeline"},
+        partition_col=partition_col,
+        lineage=lineage,
         sort_cols=["doc_id"],
         field_metadata=PRODUCT_FIELD_METADATA,
     )
