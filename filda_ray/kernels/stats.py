@@ -138,6 +138,22 @@ def grouped_weighted_median_mad(owner: np.ndarray, values: np.ndarray,
     return med, mad, tot
 
 
+def hdi_bounds(sorted_mat: np.ndarray, frac: float = 0.95):
+    """Per-row shortest window containing ceil(frac*d) sorted values —
+    the highest-density-interval summary of a posterior sample row
+    (MCBEF.py:856-889 computes the 95%% HDI per fire), vectorized over
+    all rows at once.  Ties on width take the FIRST window.  Returns
+    (lo, hi) arrays.  ``frac=0.5`` with midpoint (lo+hi)/2 is the
+    one-step half-sample mode estimator used for the 'mode' summary.
+    """
+    n, d = sorted_mat.shape
+    m = int(np.ceil(frac * d))
+    widths = sorted_mat[:, m - 1:] - sorted_mat[:, : d - m + 1]
+    i = np.argmin(widths, axis=1)
+    rows = np.arange(n)
+    return sorted_mat[rows, i], sorted_mat[rows, i + m - 1]
+
+
 def grouped_weighted_low_mean(owner: np.ndarray, values: np.ndarray,
                               counts: np.ndarray, n_owners: int,
                               frac: float = 0.25):

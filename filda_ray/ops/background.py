@@ -46,9 +46,15 @@ MAX_RING = 2
 # histogram path (default)
 # ---------------------------------------------------------------------------
 
-def _hist_partial(batch: pa.Table, value_col: str, tile_col: str) -> pa.Table:
+def _hist_partial(batch: pa.Table, value_col: str, tile_col: str,
+                  quantize: float | None = None) -> pa.Table:
     t = batch.column(tile_col).to_numpy(zero_copy_only=False).astype(np.int64)
     v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    if quantize is not None:
+        # bound the histogram's value domain for continuous metrics:
+        # distinct values <= range/quantize, medians become
+        # quantize-step approximations (exact path: quantize=None)
+        v = np.floor(v / quantize) * quantize
     ok = ~np.isnan(v) & (t >= 0)
     tv, vv = t[ok], v[ok]
     vi = vv.astype(np.int64)
@@ -139,7 +145,8 @@ TRIM_FRAC = 0.25  # lowest-25% background mean, FILDA.py:1362-1368
 
 def background_stats(ds, value_col: str, tile_col: str = "pc_tile",
                      tile_deg: float = cells.PC_TILE_DEG,
-                     rings: tuple = DEFAULT_RINGS, trim_frac: float = TRIM_FRAC):
+                     rings: tuple = DEFAULT_RINGS, trim_frac: float = TRIM_FRAC,
+                     quantize: float | None = None):
     """Dataset op: rows -> per-tile background stats table (histogram
     path; exact for discrete-valued metrics).
 
@@ -154,7 +161,7 @@ def background_stats(ds, value_col: str, tile_col: str = "pc_tile",
     from ..kernels.stats import grouped_weighted_low_mean, grouped_weighted_median_mad
 
     parts = ds.select_columns([tile_col, value_col]).map_batches(
-        lambda b: _hist_partial(b, value_col, tile_col), batch_format="pyarrow"
+        lambda b: _hist_partial(b, value_col, tile_col, quantize), batch_format="pyarrow"
     )
     # tree reduce: coalesce partials and re-merge in parallel so the
     # driver only ever sees <= 8 merged histograms (each bounded by
@@ -200,9 +207,12 @@ def background_stats(ds, value_col: str, tile_col: str = "pc_tile",
 # H3-style grid; ring-k1 escalating to ring-k2)
 # ---------------------------------------------------------------------------
 
-def _hex_hist_partial(batch: pa.Table, value_col: str, cell_col: str) -> pa.Table:
+def _hex_hist_partial(batch: pa.Table, value_col: str, cell_col: str,
+                      quantize: float | None = None) -> pa.Table:
     c = batch.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
     v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    if quantize is not None:
+        v = np.floor(v / quantize) * quantize
     ok = ~np.isnan(v)
     key_c, key_v = c[ok], v[ok]
     order = np.lexsort((key_v, key_c))
@@ -256,7 +266,8 @@ _HEX_BG_SCHEMA = pa.schema(
 
 
 def background_stats_hex(ds, value_col: str, cell_col: str = "hex_r7",
-                         k1: int = 1, k2: int = 2, *, prefix_shift: int = 5):
+                         k1: int = 1, k2: int = 2, *, prefix_shift: int = 5,
+                         quantize: float | None = None):
     """Per-hex-cell background median/MAD over ring-k1 and ring-k2
     neighborhoods (adaptive-window analog on the fine hex grid).
 
@@ -274,7 +285,7 @@ def background_stats_hex(ds, value_col: str, cell_col: str = "hex_r7",
     assert k2 < (1 << prefix_shift)
 
     parts = ds.select_columns([cell_col, value_col]).map_batches(
-        lambda b: _hex_hist_partial(b, value_col, cell_col), batch_format="pyarrow"
+        lambda b: _hex_hist_partial(b, value_col, cell_col, quantize), batch_format="pyarrow"
     )
 
     def halo_emit(batch: pa.Table) -> pa.Table:

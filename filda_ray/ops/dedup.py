@@ -85,6 +85,12 @@ class MinHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         ids = batch.column("doc_id").to_numpy()
+        if len(ids) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], batch.column("doc_id").type),
+                 "band": pa.array([], pa.int32()),
+                 "band_hash": pa.array([], pa.uint64())}
+            )
         sigs = np.stack(
             [
                 textkit.minhash_signature(textkit.shingle_hashes(t or "", self.w), self.a, self.b)
@@ -198,6 +204,70 @@ def minhash_lsh_pairs(ds, *, concurrency: int = 4, shingle_w: int = 3):
         .map_groups(pairs, batch_format="pandas")
     )
     return _dedup_pairs_ds(cand)
+
+
+def verify_jaccard_op(pairs, docs, *, text_col: str = "text", id_col: str = "doc_id",
+                      shingle_w: int = 3, threshold: float = 0.7):
+    """Distributed exact-Jaccard verification of LSH candidate pairs.
+
+    Scale design: the expensive work — shingling each candidate
+    document — streams over the corpus as a ``map_batches`` stage,
+    semi-filtered to candidate ids so non-candidate documents are
+    never touched; the per-pair set intersections then stream over
+    the PAIRS dataset.  The only broadcast is the candidate signature
+    table, bounded by 2 x #pairs documents (the LSH contract that
+    candidates are rare); if candidates ever outgrow the object store,
+    swap the broadcast for a hash join of pairs vs signatures on each
+    side's id.
+    """
+    import ray
+
+    from .relational import semi_anti_filter
+    from .workercache import worker_state
+
+    pairs_tbl = pa.concat_tables(
+        list(pairs.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    a = pairs_tbl.column("doc_a").to_numpy().astype(np.int64)
+    b = pairs_tbl.column("doc_b").to_numpy().astype(np.int64)
+    cand_ids = np.unique(np.concatenate([a, b])) if len(a) else np.empty(0, np.int64)
+
+    cand_docs = semi_anti_filter(
+        docs.select_columns([id_col, text_col]), cand_ids, on=id_col
+    )
+
+    def sig(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        texts = batch.column(text_col).to_pylist()
+        hs = [textkit.shingle_hashes(t or "", shingle_w) for t in texts]
+        return pa.table(
+            {id_col: pa.array(ids),
+             "sig": pa.array([h.tolist() for h in hs], pa.large_list(pa.uint64()))}
+        )
+
+    sig_tbl = pa.concat_tables(
+        list(cand_docs.map_batches(sig, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    by_id = {int(i): np.asarray(s, dtype=np.uint64)
+             for i, s in zip(sig_tbl.column(id_col).to_pylist(),
+                             sig_tbl.column("sig").to_pylist())}
+    ref = ray.put(by_id)
+    empty = np.empty(0, dtype=np.uint64)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        d = worker_state(ref, lambda: ray.get(ref))
+        aa = batch.column("doc_a").to_numpy()
+        bb = batch.column("doc_b").to_numpy()
+        j = np.fromiter(
+            (textkit.jaccard(d.get(int(x), empty), d.get(int(y), empty))
+             for x, y in zip(aa, bb)),
+            dtype=np.float64, count=len(aa),
+        )
+        out = batch.append_column("jaccard", pa.array(j))
+        return out.filter(pa.array(j >= threshold))
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
 
 
 def verify_jaccard(pairs_df: pd.DataFrame, texts_by_id: dict, *, shingle_w: int = 3,

@@ -20,11 +20,12 @@ from ..kernels import cells
 
 
 def cell_counts(ds, cell_col: str = "hex_r7"):
-    """Per-cell row counts WITHOUT an all-to-all: vectorized partial
-    counts per batch (np.unique) -> tiny per-batch tables -> one
-    driver-side merge.  The merged table is one row per occupied cell
-    (bounded by #distinct locations, orders of magnitude below row
-    count).  Returns (sorted_keys, counts) numpy arrays.
+    """Per-cell row counts: vectorized partial counts per batch
+    (np.unique, one row per distinct cell per batch) merged by a
+    distributed ``groupby.aggregate(Sum)`` — the driver only ever sees
+    the final table (one row per occupied cell), never the
+    #batches x #distinct-cells partials.  Returns (sorted_keys,
+    counts) numpy arrays for broadcast gathering.
     """
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -32,12 +33,22 @@ def cell_counts(ds, cell_col: str = "hex_r7"):
         u, n = np.unique(c, return_counts=True)
         return pa.table({cell_col: pa.array(u), "n": pa.array(n.astype(np.int64))})
 
-    parts = ds.select_columns([cell_col]).map_batches(partial, batch_format="pyarrow")
-    df = parts.to_pandas()  # small: one row per (batch, distinct cell)
-    if df.empty:
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.select_columns([cell_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(cell_col)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    batches = list(agg.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not batches or sum(len(b) for b in batches) == 0:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
-    agg = df.groupby(cell_col, sort=True)["n"].sum()
-    return agg.index.to_numpy(), agg.to_numpy()
+    tbl = pa.concat_tables(batches)
+    keys = tbl.column(cell_col).to_numpy()
+    vals = tbl.column("n").to_numpy().astype(np.int64)
+    order = np.argsort(keys)
+    return keys[order], vals[order]
 
 
 def count_in_cell(ds, cell_col: str = "hex_r7", out_col: str = "n_in_cell",

@@ -94,7 +94,15 @@ def vocab_count(ds, text_col: str = "text", *, top_k: int | None = None):
     merged = merged.map_batches(clean, batch_format="pyarrow")
     if top_k is None:
         return merged
-    df = merged.to_pandas()  # vocab is small relative to corpus
+    # streaming top-k: block-local partial top-k by the exact final
+    # criterion (n desc, token asc), so the driver merges <= k rows
+    # per block instead of the whole vocabulary
+    def partial_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["n", "token"], ascending=[False, True],
+                                       kind="mergesort").head(top_k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    df = merged.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
     df = df.sort_values(["n", "token"], ascending=[False, True], kind="mergesort").head(top_k)
     import ray.data as rd
 

@@ -902,21 +902,29 @@ FROM o GROUP BY user_id
 
 def q_vector_stats(sf_dir: str):
     """Per-row list-column aggregate (A7 posterior-summarization
-    analog: per-fire trace matrix -> per-row stats, MCBEF.py:916-933)."""
+    analog: per-fire trace matrix -> per-row stats, MCBEF.py:916-933;
+    95% HDI + half-sample mode per MCBEF.py:856-889)."""
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def stats(b: pa.Table) -> pa.Table:
+        from ..kernels.stats import hdi_bounds
         from ..ops.embed import _to_matrix
 
         mat = _to_matrix(b.column("embedding"), np.float64)
+        s = np.sort(mat, axis=1)
+        hlo, hhi = hdi_bounds(s, 0.95)
+        mlo, mhi = hdi_bounds(s, 0.5)
         return pa.table(
             {
                 "vec_id": b.column("vec_id"),
                 "vec_mean": pa.array(mat.mean(axis=1)),
-                "vec_min": pa.array(mat.min(axis=1)),
-                "vec_max": pa.array(mat.max(axis=1)),
+                "vec_min": pa.array(s[:, 0]),
+                "vec_max": pa.array(s[:, -1]),
                 "vec_median": pa.array(np.median(mat, axis=1)),
+                "vec_hdi_lo": pa.array(hlo),
+                "vec_hdi_hi": pa.array(hhi),
+                "vec_mode": pa.array((mlo + mhi) / 2.0),
             }
         )
 
@@ -925,12 +933,34 @@ def q_vector_stats(sf_dir: str):
 
 def sql_vector_stats() -> str:
     return """
-SELECT vec_id,
-       list_aggregate(cast(embedding as DOUBLE[]), 'avg') AS vec_mean,
-       list_aggregate(cast(embedding as DOUBLE[]), 'min') AS vec_min,
-       list_aggregate(cast(embedding as DOUBLE[]), 'max') AS vec_max,
-       list_aggregate(cast(embedding as DOUBLE[]), 'median') AS vec_median
-FROM embeddings
+WITH s AS (
+  SELECT vec_id, cast(embedding as DOUBLE[]) AS e,
+         list_sort(cast(embedding as DOUBLE[])) AS l,
+         cast(len(embedding) as bigint) AS d
+  FROM embeddings
+),
+w95 AS (
+  SELECT vec_id, l[i] AS lo, l[i + cast(ceil(0.95*d) as bigint) - 1] AS hi,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY l[i + cast(ceil(0.95*d) as bigint) - 1] - l[i], i) AS rn
+  FROM s, unnest(range(1, d - cast(ceil(0.95*d) as bigint) + 2)) AS t(i)
+),
+w50 AS (
+  SELECT vec_id, l[i] AS lo, l[i + cast(ceil(0.5*d) as bigint) - 1] AS hi,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY l[i + cast(ceil(0.5*d) as bigint) - 1] - l[i], i) AS rn
+  FROM s, unnest(range(1, d - cast(ceil(0.5*d) as bigint) + 2)) AS t(i)
+)
+SELECT s.vec_id,
+       list_aggregate(e, 'avg') AS vec_mean,
+       list_aggregate(e, 'min') AS vec_min,
+       list_aggregate(e, 'max') AS vec_max,
+       list_aggregate(e, 'median') AS vec_median,
+       a.lo AS vec_hdi_lo, a.hi AS vec_hdi_hi,
+       (b.lo + b.hi) / 2.0 AS vec_mode
+FROM s
+JOIN (SELECT vec_id, lo, hi FROM w95 WHERE rn = 1) a USING (vec_id)
+JOIN (SELECT vec_id, lo, hi FROM w50 WHERE rn = 1) b USING (vec_id)
 """
 
 
@@ -956,6 +986,18 @@ def q_minhash(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_lsh_pairs(ds)
+
+
+def q_neardup_verified(sf_dir: str):
+    """LSH candidates -> distributed exact-Jaccard verification
+    (signature shingling streams over the corpus; per-pair verify
+    streams over the pairs)."""
+    rd = _rd()
+    from ..ops.dedup import minhash_lsh_pairs, verify_jaccard_op
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs)
+    return verify_jaccard_op(pairs, docs, threshold=0.5)
 
 
 def q_simhash(sf_dir: str):
@@ -1144,6 +1186,7 @@ QUERIES = {
     "cells_hex_s2": q_cells,
     "pip_biome": q_pip_biome,
     "minhash_neardup_pairs": q_minhash,
+    "neardup_verified": q_neardup_verified,
     "simhash_neardup_pairs": q_simhash,
     "knn_hotspots": q_knn_hotspots,
     "ann_lsh_topk": q_ann_lsh,

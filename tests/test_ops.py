@@ -37,6 +37,21 @@ def test_minhash_finds_planted_neardups(ray_session):
     assert set(zip(verified.doc_a, verified.doc_b)) == {(1, 2)}
 
 
+def test_verify_jaccard_op_distributed(ray_session):
+    """Distributed verify stage: keeps the true near-dup pair with its
+    exact Jaccard, drops sub-threshold candidates."""
+    from filda_ray.ops.dedup import minhash_lsh_pairs, verify_jaccard_op
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 8
+    near = base.replace("runs", "sprints")
+    far = "completely unrelated content about database engines and queries " * 8
+    ds = _ds({"doc_id": [1, 2, 3], "text": [base, near, far]})
+    pairs = minhash_lsh_pairs(ds)
+    ver = verify_jaccard_op(pairs, ds, threshold=0.5).to_pandas()
+    assert set(zip(ver.doc_a, ver.doc_b)) == {(1, 2)}
+    assert (ver.jaccard >= 0.5).all()
+
+
 def test_simhash_finds_planted_neardups(ray_session):
     from filda_ray.ops.dedup import simhash_pairs
 

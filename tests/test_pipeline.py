@@ -91,6 +91,21 @@ def test_background_hist_equals_shuffle_path(ray_session, sf_dir):
         assert np.array_equal(a[c].to_numpy(), b[c].to_numpy()), c
 
 
+def test_background_quantize_bounds_domain(ray_session, sf_dir):
+    """quantize=q caps the histogram's value domain for continuous
+    metrics; medians stay within one quantize step of exact and counts
+    are unchanged."""
+    from filda_ray.ops.background import background_stats
+    from filda_ray.pipelines.flagship import narrow_pages
+
+    narrow = narrow_pages(sf_dir).materialize()
+    exact = background_stats(narrow, "n_chars").to_pandas().set_index("pc_tile")
+    q = background_stats(narrow, "n_chars", quantize=64.0).to_pandas().set_index("pc_tile")
+    assert (q.index == exact.index).all()
+    assert (np.abs(exact["bg1_median"] - q["bg1_median"]) <= 64.0).all()
+    assert (exact["bg1_n"] == q["bg1_n"]).all()
+
+
 def test_background_ring_ladder(ray_session, sf_dir):
     """Configurable adaptive-window ladder rings=(1,2,4): the histogram
     and shuffle paths agree on every bg{k}_* column, and the detect
