@@ -111,6 +111,73 @@ def make_planes(dim: int, nbits: int = 12, seed: int = 4) -> np.ndarray:
     return np.random.RandomState(seed).randn(nbits, dim).astype(np.float32)
 
 
+def embedding_neardup(ds, *, threshold: float = 0.9, nbits: int = 10,
+                      n_tables: int = 8, seed: int = 4, max_bucket: int = 2000):
+    """Embedding-cosine near-duplicate pairs via multi-table sign-LSH.
+
+    Scale design (mirrors the MinHash band pattern): each vector is
+    bucketed by ``n_tables`` independent random-hyperplane tables; the
+    shuffle carries (table, bucket, vec_id, unit vector) rows — dim x
+    n_tables floats per vector, never all-pairs.  Each (table, bucket)
+    group runs ONE GEMM and emits upper-triangle pairs with cosine >=
+    threshold; cross-table duplicates collapse in bounded hash
+    buckets.  Groups above ``max_bucket`` are dropped (runaway guard).
+    Recall < 1 by design (1-(1-p^nbits)^n_tables); exact duplicates
+    always collide, so the exact-dup path has recall 1.
+    """
+    import pandas as pd
+
+    def emit(batch: pa.Table) -> pa.Table:
+        v = _to_matrix(batch.column("embedding"))
+        ids = batch.column("vec_id").to_numpy()
+        if len(ids) == 0:
+            return pa.table(
+                {"table_id": pa.array([], pa.int32()),
+                 "bucket": pa.array([], pa.uint64()),
+                 "vec_id": pa.array([], batch.column("vec_id").type),
+                 "emb": pa.array([], pa.large_list(pa.float32()))}
+            )
+        n = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        d = n.shape[1]
+        tabs, bks, vid = [], [], []
+        for t in range(n_tables):
+            planes = make_planes(d, nbits, seed=seed + 1000 * t)
+            bks.append(sign_buckets(n, planes))
+            tabs.append(np.full(len(ids), t, dtype=np.int32))
+            vid.append(ids)
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.tile(n, (n_tables, 1)).ravel(), pa.float32()), d
+        )
+        return pa.table(
+            {"table_id": pa.array(np.concatenate(tabs)),
+             "bucket": pa.array(np.concatenate(bks), pa.uint64()),
+             "vec_id": pa.array(np.concatenate(vid)),
+             "emb": emb}
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        if len(ids) < 2 or len(ids) > max_bucket:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                                 "doc_b": pd.Series(dtype=np.int64),
+                                 "cosine": pd.Series(dtype=np.float64)})
+        m = np.vstack(g["emb"].to_numpy()).astype(np.float32)
+        sims = (m @ m.T).astype(np.float64)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = (sims[iu, ju] >= threshold) & (ids[iu] != ids[ju])
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"doc_a": lo, "doc_b": hi,
+                             "cosine": sims[iu[keep], ju[keep]]})
+
+    from .dedup import _dedup_pairs_ds
+
+    cand = ds.map_batches(emit, batch_format="pyarrow").groupby(
+        ["table_id", "bucket"]
+    ).map_groups(pairs, batch_format="pandas")
+    return _dedup_pairs_ds(cand)
+
+
 def lsh_bucket_topk(ds, queries: np.ndarray, k: int = 10, *, nbits: int = 8,
                     concurrency: int = 4):
     """ANN scale path: probe only batches' rows in the query's sign

@@ -1027,6 +1027,27 @@ def q_ann_lsh(sf_dir: str):
     return lsh_bucket_topk(ds, queries, k=10, nbits=8)
 
 
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup over the corpus unioned with an
+    id-shifted copy of itself: every vector pairs with its exact
+    duplicate (cosine 1.0, LSH recall 1 for identical vectors), so the
+    expected pair count equals the corpus size — a deterministic
+    rows-only check of the multi-table sign-LSH path."""
+    rd = _rd()
+    from ..ops.embed import embedding_neardup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def shift(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.set_column(b.schema.get_field_index("vec_id"), "vec_id",
+                            pc.add(b.column("vec_id"), 1_000_000))
+
+    both = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
+    return embedding_neardup(both, threshold=0.999)
+
+
 def q_langid(sf_dir: str):
     rd = _rd()
     from ..ops.text import langid_op
@@ -1190,6 +1211,7 @@ QUERIES = {
     "simhash_neardup_pairs": q_simhash,
     "knn_hotspots": q_knn_hotspots,
     "ann_lsh_topk": q_ann_lsh,
+    "embedding_neardup_pairs": q_embedding_neardup,
     "langid": q_langid,
     "estimator_score": q_score,
     "media_features": q_media_features,

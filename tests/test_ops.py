@@ -77,6 +77,40 @@ def test_asof_join_no_match_gives_null(ray_session):
     assert out.iloc[1]["prev"] == 99.0    # ts=30 matches ts=20
 
 
+def test_embedding_neardup_planted_clusters(ray_session):
+    """Multi-table sign-LSH near-dup: every planted intra-cluster pair
+    found, every reported pair verified >= threshold by its cosine."""
+    from filda_ray.ops.embed import embedding_neardup
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(5, 32).astype(np.float64)
+    vecs, ids, expected = [], [], set()
+    vid = 0
+    for c in range(5):
+        members = []
+        for _ in range(3):
+            vecs.append(base[c] + 0.01 * rng.randn(32))
+            ids.append(vid)
+            members.append(vid)
+            vid += 1
+        for x in range(3):
+            for y in range(x + 1, 3):
+                expected.add((members[x], members[y]))
+    for _ in range(10):
+        vecs.append(rng.randn(32) * 5.0)
+        ids.append(vid)
+        vid += 1
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array([v.tolist() for v in vecs],
+                                          pa.list_(pa.float32()))})
+    import ray.data as rd
+
+    out = embedding_neardup(rd.from_arrow(tbl), threshold=0.99).to_pandas()
+    got = set(zip(out.doc_a, out.doc_b))
+    assert expected <= got
+    assert (out.cosine >= 0.99).all()
+
+
 def test_asof_join_chunked_and_bucket_invariance(ray_session):
     """Scale levers must not change results: bucket count and
     time-chunk co-partitioning (with boundary carries) all reproduce
