@@ -87,6 +87,49 @@ def run_bench() -> dict:
             res.count()
         timings[name] = round(time.time() - t0, 3)
 
+    if not os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY"):
+        # dedup worst case: every document unique (64x corpus with
+        # distinct texts).  The bounded-bucket first-wins design must
+        # stay within ~2x of distinct_rows on the same rows (both are
+        # one shuffle + 64 vectorized groups; dedup adds the md5 pass).
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from filda_ray.ops.dedup import dedup_exact
+        from filda_ray.ops.relational import distinct_rows
+
+        def explode64(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy()
+            texts = b.column("text").to_pylist()
+            rep_ids = (np.repeat(ids, 64) * 64 + np.tile(np.arange(64), len(ids)))
+            rep_texts = [f"{t} #{k}" for t in texts for k in range(64)]
+            return pa.table({"doc_id": pa.array(rep_ids),
+                             "text": pa.array(rep_texts, pa.large_string())})
+
+        def distinct_corpus():
+            docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                   columns=["doc_id", "text"])
+            return docs.map_batches(explode64, batch_format="pyarrow")
+
+        t0 = time.time()
+        n_dedup = dedup_exact(distinct_corpus()).count()
+        timings["dedup_distinct_320k"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        distinct_rows(distinct_corpus(), ["doc_id"]).count()
+        timings["distinct_rows_320k"] = round(time.time() - t0, 3)
+
+        # distributed hex background at replicate scale: no driver
+        # materialization of the (cell x value) histogram
+        from filda_ray.ops.background import background_stats_hex
+        from filda_ray.pipelines.flagship import narrow_pages
+
+        t0 = time.time()
+        background_stats_hex(
+            narrow_pages(SF_DIR, replicate=max(REPLICATE // 4, 1)), "n_chars"
+        ).count()
+        timings["hex_background_1.3M"] = round(time.time() - t0, 3)
+
     out = {
         "metric": "flagship pages/sec (geocode->tile->background->classify->PIP->QA)",
         "value": timings["flagship_detect"],
