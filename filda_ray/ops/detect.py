@@ -125,6 +125,124 @@ class BgJoinDetect:
         return out
 
 
+def _classify(v: np.ndarray, med: np.ndarray, mad: np.ndarray, n: np.ndarray,
+              win_ring: np.ndarray, min_bg_n: int, z_lo: float, z_hi: float):
+    """Shared two-tier robust-z classification + QA bits."""
+    low_n = n < min_bg_n
+    z = (v - med) / (MAD_SCALE * mad + EPS)
+    status = np.where(low_n, 0, np.where(z >= z_hi, 2, np.where(z >= z_lo, 1, 0)))
+    qa = qa_pack(
+        {
+            "bg_ring1": (win_ring == 1) & ~low_n,
+            "bg_ring2": (win_ring != 1) & ~low_n,
+            "bg_low_n": low_n,
+            "anom_lo": status >= 1,
+            "anom_hi": status == 2,
+        }
+    )
+    return z, status.astype(np.int32), qa
+
+
+def contextual_detect_hex(ds, bg_ds, value_col: str, *, cell_col: str = "hex_r7",
+                          min_bg_n: int = MIN_BG_N, z_lo: float = Z_LO,
+                          z_hi: float = Z_HI, mode: str = "broadcast"):
+    """Per-row anomaly classification against the FINE hex-grid
+    background (the north_star's per-pixel contextual kernel: each page
+    scored against the k-ring neighborhood stats of its own hex cell,
+    from ``background_stats_hex``).
+
+    ``mode='broadcast'``: the occupied-cell bg table is ray.put once
+    and gathered per batch by sorted-key searchsorted — right whenever
+    occupied cells fit the object store (one 56-byte row per occupied
+    cell).  ``mode='join'``: hash join on the cell id for planetary
+    cell counts; same results, one extra shuffle of the page stream.
+    """
+    import ray
+
+    from .workercache import worker_state
+
+    bg_tbl = pa.concat_tables(
+        [b for b in bg_ds.iter_batches(batch_format="pyarrow", batch_size=None)]
+    ) if not isinstance(bg_ds, pa.Table) else bg_ds
+
+    if mode == "join":
+        import ray.data as rd
+
+        from .relational import hash_join
+
+        joined = hash_join(ds, rd.from_arrow(bg_tbl),
+                           on=cell_col, right_on="cell", how="left_outer")
+
+        def classify_joined(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            n1 = pc.fill_null(batch.column("bg1_n"), 0).to_numpy().astype(np.int64)
+            use1 = n1 >= min_bg_n
+            med = np.where(use1,
+                           pc.fill_null(batch.column("bg1_median"), np.nan).to_numpy(),
+                           pc.fill_null(batch.column("bg2_median"), np.nan).to_numpy())
+            mad = np.where(use1,
+                           pc.fill_null(batch.column("bg1_mad"), np.nan).to_numpy(),
+                           pc.fill_null(batch.column("bg2_mad"), np.nan).to_numpy())
+            n = np.where(use1, n1,
+                         pc.fill_null(batch.column("bg2_n"), 0).to_numpy().astype(np.int64))
+            ring = np.where(use1, 1, 2).astype(np.int32)
+            z, status, qa = _classify(v, med, mad, n, ring, min_bg_n, z_lo, z_hi)
+            out = batch.drop_columns([c for c in batch.column_names
+                                      if c.startswith("bg1_") or c.startswith("bg2_")
+                                      or c == "cell"])
+            return (
+                out.append_column("bg_median", pa.array(med))
+                .append_column("bg_mad", pa.array(mad))
+                .append_column("bg_n", pa.array(n.astype(np.int64)))
+                .append_column("win_ring", pa.array(ring))
+                .append_column("score", pa.array(z))
+                .append_column("status", pa.array(status))
+                .append_column("qa_detect", pa.array(qa, pa.uint32()))
+            )
+
+        return joined.map_batches(classify_joined, batch_format="pyarrow")
+
+    cells_arr = bg_tbl.column("cell").to_numpy().astype(np.uint64)
+    order = np.argsort(cells_arr)
+    packed = (
+        cells_arr[order],
+        bg_tbl.column("bg1_median").to_numpy()[order],
+        bg_tbl.column("bg1_mad").to_numpy()[order],
+        bg_tbl.column("bg1_n").to_numpy().astype(np.int64)[order],
+        bg_tbl.column("bg2_median").to_numpy()[order],
+        bg_tbl.column("bg2_mad").to_numpy()[order],
+        bg_tbl.column("bg2_n").to_numpy().astype(np.int64)[order],
+    )
+    ref = ray.put(packed)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        keys, m1, d1, n1, m2, d2, n2 = worker_state(ref, lambda: ray.get(ref))
+        c = batch.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.searchsorted(keys, c)
+        idx = np.clip(idx, 0, max(len(keys) - 1, 0))
+        hit = (len(keys) > 0) & (keys[idx] == c)
+        use1 = hit & (n1[idx] >= min_bg_n)
+        med = np.where(hit, np.where(use1, m1[idx], m2[idx]), np.nan)
+        mad = np.where(hit, np.where(use1, d1[idx], d2[idx]), np.nan)
+        n = np.where(hit, np.where(use1, n1[idx], n2[idx]), 0)
+        ring = np.where(use1, 1, 2).astype(np.int32)
+        z, status, qa = _classify(v, med, mad, n, ring, min_bg_n, z_lo, z_hi)
+        return (
+            batch.append_column("bg_median", pa.array(med))
+            .append_column("bg_mad", pa.array(mad))
+            .append_column("bg_n", pa.array(n.astype(np.int64)))
+            .append_column("win_ring", pa.array(ring))
+            .append_column("score", pa.array(z))
+            .append_column("status", pa.array(status))
+            .append_column("qa_detect", pa.array(qa, pa.uint32()))
+        )
+
+    return ds.map_batches(classify, batch_format="pyarrow")
+
+
 def contextual_detect(ds, bg_ds, value_col: str, *, concurrency: int | None = None,
                       min_bg_n: int = MIN_BG_N, z_lo: float = Z_LO, z_hi: float = Z_HI):
     """Dataset op: rows + bg table -> rows with score/status/QA.

@@ -111,6 +111,129 @@ def make_planes(dim: int, nbits: int = 12, seed: int = 4) -> np.ndarray:
     return np.random.RandomState(seed).randn(nbits, dim).astype(np.float32)
 
 
+def kmeans_fit(sample: np.ndarray, k: int, *, iters: int = 10, seed: int = 0) -> np.ndarray:
+    """Seeded spherical k-means on a driver-side sample (unit-norm
+    centroids; cosine assignment).  Deterministic; small k only."""
+    rng = np.random.RandomState(seed)
+    n = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cent = n[rng.choice(len(n), size=min(k, len(n)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (n @ cent.T).argmax(axis=1)
+        for j in range(len(cent)):
+            m = assign == j
+            if m.any():
+                cent[j] = n[m].mean(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def ivf_build(ds, out_dir: str, *, n_centroids: int = 64, sample_size: int = 2000,
+              iters: int = 10, seed: int = 0):
+    """Build an IVF index: centroids from a driver-side sample, every
+    vector assigned to its nearest centroid in map_batches, corpus
+    written as Parquet PARTITIONED BY CENTROID (resumable manifest
+    product).  This is the ANN path that can SKIP BLOCKS: a query
+    reads only its probed centroids' partitions, never the corpus.
+    Centroids are stored beside the partitions for the query side.
+    """
+    import ray
+    import pyarrow.parquet as pq
+
+    from ..state.manifest import write_product
+    from .workercache import worker_state
+
+    head = pa.concat_tables(
+        list(ds.limit(sample_size).iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    cent = kmeans_fit(_to_matrix(head.column("embedding"), np.float32), n_centroids,
+                      iters=iters, seed=seed)
+    ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = worker_state(ref, lambda: ray.get(ref))
+        v = _to_matrix(batch.column("embedding"))
+        n = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        a = (n @ c.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("centroid", pa.array(a))
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    done = write_product(assigned, out_dir, partition_col="centroid",
+                         lineage={"index": "ivf", "n_centroids": int(len(cent)),
+                                  "seed": seed, "iters": iters})
+    import os
+
+    d = cent.shape[1]
+    pq.write_table(
+        pa.table({"centroid": pa.array(np.arange(len(cent), dtype=np.int32)),
+                  "vec": pa.FixedSizeListArray.from_arrays(
+                      pa.array(cent.ravel(), pa.float32()), d)}),
+        os.path.join(out_dir, "_centroids.parquet"),
+    )
+    return done
+
+
+def ivf_topk(index_dir: str, queries: np.ndarray, k: int = 10, *, nprobe: int = 8,
+             dtype=np.float64):
+    """ANN query against an ``ivf_build`` index: probe the ``nprobe``
+    nearest centroids per query and READ ONLY THOSE PARTITIONS from
+    storage — at 100 TB this touches nprobe/n_centroids of the bytes,
+    unlike the sign-LSH path which scans (then prunes) every block.
+    Recall < 1 by design; ``cosine_topk`` is the exactness oracle.
+    """
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    ct = pq.read_table(os.path.join(index_dir, "_centroids.parquet"))
+    cent = _to_matrix(ct.column("vec"), np.float32)
+    q = np.asarray(queries, dtype=np.float64)
+    qn = (q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12))
+    sims = qn.astype(np.float32) @ cent.T
+    nprobe = min(nprobe, cent.shape[0])
+    probes = np.argsort(-sims, axis=1)[:, :nprobe]          # (nq, nprobe)
+    needed = sorted({int(c) for row in probes for c in row})
+    paths = [os.path.join(index_dir, f"part={c}", "data.parquet") for c in needed]
+    ds = rd.read_parquet(paths, columns=["vec_id", "embedding", "centroid"])
+
+    # membership matrix: query x centroid -> probe?
+    member = np.zeros((len(qn), cent.shape[0]), dtype=bool)
+    member[np.repeat(np.arange(len(qn)), nprobe), probes.ravel()] = True
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = _to_matrix(batch.column("embedding"), dtype)
+        ids = batch.column("vec_id").to_numpy()
+        cen = batch.column("centroid").to_numpy()
+        n = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        s = n @ qn.T.astype(dtype)                          # (rows, nq)
+        out_id, out_q, out_s = [], [], []
+        for qi in range(s.shape[1]):
+            sel = member[qi][cen]
+            if not sel.any():
+                continue
+            sv = s[sel, qi]
+            kk = min(k, sv.shape[0])
+            top = np.argpartition(-sv, kk - 1)[:kk]
+            out_id.append(ids[sel][top])
+            out_q.append(np.full(kk, qi, dtype=np.int32))
+            out_s.append(sv[top].astype(np.float64))
+        if not out_id:
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "vec_id": pa.array(np.concatenate(out_id)),
+                         "cosine": pa.array(np.concatenate(out_s))})
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+
+    return part.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
 def embedding_neardup(ds, *, threshold: float = 0.9, nbits: int = 10,
                       n_tables: int = 8, seed: int = 4, max_bucket: int = 2000):
     """Embedding-cosine near-duplicate pairs via multi-table sign-LSH.

@@ -1027,6 +1027,27 @@ def q_ann_lsh(sf_dir: str):
     return lsh_bucket_topk(ds, queries, k=10, nbits=8)
 
 
+def q_ivf_topk(sf_dir: str):
+    """IVF-partitioned ANN: build a centroid-partitioned index (scratch
+    dir), then answer 3 queries reading ONLY the probed partitions —
+    the block-skipping scale path; brute-force cosine_topk is the
+    recall oracle (full-probe equality is pytest-pinned)."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..ops.embed import ivf_build, ivf_topk
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = tempfile.mkdtemp(prefix="ivf_", dir="/tmp")
+    ivf_build(ds, idx, n_centroids=16, sample_size=1000, seed=1)
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"]).slice(0, 3)
+    queries = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    return ivf_topk(idx, queries, k=10, nprobe=4)
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup over the corpus unioned with an
     id-shifted copy of itself: every vector pairs with its exact
@@ -1146,6 +1167,20 @@ def q_hex_background(sf_dir: str):
     return background_stats_hex(narrow, "n_chars")
 
 
+def q_hex_detect(sf_dir: str):
+    """Per-page anomaly classification against the FINE hex-grid
+    background (north_star per-pixel kernel end-to-end: hex bg via
+    halo exchange -> per-row robust-z against the own-cell k-ring)."""
+    from ..ops.background import background_stats_hex
+    from ..ops.detect import contextual_detect_hex
+
+    narrow = flagship.narrow_pages(sf_dir).materialize()
+    bg = background_stats_hex(narrow, "n_chars")
+    out = contextual_detect_hex(narrow, bg, "n_chars")
+    return out.select_columns(["doc_id", "hex_r7", "n_chars", "bg_median", "bg_mad",
+                               "bg_n", "win_ring", "score", "status"])
+
+
 def q_fingerprints(sf_dir: str):
     rd = _rd()
     from ..ops.text import fingerprint_op
@@ -1212,12 +1247,14 @@ QUERIES = {
     "knn_hotspots": q_knn_hotspots,
     "ann_lsh_topk": q_ann_lsh,
     "embedding_neardup_pairs": q_embedding_neardup,
+    "ivf_topk": q_ivf_topk,
     "langid": q_langid,
     "estimator_score": q_score,
     "media_features": q_media_features,
     "fingerprints": q_fingerprints,
     "estimate_summary": q_estimate,
     "hex_background": q_hex_background,
+    "hex_detect": q_hex_detect,
 }
 
 ORACLES = {

@@ -77,6 +77,39 @@ def test_asof_join_no_match_gives_null(ray_session):
     assert out.iloc[1]["prev"] == 99.0    # ts=30 matches ts=20
 
 
+def test_ivf_index_full_probe_equals_bruteforce(ray_session, tmp_path):
+    """IVF with nprobe = n_centroids reads every partition and must
+    reproduce the brute-force top-k exactly; with few probes it reads
+    a strict subset of partitions and keeps high recall on clustered
+    data."""
+    import ray.data as rd
+
+    from filda_ray.ops.embed import cosine_topk, ivf_build, ivf_topk
+
+    rng = np.random.RandomState(8)
+    centers = rng.randn(4, 16) * 3
+    vecs = np.concatenate([c + 0.1 * rng.randn(50, 16) for c in centers])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array([v.tolist() for v in vecs],
+                                          pa.list_(pa.float32()))})
+    idx = str(tmp_path / "ivf")
+    ivf_build(rd.from_arrow(tbl), idx, n_centroids=8, sample_size=200, seed=1)
+    queries = centers + 0.05 * rng.randn(4, 16)
+
+    exact = cosine_topk(rd.from_arrow(tbl), queries, k=10, dtype=np.float64).to_pandas()
+    full = ivf_topk(idx, queries, k=10, nprobe=8).to_pandas()
+    key = ["query_id", "vec_id"]
+    pd_exact = exact.sort_values(key).reset_index(drop=True)
+    pd_full = full.sort_values(key).reset_index(drop=True)[pd_exact.columns]
+    assert pd_exact[key].equals(pd_full[key])
+
+    few = ivf_topk(idx, queries, k=10, nprobe=2).to_pandas()
+    hits = len(set(map(tuple, few[key].to_numpy())) &
+               set(map(tuple, pd_exact[key].to_numpy())))
+    assert hits / len(pd_exact) >= 0.9  # clustered data: high recall
+
+
 def test_embedding_neardup_planted_clusters(ray_session):
     """Multi-table sign-LSH near-dup: every planted intra-cluster pair
     found, every reported pair verified >= threshold by its cosine."""

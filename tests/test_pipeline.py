@@ -158,6 +158,47 @@ def test_hex_background_vs_bruteforce(ray_session):
             assert bg.loc[c, f"{tag}_mad"] == mad
 
 
+def test_hex_detect_vs_bruteforce_and_join_mode(ray_session):
+    """Hex-grid per-row classification: robust-z must match a brute
+    force over the row's own-cell k-ring stats, and the hash-join mode
+    must equal the broadcast mode row for row."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from filda_ray.kernels import cells
+    from filda_ray.kernels.stats import MAD_SCALE, median_mad
+    from filda_ray.ops.background import background_stats_hex
+    from filda_ray.ops.detect import contextual_detect_hex
+
+    rng = np.random.RandomState(21)
+    lat = 5.0 + rng.rand(300) * 0.3
+    lon = 7.0 + rng.rand(300) * 0.3
+    vals = rng.randint(50, 500, 300).astype(np.int64)
+    cell = cells.hex_cell(lat, lon)
+    tbl = pa.table({"doc_id": pa.array(np.arange(300, dtype=np.int64)),
+                    "hex_r7": pa.array(cell, pa.uint64()),
+                    "n_chars": pa.array(vals)})
+    ds = rd.from_arrow(tbl)
+    bg = background_stats_hex(ds, "n_chars").materialize()
+    out = contextual_detect_hex(ds, bg, "n_chars").to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    # brute-force a sample of rows
+    for i in range(0, 300, 23):
+        c = np.uint64(cell[i])
+        for tag, k in (("ring1", 1), ("ring2", 2)):
+            sel = vals[cells.hex_distance(np.repeat(np.array([c]), len(cell)), cell) <= k]
+            med, mad = median_mad(sel.astype(np.float64))
+            if tag == "ring1" and len(sel) >= 10:
+                break
+        assert out.loc[i, "bg_median"] == med
+        z = (vals[i] - med) / (MAD_SCALE * mad + 1e-9)
+        assert abs(out.loc[i, "score"] - z) < 1e-12
+    j = contextual_detect_hex(ds, bg, "n_chars", mode="join").to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)[out.columns]
+    for c in out.columns:
+        assert np.array_equal(out[c].to_numpy(), j[c].to_numpy()), c
+
+
 def test_hex_background_repartition_invariance(ray_session):
     """The halo-exchange hex background must be exact across partition
     boundaries: identical output under different block layouts."""
