@@ -78,6 +78,11 @@ def extract_text_arrow(html):
     except pa.ArrowInvalid:
         vals = html.to_pylist() if hasattr(html, "to_pylist") else list(html)
         return pa.array(extract_text(vals), pa.string())
+    # NOTE(perf, measured): a multi-pass numpy byte scanner for the
+    # body capture is ~1.8x faster single-threaded but 2-3x SLOWER in
+    # aggregate at 32-way concurrency (memory-bandwidth bound; RE2's
+    # single pass is cache-friendly) — see BASELINE.md round-2 notes.
+    # The RE2 kernel stays.
     body = pc.struct_field(pc.extract_regex(hs, _ARROW_BODY_PAT), "body")
     out = pc.replace_substring_regex(body, _ARROW_TAG_PAT, "")
     return pc.fill_null(out, "")
