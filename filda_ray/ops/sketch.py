@@ -54,6 +54,96 @@ def hll_estimate(registers: np.ndarray) -> float:
     return float(est)
 
 
+class QuantileSketch:
+    """KLL-style mergeable quantile sketch: level i holds items of
+    weight 2^i; an over-full level sorts and keeps every other item
+    (random offset), promoting them one level up.  Rank error is
+    O(1/k) with k items per level; estimates are randomized, so (like
+    any sampling sketch) they are not bit-stable under repartition —
+    use the exact bottom-k path (queries.q_low_quantile) when exact
+    answers are required.  Engine addition: the reference's only
+    quantile (A3) is exact; at 100 TB a shuffle-free mergeable sketch
+    is the scale path."""
+
+    def __init__(self, k: int = 256, seed: int = 0):
+        self.k = k
+        self.levels = [np.empty(0, dtype=np.float64)]
+        self.rng = np.random.RandomState(seed)
+
+    def add(self, values: np.ndarray):
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compact()
+        return self
+
+    def _compact(self):
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.k:
+                v = np.sort(self.levels[i])
+                kept = v[self.rng.randint(2)::2]
+                self.levels[i] = np.empty(0, dtype=np.float64)
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, dtype=np.float64))
+                self.levels[i + 1] = np.concatenate([self.levels[i + 1], kept])
+            i += 1
+
+    def merge(self, other: "QuantileSketch"):
+        for i, lv in enumerate(other.levels):
+            while len(self.levels) <= i:
+                self.levels.append(np.empty(0, dtype=np.float64))
+            self.levels[i] = np.concatenate([self.levels[i], lv])
+        self._compact()
+        return self
+
+    def quantile(self, q: float) -> float:
+        vals = np.concatenate(self.levels)
+        if vals.size == 0:
+            return float("nan")
+        wts = np.concatenate(
+            [np.full(len(lv), 1 << i, dtype=np.int64) for i, lv in enumerate(self.levels)]
+        )
+        order = np.argsort(vals, kind="mergesort")
+        v, w = vals[order], wts[order]
+        cum = np.cumsum(w)
+        idx = np.searchsorted(cum, q * cum[-1])
+        return float(v[min(idx, len(v) - 1)])
+
+    def serialize(self) -> bytes:
+        lens = np.array([len(lv) for lv in self.levels], dtype=np.int64)
+        return (np.int64(len(lens)).tobytes() + lens.tobytes()
+                + np.concatenate(self.levels).tobytes())
+
+    @classmethod
+    def deserialize(cls, blob: bytes, k: int = 256, seed: int = 0) -> "QuantileSketch":
+        n_levels = int(np.frombuffer(blob[:8], dtype=np.int64)[0])
+        lens = np.frombuffer(blob[8:8 + 8 * n_levels], dtype=np.int64)
+        flat = np.frombuffer(blob[8 + 8 * n_levels:], dtype=np.float64)
+        s = cls(k=k, seed=seed)
+        s.levels = list(np.split(flat, np.cumsum(lens)[:-1])) if n_levels else [flat]
+        return s
+
+
+def approx_quantiles(ds, col: str, qs=(0.01, 0.5, 0.99), *, k: int = 256,
+                     seed: int = 0) -> dict[float, float]:
+    """Approximate quantiles of ``col``: one serialized KLL sketch per
+    batch (map_batches), merged driver-side — no shuffle of raw rows;
+    each sketch is O(k log(n/k)) floats."""
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        s = QuantileSketch(k=k, seed=seed).add(v)
+        return pa.table({"sk": pa.array([s.serialize()], pa.binary())})
+
+    parts = ds.select_columns([col]).map_batches(sketch, batch_format="pyarrow")
+    merged = QuantileSketch(k=k, seed=seed + 1)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for blob in b.column("sk").to_pylist():
+            merged.merge(QuantileSketch.deserialize(blob, k=k))
+    return {float(q): merged.quantile(q) for q in qs}
+
+
 def approx_distinct(ds, col: str, *, p: int = DEFAULT_P, seed: int = 0) -> float:
     """Approximate distinct count of ``col``: one HLL register array
     per batch (map_batches), max-merge of the tiny sketches.  No

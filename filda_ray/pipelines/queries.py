@@ -1124,6 +1124,54 @@ FROM events e JOIN w
 """
 
 
+HOP_SPAN_US = 6 * 3600 * 1_000_000   # 6h windows
+HOP_STEP_US = 3 * 3600 * 1_000_000   # hopping every 3h (overlap 2x)
+N_HOP = 240
+
+
+def _hop_windows_table() -> pa.Table:
+    wid = np.arange(N_HOP, dtype=np.int64)
+    start = WINDOW_START_US + wid * HOP_STEP_US
+    return pa.table({"window_id": pa.array(wid),
+                     "start_us": pa.array(start),
+                     "end_us": pa.array(start + HOP_SPAN_US)})
+
+
+def q_hopping_agg(sf_dir: str):
+    """Hopping-window aggregate (overlapping windows): each event joins
+    every window covering it (bucketed broadcast interval probe, no
+    event shuffle) and the per-window stats reduce with a small
+    groupby — the streaming hopping-window composition.  Aggregates
+    are order-independent (count/min/max) so the hash is exact."""
+    rd = _rd()
+    from ray.data.aggregate import Count, Max, Min
+
+    from ..ops.temporal import range_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "value"])
+    j = range_join(ev, _hop_windows_table())
+    return j.groupby("window_id").aggregate(
+        Count(alias_name="n"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+
+def sql_hopping_agg() -> str:
+    return f"""
+WITH w AS (
+  SELECT i AS window_id,
+         {WINDOW_START_US} + i * {HOP_STEP_US} AS start_us,
+         {WINDOW_START_US} + i * {HOP_STEP_US} + {HOP_SPAN_US} AS end_us
+  FROM (SELECT unnest(range(0, {N_HOP})) AS i)
+)
+SELECT w.window_id, count(*) AS n, min(e.value) AS min_value, max(e.value) AS max_value
+FROM events e JOIN w
+  ON epoch_us(e.ts) >= w.start_us AND epoch_us(e.ts) < w.end_us
+GROUP BY w.window_id
+"""
+
+
 def q_top_anomalies(sf_dir: str):
     """Global top-20 pages by anomaly score: per-batch partial top-k
     inside map_batches, then one tiny final sort+limit — streaming
@@ -1238,6 +1286,7 @@ QUERIES = {
     "candidate_union": q_candidate_union,
     "top_anomalies": q_top_anomalies,
     "range_join_windows": q_range_join,
+    "hopping_window_agg": q_hopping_agg,
     # rows-only (non-SQL-expressible; covered by pytest goldens/oracles)
     "cells_hex_s2": q_cells,
     "pip_biome": q_pip_biome,
@@ -1285,4 +1334,5 @@ ORACLES = {
     "candidate_union": sql_candidate_union(),
     "top_anomalies": sql_top_anomalies(),
     "range_join_windows": sql_range_join(),
+    "hopping_window_agg": sql_hopping_agg(),
 }
