@@ -144,6 +144,64 @@ def approx_quantiles(ds, col: str, qs=(0.01, 0.5, 0.99), *, k: int = 256,
     return {float(q): merged.quantile(q) for q in qs}
 
 
+def approx_distinct_per_key(ds, key_col: str, col: str, *, p: int = 8,
+                            seed: int = 0, n_buckets: int = 64):
+    """Approximate distinct ``col`` per ``key_col`` (e.g. distinct
+    urls per host at corpus scale): per-batch (key, registers)
+    partials — one 2^p-byte blob per distinct key per batch, NOT one
+    row per value — max-merged in bounded hash buckets with one
+    vectorized reduce per bucket.  Returns Dataset(key, approx_n).
+    """
+    import pandas as pd
+
+    m = 1 << p
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = batch.column(col).to_numpy(zero_copy_only=False)
+        if vals.dtype.kind in "iu":
+            h = splitmix64(vals.astype(np.uint64) + np.uint64(seed))
+        else:
+            from ..kernels.hashing import content_hash64
+
+            h = content_hash64([str(v) for v in vals], seed=seed)
+        order = np.argsort(k, kind="mergesort")
+        ks, hs = k[order], h[order]
+        starts = np.r_[0, np.flatnonzero(ks[1:] != ks[:-1]) + 1]
+        ends = np.r_[starts[1:], len(ks)]
+        keys_out, blobs = [], []
+        for s, e in zip(starts, ends):
+            regs = np.zeros(m, dtype=np.uint8)
+            hll_update(regs, hs[s:e], p)
+            keys_out.append(int(ks[s]))
+            blobs.append(regs.tobytes())
+        bk = (splitmix64(np.asarray(keys_out, dtype=np.uint64)) %
+              np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({key_col: pa.array(keys_out, pa.int64()),
+                         "regs": pa.array(blobs, pa.binary()),
+                         "__bk": pa.array(bk)})
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key_col].to_numpy()
+        mat = np.frombuffer(b"".join(g["regs"]), dtype=np.uint8).reshape(len(g), m)
+        order = np.argsort(k, kind="mergesort")
+        ks, mats = k[order], mat[order]
+        starts = np.r_[0, np.flatnonzero(ks[1:] != ks[:-1]) + 1]
+        ends = np.r_[starts[1:], len(ks)]
+        out_k = ks[starts]
+        est = np.empty(len(starts))
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            est[i] = hll_estimate(mats[s:e].max(axis=0))
+        return pd.DataFrame({key_col: out_k, "approx_n": est})
+
+    return (
+        ds.select_columns([key_col, col])
+        .map_batches(sketch, batch_format="pyarrow")
+        .groupby("__bk")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
 def approx_distinct(ds, col: str, *, p: int = DEFAULT_P, seed: int = 0) -> float:
     """Approximate distinct count of ``col``: one HLL register array
     per batch (map_batches), max-merge of the tiny sketches.  No

@@ -376,3 +376,23 @@ def test_quantile_sketch_rank_error(ray_session):
     s = QuantileSketch(k=64, seed=3).add(vals[:5000])
     s2 = QuantileSketch.deserialize(s.serialize(), k=64)
     assert s.quantile(0.5) == s2.quantile(0.5)
+
+
+def test_approx_distinct_per_key(ray_session):
+    """Grouped HLL: per-key estimates within 10% of exact distinct
+    counts, merged across partitions."""
+    import ray.data as rd
+
+    from filda_ray.ops.sketch import approx_distinct_per_key
+
+    rng = np.random.RandomState(14)
+    keys = rng.randint(0, 5, 60_000).astype(np.int64)
+    vals = (keys * 1_000_000 + rng.randint(0, 2000 + 1, 60_000)).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"host": pa.array(keys), "url": pa.array(vals)})
+                       ).repartition(8)
+    out = approx_distinct_per_key(ds, "host", "url", p=10).to_pandas().set_index("host")
+    import pandas as pd
+
+    exact = pd.DataFrame({"host": keys, "url": vals}).groupby("host")["url"].nunique()
+    for k in exact.index:
+        assert abs(out.loc[k, "approx_n"] - exact[k]) / exact[k] < 0.1
