@@ -121,3 +121,41 @@ def synth_media(sf_dir: str, kind: str = "image"):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(to_media, batch_format="pyarrow")
+
+
+def frame_sample(ds, *, every_k: int = 5, max_frames: int = 16,
+                 frame_bytes: int = 256, batch_size: int = 64):
+    """Video frame-sampling stage: each payload expands to its sampled
+    frame rows (the flat_map shape of the media pipeline).
+
+    Without a codec in this container the 'frames' are deterministic
+    payload slices (frame i = bytes [i*frame_bytes, (i+1)*frame_bytes));
+    the REAL part is the plumbing a codec version would share: row
+    multiplication with a frame_index column, per-frame payloads
+    leaving the stream as new rows, and small batches so
+    batch_size x max_frames x frame size stays within the worker heap.
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        ids = batch.column("media_id").to_numpy()
+        kinds = batch.column("kind").to_pylist()
+        out_id, out_idx, out_frames, out_kind = [], [], [], []
+        for mid, kind, p in zip(ids, kinds, payloads):
+            p = p or b""
+            n_frames = min(max_frames, max(1, len(p) // frame_bytes))
+            for fi in range(0, n_frames, every_k):
+                out_id.append(int(mid))
+                out_idx.append(fi)
+                out_kind.append(kind)
+                out_frames.append(p[fi * frame_bytes:(fi + 1) * frame_bytes])
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "kind": pa.array(out_kind, pa.string()),
+                "frame_index": pa.array(out_idx, pa.int32()),
+                "frame_payload": pa.array(out_frames, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)

@@ -1251,6 +1251,14 @@ def q_media_features(sf_dir: str):
     return out.select_columns(["media_id", "kind", "feat_mean", "decode_ok"])
 
 
+def q_media_frames(sf_dir: str):
+    """Video frame-sampling plumbing: media rows expand to sampled
+    frame rows (deterministic fake frames; codec-shaped flat_map)."""
+    from ..ops.multimodal import frame_sample, synth_media
+
+    return frame_sample(synth_media(sf_dir, kind="video"), every_k=3, max_frames=9)
+
+
 def q_score(sf_dir: str):
     from ..ops.score import score_op
 
@@ -1300,6 +1308,7 @@ QUERIES = {
     "langid": q_langid,
     "estimator_score": q_score,
     "media_features": q_media_features,
+    "media_frames": q_media_frames,
     "fingerprints": q_fingerprints,
     "estimate_summary": q_estimate,
     "hex_background": q_hex_background,

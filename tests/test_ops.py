@@ -396,3 +396,24 @@ def test_approx_distinct_per_key(ray_session):
     exact = pd.DataFrame({"host": keys, "url": vals}).groupby("host")["url"].nunique()
     for k in exact.index:
         assert abs(out.loc[k, "approx_n"] - exact[k]) / exact[k] < 0.1
+
+
+def test_frame_sample_expansion(ray_session):
+    """Frame sampling expands each media row into deterministic
+    sampled-frame rows; decode of the sampled frames still works."""
+    from filda_ray.ops.multimodal import decode_media, frame_sample, synth_media
+
+    frames = frame_sample(synth_media("/root/testdata/sf0.001", kind="video"),
+                          every_k=3, max_frames=9).to_pandas()
+    assert set(frames.columns) == {"media_id", "kind", "frame_index", "frame_payload"}
+    assert (frames["frame_index"] % 3 == 0).all()
+    per = frames.groupby("media_id").size()
+    assert per.min() >= 1 and per.max() <= 3  # ceil(9/3) frames max
+    # frames re-enter the decode stage as media rows
+    import pyarrow as pa
+    import ray.data as rd
+
+    f2 = frames.rename(columns={"frame_payload": "payload"})
+    ds2 = rd.from_arrow(pa.Table.from_pandas(f2, preserve_index=False))
+    dec = decode_media(ds2).to_pandas()
+    assert dec["decode_ok"].all()
