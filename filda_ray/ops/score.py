@@ -27,7 +27,7 @@ BIPHASIC_MIN_TOKENS = 20  # routing threshold (MCBEF FRP-threshold analog)
 
 
 class Estimator:
-    def __init__(self, grid_n: int = 64):
+    def __init__(self, grid_n: int = 64, emit_trace: bool = False, n_samples: int = 32):
         # 'compile' the model: parameter grid + model curves, once per actor
         self.p_grid = np.linspace(0.05, 0.95, grid_n)          # mixture fraction
         self.t_grid = np.linspace(2.0, 12.0, grid_n)           # mean token length scale
@@ -37,14 +37,23 @@ class Estimator:
         self.model_mtl = P * T + (1.0 - P) * self.TEMPLATE_LEN  # (grid_n, grid_n)
         self.P = P
         self.T = T
+        self.emit_trace = emit_trace
+        self.n_samples = n_samples
 
-    def _fit(self, mtl: np.ndarray):
-        """Vectorized grid argmin of (model - observed)^2 per row."""
+    def _fit(self, mtl: np.ndarray, n_trace: int = 0):
+        """Vectorized grid argmin of (model - observed)^2 per row; with
+        ``n_trace`` also the t values of the n_trace best grid points
+        per row (the deterministic pseudo-posterior sample — the
+        likelihood-ranked analog of MCBEF's MCMC draws)."""
         err = (self.model_mtl[None, :, :] - mtl[:, None, None]) ** 2
         flat = err.reshape(err.shape[0], -1)
         idx = np.argmin(flat, axis=1)
         pi, ti = np.unravel_index(idx, self.model_mtl.shape)
-        return self.p_grid[pi], self.t_grid[ti], flat[np.arange(len(idx)), idx]
+        trace = None
+        if n_trace:
+            part = np.argpartition(flat, n_trace - 1, axis=1)[:, :n_trace]
+            trace = np.sort(self.T.ravel()[part], axis=1)
+        return self.p_grid[pi], self.t_grid[ti], flat[np.arange(len(idx)), idx], trace
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n_chars = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -58,8 +67,10 @@ class Estimator:
 
         bip = valid & (n_tokens >= BIPHASIC_MIN_TOKENS)
         uni = valid & ~bip
+        trace_bip = None
         if bip.any():
-            p, t, resid = self._fit(mtl[bip])
+            p, t, resid, trace_bip = self._fit(
+                mtl[bip], self.n_samples if self.emit_trace else 0)
             good = resid < 4.0
             # degradation fallback: poor biphasic fit -> uniphasic estimate
             p = np.where(good, p, 1.0)
@@ -72,22 +83,65 @@ class Estimator:
             p_hat[uni] = 1.0
             t_hat[uni] = mtl[uni]
             qa[uni] = 1
-        return (
+        out = (
             batch.append_column("est_p", pa.array(p_hat))
             .append_column("est_t", pa.array(t_hat))
             .append_column("est_qa", pa.array(qa))
         )
+        if self.emit_trace:
+            # trace: grid pseudo-posterior for good biphasic fits, a
+            # constant (point) trace otherwise (uniphasic / fallback);
+            # invalid rows carry NaN traces
+            trace = np.repeat(t_hat[:, None], self.n_samples, axis=1)
+            if trace_bip is not None:
+                bidx = np.flatnonzero(bip)
+                good_rows = bidx[qa[bip] == 0]
+                trace[good_rows] = trace_bip[qa[bip] == 0]
+            out = out.append_column(
+                "trace_t",
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array(trace.ravel(), pa.float64()), self.n_samples),
+            )
+        return out
 
 
-def score_op(ds, *, concurrency=(2, 8), batch_size: int = 2048):
-    """Dataset op: quality-featured rows -> + (est_p, est_t, est_qa).
+def score_op(ds, *, concurrency=(2, 8), batch_size: int = 2048,
+             emit_trace: bool = False, n_samples: int = 32):
+    """Dataset op: quality-featured rows -> + (est_p, est_t, est_qa[,
+    trace_t]).
 
     Autoscaling actor pool; batch_size kept moderate because the grid
-    search is O(batch x grid^2) memory.
+    search is O(batch x grid^2) memory.  ``emit_trace`` adds a
+    fixed-size posterior-sample column for ``summarize_posteriors``.
     """
     return ds.map_batches(
         Estimator,
+        fn_constructor_kwargs={"emit_trace": emit_trace, "n_samples": n_samples},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def summarize_posteriors(scored, trace_col: str = "trace_t"):
+    """Per-row posterior summarization (MCBEF post_processing analog,
+    MCBEF.py:827-913: traces -> 95% HDI + mode per fire): the trace
+    column lives WITH the row, so no shuffle — one vectorized
+    map_batches computing HDI bounds and the half-sample mode."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        from ..kernels.stats import hdi_bounds
+        from .embed import _to_matrix
+
+        mat = _to_matrix(batch.column(trace_col), np.float64)
+        s = np.sort(mat, axis=1)
+        lo, hi = hdi_bounds(s, 0.95)
+        mlo, mhi = hdi_bounds(s, 0.5)
+        return (
+            batch.drop_columns([trace_col])
+            .append_column("est_t_hdi_lo", pa.array(lo))
+            .append_column("est_t_hdi_hi", pa.array(hi))
+            .append_column("est_t_mode", pa.array((mlo + mhi) / 2.0))
+        )
+
+    return scored.map_batches(f, batch_format="pyarrow")

@@ -1251,6 +1251,19 @@ def q_media_features(sf_dir: str):
     return out.select_columns(["media_id", "kind", "feat_mean", "decode_ok"])
 
 
+def q_estimate_posteriors(sf_dir: str):
+    """Estimator with posterior traces -> per-row 95% HDI + mode
+    (MCBEF post_processing analog; trace lives with the row, no
+    shuffle)."""
+    from ..ops.score import score_op, summarize_posteriors
+
+    ds = flagship.narrow_pages(sf_dir)
+    scored = score_op(ds, emit_trace=True)
+    return summarize_posteriors(scored).select_columns(
+        ["doc_id", "est_t", "est_qa", "est_t_hdi_lo", "est_t_hdi_hi", "est_t_mode"]
+    )
+
+
 def q_media_frames(sf_dir: str):
     """Video frame-sampling plumbing: media rows expand to sampled
     frame rows (deterministic fake frames; codec-shaped flat_map)."""
@@ -1307,6 +1320,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "langid": q_langid,
     "estimator_score": q_score,
+    "estimate_posteriors": q_estimate_posteriors,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
     "fingerprints": q_fingerprints,

@@ -417,3 +417,29 @@ def test_frame_sample_expansion(ray_session):
     ds2 = rd.from_arrow(pa.Table.from_pandas(f2, preserve_index=False))
     dec = decode_media(ds2).to_pandas()
     assert dec["decode_ok"].all()
+
+
+def test_estimator_posterior_summaries(ray_session, sf_dir):
+    """Posterior traces + HDI/mode summaries: good biphasic fits get a
+    real interval containing the point estimate; uniphasic/fallback
+    rows carry point traces (hdi_lo == hdi_hi == est_t)."""
+    from filda_ray.ops.score import score_op, summarize_posteriors
+    from filda_ray.pipelines.flagship import narrow_pages
+
+    ds = narrow_pages(sf_dir)
+    out = summarize_posteriors(score_op(ds, emit_trace=True)).to_pandas()
+    good = out[out.est_qa == 0]
+    assert len(good) > 0
+    # the 95% HDI may drop the MAP when it sits in the extreme 5%
+    # tail of the trace (as with real posteriors); most rows contain it
+    inside = ((good.est_t_hdi_lo <= good.est_t + 1e-12)
+              & (good.est_t - 1e-12 <= good.est_t_hdi_hi))
+    assert inside.mean() > 0.9
+    # the mode (densest half-sample midpoint) always lies inside
+    assert ((good.est_t_hdi_lo <= good.est_t_mode)
+            & (good.est_t_mode <= good.est_t_hdi_hi)).all()
+    assert (good.est_t_hdi_hi - good.est_t_hdi_lo > 0).any()
+    point = out[out.est_qa.isin([1, 2])]
+    if len(point):
+        assert np.allclose(point.est_t_hdi_lo, point.est_t)
+        assert np.allclose(point.est_t_hdi_hi, point.est_t)
