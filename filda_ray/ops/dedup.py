@@ -58,8 +58,16 @@ def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def first_wins(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["content_md5", id_col], kind="mergesort")
-        keep = g["content_md5"].ne(g["content_md5"].shift())
-        return g.loc[keep].drop(columns="__bk").reset_index(drop=True)
+        cm = g["content_md5"]
+        # null texts form ONE group (SQL GROUP BY semantics: md5(NULL)
+        # is NULL and nulls group together) — plain ne() would treat
+        # every None as distinct.  shift() leaves row 0 with a NaN
+        # 'previous', so force-keep the first row.
+        prev = cm.shift()
+        same_as_prev = ((cm == prev) | (cm.isna() & prev.isna())).to_numpy()
+        if len(same_as_prev):
+            same_as_prev[0] = False
+        return g.loc[~same_as_prev].drop(columns="__bk").reset_index(drop=True)
 
     return ds.map_batches(hash_and_bucket, batch_format="pyarrow").groupby(
         "__bk"

@@ -443,3 +443,14 @@ def test_estimator_posterior_summaries(ray_session, sf_dir):
     if len(point):
         assert np.allclose(point.est_t_hdi_lo, point.est_t)
         assert np.allclose(point.est_t_hdi_hi, point.est_t)
+
+
+def test_dedup_exact_null_texts_form_one_group(ray_session):
+    """SQL GROUP BY semantics: md5(NULL) is NULL and nulls group
+    together — exactly one (min-id) row survives for null texts."""
+    from filda_ray.ops.dedup import dedup_exact
+
+    ds = _ds({"doc_id": [7, 2, 5, 1], "text": [None, "x", None, "x"]})
+    out = dedup_exact(ds).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 5]
+    assert out["content_md5"].isna().sum() == 1
