@@ -281,3 +281,44 @@ def test_metrics_stage(ray_session, sf_dir):
     snap = snapshot(get_metrics_actor("filda_metrics"))
     assert snap.get("narrow_pages", 0) >= n
     assert snap.get("classified", 0) >= n
+
+
+def test_flagship_handles_null_html(ray_session, tmp_path):
+    """Common-Crawl-style robustness: pages with null html/text (and
+    invalid-UTF-8 html) flow through the full flagship — extraction
+    yields '' (n_chars 0), classification still completes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from filda_ray.pipelines.flagship import detect_pipeline
+
+    n = 40
+    urls = [f"https://host{i % 7:04d}.example.com/doc/{i}" for i in range(n)]
+    htmls = []
+    for i in range(n):
+        if i % 10 == 0:
+            htmls.append(None)
+        elif i % 10 == 5:
+            htmls.append(b"<body>bad \xff bytes</body>")
+        else:
+            htmls.append(f"<html><body>doc {i} content {'x' * (i * 13 % 211)}</body></html>".encode())
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array([1_704_067_200_000_000 + i for i in range(n)], pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array([None] * n, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+    })
+    pdir = str(tmp_path / "pages")
+    import os
+
+    os.makedirs(pdir)
+    pq.write_table(tbl, os.path.join(pdir, "part0.parquet"))
+    out = detect_pipeline(None, pages_dir=pdir).to_pandas()
+    assert len(out) == n
+    nulls = out[out.doc_id % 10 == 0]
+    assert (nulls.n_chars == 0).all()
+    assert out.status.isin([0, 1, 2]).all()
+    bad = out[out.doc_id % 10 == 5]
+    assert (bad.n_chars > 0).all()  # invalid UTF-8 decoded with replacement
