@@ -135,6 +135,11 @@ def ivf_build(ds, out_dir: str, *, n_centroids: int = 64, sample_size: int = 200
     product).  This is the ANN path that can SKIP BLOCKS: a query
     reads only its probed centroids' partitions, never the corpus.
     Centroids are stored beside the partitions for the query side.
+
+    Sizing at scale: the writer materializes ONE partition per task,
+    so choose ``n_centroids`` such that corpus_rows / n_centroids fits
+    a worker's heap (the usual IVF cell-size requirement — real IVF
+    indexes use thousands of cells for billion-vector corpora).
     """
     import ray
     import pyarrow.parquet as pq

@@ -144,14 +144,42 @@ def approx_quantiles(ds, col: str, qs=(0.01, 0.5, 0.99), *, k: int = 256,
     return {float(q): merged.quantile(q) for q in qs}
 
 
+def _hll_ranks(hashes: np.ndarray, p: int):
+    """(register_index, rank) per hash — the vectorized core of
+    hll_update without the dense register array."""
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = hashes << np.uint64(p)
+    rank = np.ones(len(hashes), dtype=np.int64)
+    v = rest
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = v < (np.uint64(1) << np.uint64(64 - shift))
+        rank += np.where(mask, shift, 0)
+        v = np.where(mask, v << np.uint64(shift), v)
+    return idx, np.minimum(rank, 64 - p + 1)
+
+
+def _max_per_run(key1: np.ndarray, key2: np.ndarray, val: np.ndarray):
+    """Max of ``val`` per (key1, key2) run: lexsort + reduceat.
+    Returns (key1_run, key2_run, max_run)."""
+    order = np.lexsort((val, key2, key1))
+    k1, k2, v = key1[order], key2[order], val[order]
+    starts = np.r_[0, np.flatnonzero((k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])) + 1]
+    # runs are sorted by val ascending -> the last element of each run
+    # is the max
+    ends = np.r_[starts[1:], len(v)] - 1
+    return k1[starts], k2[starts], v[ends]
+
+
 def approx_distinct_per_key(ds, key_col: str, col: str, *, p: int = 8,
                             seed: int = 0, n_buckets: int = 64):
     """Approximate distinct ``col`` per ``key_col`` (e.g. distinct
-    urls per host at corpus scale): per-batch (key, registers)
-    partials — one 2^p-byte blob per distinct key per batch, NOT one
-    row per value — max-merged in bounded hash buckets with one
-    vectorized reduce per bucket.  Returns Dataset(key, approx_n).
-    """
+    urls per host at corpus scale) with SPARSE HLL registers: the
+    shuffle carries one (key, register, rank) row per occupied
+    register per key per batch (<= keys x min(2^p, values-per-key)),
+    never one row per value and never a per-key Python loop; the
+    bucket reduce is one lexsort + reduceat.  Estimates are identical
+    to dense-register HLL (missing registers are zeros).  Returns
+    Dataset(key, approx_n)."""
     import pandas as pd
 
     m = 1 << p
@@ -165,33 +193,28 @@ def approx_distinct_per_key(ds, key_col: str, col: str, *, p: int = 8,
             from ..kernels.hashing import content_hash64
 
             h = content_hash64([str(v) for v in vals], seed=seed)
-        order = np.argsort(k, kind="mergesort")
-        ks, hs = k[order], h[order]
-        starts = np.r_[0, np.flatnonzero(ks[1:] != ks[:-1]) + 1]
-        ends = np.r_[starts[1:], len(ks)]
-        keys_out, blobs = [], []
-        for s, e in zip(starts, ends):
-            regs = np.zeros(m, dtype=np.uint8)
-            hll_update(regs, hs[s:e], p)
-            keys_out.append(int(ks[s]))
-            blobs.append(regs.tobytes())
-        bk = (splitmix64(np.asarray(keys_out, dtype=np.uint64)) %
-              np.uint64(n_buckets)).astype(np.int32)
-        return pa.table({key_col: pa.array(keys_out, pa.int64()),
-                         "regs": pa.array(blobs, pa.binary()),
+        reg, rank = _hll_ranks(h, p)
+        ks, rs, mx = _max_per_run(k, reg, rank)
+        bk = (splitmix64(ks.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({key_col: pa.array(ks, pa.int64()),
+                         "reg": pa.array(rs.astype(np.int32)),
+                         "rank": pa.array(mx.astype(np.int8)),
                          "__bk": pa.array(bk)})
 
     def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        k = g[key_col].to_numpy()
-        mat = np.frombuffer(b"".join(g["regs"]), dtype=np.uint8).reshape(len(g), m)
-        order = np.argsort(k, kind="mergesort")
-        ks, mats = k[order], mat[order]
+        ks, _, mx = _max_per_run(g[key_col].to_numpy().astype(np.int64),
+                                 g["reg"].to_numpy().astype(np.int64),
+                                 g["rank"].to_numpy().astype(np.int64))
         starts = np.r_[0, np.flatnonzero(ks[1:] != ks[:-1]) + 1]
         ends = np.r_[starts[1:], len(ks)]
         out_k = ks[starts]
-        est = np.empty(len(starts))
-        for i, (s, e) in enumerate(zip(starts, ends)):
-            est[i] = hll_estimate(mats[s:e].max(axis=0))
+        n_present = (ends - starts).astype(np.int64)
+        inv_sum = np.add.reduceat(np.power(2.0, -mx.astype(np.float64)), starts)
+        zeros = m - n_present
+        est = _alpha(m) * m * m / (inv_sum + zeros)  # missing registers = 2^-0 each
+        small = (est <= 2.5 * m) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            est = np.where(small, m * np.log(m / np.maximum(zeros, 1)), est)
         return pd.DataFrame({key_col: out_k, "approx_n": est})
 
     return (
