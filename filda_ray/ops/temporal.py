@@ -328,7 +328,9 @@ def sessionize(ds, *, key_col: str, ts_col: str, gap_s: int, num_buckets: int = 
     Streaming-shaped op per ray_guide: hash-bucket by key, sort within
     the group, vectorized diff/cumsum — no per-event Python.  Output:
     (key, n_sessions, n_events).  SQL mirror: lag() window + sum of
-    new-session flags.
+    new-session flags.  Scale: one group materializes 1/num_buckets of
+    the events — size ``num_buckets`` proportional to input blocks
+    (results are bucket-count invariant, same contract as asof_join).
     """
 
     def add_bucket(batch: pa.Table) -> pa.Table:

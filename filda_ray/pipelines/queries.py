@@ -278,9 +278,9 @@ def q_climatology(sf_dir: str):
     def prep(b: pa.Table) -> pa.Table:
         texts = b.column("text").to_pylist()
         n = np.fromiter((len(t or "") for t in texts), dtype=np.int64, count=len(texts))
-        from ..sources.pages import host_of_url
+        from ..sources.pages import host_of_url_arrow
 
-        host = host_of_url(b.column("url").to_pylist())
+        host = host_of_url_arrow(b.column("url")).to_numpy(zero_copy_only=False)
         ts = b.column("warc_ts").cast(pa.int64()).to_numpy()
         bucket = temporal.time_bucket(ts, 2_592_000)
         return pa.table(

@@ -187,6 +187,15 @@ def host_of_url(urls) -> np.ndarray:
     return out
 
 
+def host_of_url_arrow(url_col):
+    """Vectorized Arrow twin of ``host_of_url`` (slice + cast; no
+    per-row Python) — the hot-path variant."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.cast(pc.utf8_slice_codeunits(url_col, 12, 16), pa.int64())
+
+
 # ---------------------------------------------------------------------------
 # SQL mirrors (same constants; emit DuckDB expressions)
 # ---------------------------------------------------------------------------
