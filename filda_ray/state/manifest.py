@@ -131,14 +131,62 @@ def write_product(ds, out_dir: str, *, partition_col: str, lineage: dict | None 
     return done
 
 
+def write_product_streaming(ds, out_dir: str, *, partition_col: str,
+                            lineage: dict | None = None):
+    """Streaming variant of ``write_product`` for partitions larger
+    than a worker's heap: Ray Data's native hive-partitioned
+    ``write_parquet`` streams blocks to ``part=<v>/`` files (many
+    files per partition, no per-partition materialization), then the
+    DRIVER writes the success markers from a cheap per-partition
+    count.
+
+    Trade-off vs ``write_product`` (documented contract): commit
+    granularity is the whole RUN, not the partition — a killed run
+    leaves no markers and a resume redoes everything unfinished;
+    use the per-partition writer when partitions fit a task and
+    fine-grained resume matters.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    lineage = dict(lineage or {})
+    from ..kernels.textkit import EXTRACTOR_VERSION
+
+    lineage.setdefault("extractor_version", EXTRACTOR_VERSION)
+    lineage["writer"] = "streaming"
+    # hive partitioning consumes the partition column; partition on a
+    # COPY so the data files keep the original column for readers
+    def addp(b: pa.Table) -> pa.Table:
+        return b.append_column("__part", b.column(partition_col))
+
+    ds = ds.map_batches(addp, batch_format="pyarrow").materialize()  # files + counts
+    ds.write_parquet(out_dir, partition_cols=["__part"])
+    counts = ds.groupby(partition_col).count().to_pandas()
+    part_vals = counts[partition_col].to_numpy()
+    ns = counts["count()" if "count()" in counts.columns else counts.columns[-1]].to_numpy()
+    for part, n in zip(part_vals, ns):
+        pdir = os.path.join(out_dir, f"__part={part}")
+        if not os.path.isdir(pdir):
+            continue
+        # normalize layout to the manifest convention (part=<v>/)
+        norm = os.path.join(out_dir, f"part={int(part)}")
+        os.rename(pdir, norm)
+        with open(os.path.join(norm, SUCCESS), "w") as f:
+            json.dump({"partition": int(part), "rows": int(n), "lineage": lineage}, f)
+    done = load_done(out_dir)
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        for part in sorted(done):
+            f.write(json.dumps(done[part]) + "\n")
+    return done
+
+
 def read_product(out_dir: str):
     """Read a product back as a Dataset (resume/consumer path)."""
     import ray.data as rd
 
-    parts = [
-        os.path.join(out_dir, d, "data.parquet")
-        for d in sorted(os.listdir(out_dir))
-        if d.startswith("part=") and ".tmp-" not in d
-        and os.path.exists(os.path.join(out_dir, d, SUCCESS))
-    ]
+    parts = []
+    for d in sorted(os.listdir(out_dir)):
+        pdir = os.path.join(out_dir, d)
+        if (d.startswith("part=") and ".tmp-" not in d
+                and os.path.exists(os.path.join(pdir, SUCCESS))):
+            parts += [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
+                      if f.endswith(".parquet")]
     return rd.read_parquet(parts)

@@ -94,3 +94,23 @@ def test_inflight_tmp_attempt_not_done_and_rewrite_safe(ray_session, sf_dir, tmp
     assert p not in load_done(out)
     write_detections(sf_dir, out)
     pd.testing.assert_frame_equal(_read_all(out), full)
+
+def test_streaming_writer_equals_partitioned(ray_session, sf_dir, tmp_path):
+    """write_product_streaming (native hive-partitioned streaming
+    write + driver-side markers) must produce the same rows, markers
+    and read-back as the per-partition writer."""
+    from filda_ray.pipelines.flagship import detect_pipeline
+    from filda_ray.state.manifest import (load_done, write_product,
+                                          write_product_streaming)
+
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    done_a = write_product(detect_pipeline(sf_dir), a_dir,
+                           partition_col="pc_tile", sort_cols=["doc_id"])
+    done_b = write_product_streaming(detect_pipeline(sf_dir), b_dir,
+                                     partition_col="pc_tile")
+    assert set(done_a) == set(done_b)
+    assert all(done_a[p]["rows"] == done_b[p]["rows"] for p in done_a)
+    assert all(r["lineage"]["writer"] == "streaming" for r in load_done(b_dir).values())
+    a = _read_all(a_dir)
+    b = _read_all(b_dir)[list(a.columns)]
+    pd.testing.assert_frame_equal(a, b)
