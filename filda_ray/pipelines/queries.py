@@ -1124,6 +1124,44 @@ FROM events e JOIN w
 """
 
 
+def q_window_user_value(sf_dir: str):
+    """Tumbling per-key value aggregate via ``temporal.window_aggregate``
+    (daily buckets per user; integer cents so sums are order-exact)."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy()
+        return pa.table({"user_id": b.column("user_id"), "ts": b.column("ts"),
+                         "cents": pa.array(_round_half_up(v * 100.0).astype(np.int64))})
+
+    out = temporal.window_aggregate(ds.map_batches(cents, batch_format="pyarrow"),
+                                    key_col="user_id", ts_col="ts",
+                                    value_col="cents", bucket_s=86400)
+
+    def clean(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": b.column("user_id").cast(pa.int64()),
+             "bucket_us": b.column("bucket_ts").cast(pa.timestamp("us")).cast(pa.int64()),
+             "sum_value": b.column("sum_value").cast(pa.int64()),
+             "n": b.column("n").cast(pa.int64()),
+             "mean_value": b.column("mean_value").cast(pa.float64())}
+        )
+
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+def sql_window_user_value() -> str:
+    return """
+SELECT user_id,
+       cast(floor(epoch_us(ts) / 86400000000) as bigint) * 86400000000 AS bucket_us,
+       cast(sum(cast(round(value * 100.0) as bigint)) as bigint) AS sum_value,
+       count(*) AS n,
+       cast(sum(cast(round(value * 100.0) as bigint)) as double) / count(*) AS mean_value
+FROM events GROUP BY 1, 2
+"""
+
+
 HOP_SPAN_US = 6 * 3600 * 1_000_000   # 6h windows
 HOP_STEP_US = 3 * 3600 * 1_000_000   # hopping every 3h (overlap 2x)
 N_HOP = 240
@@ -1308,6 +1346,7 @@ QUERIES = {
     "top_anomalies": q_top_anomalies,
     "range_join_windows": q_range_join,
     "hopping_window_agg": q_hopping_agg,
+    "window_user_value": q_window_user_value,
     # rows-only (non-SQL-expressible; covered by pytest goldens/oracles)
     "cells_hex_s2": q_cells,
     "pip_biome": q_pip_biome,
@@ -1358,4 +1397,5 @@ ORACLES = {
     "top_anomalies": sql_top_anomalies(),
     "range_join_windows": sql_range_join(),
     "hopping_window_agg": sql_hopping_agg(),
+    "window_user_value": sql_window_user_value(),
 }
