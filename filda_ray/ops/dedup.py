@@ -53,8 +53,11 @@ def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id",
 
         hexes, h64 = md5_hex64(batch.column(text_col).to_pylist())
         bk = (h64 % np.uint64(n_buckets)).astype(np.int32)
+        # strip pandas metadata inherited from the parquet file schema:
+        # it makes the schema unhashable and every shuffle-reduce task
+        # logs 'Failed to hash the schemas'
         return batch.append_column("content_md5", pa.array(hexes, pa.string())) \
-                    .append_column("__bk", pa.array(bk))
+                    .append_column("__bk", pa.array(bk)).replace_schema_metadata(None)
 
     def first_wins(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["content_md5", id_col], kind="mergesort")
@@ -67,7 +70,9 @@ def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id",
         same_as_prev = ((cm == prev) | (cm.isna() & prev.isna())).to_numpy()
         if len(same_as_prev):
             same_as_prev[0] = False
-        return g.loc[~same_as_prev].drop(columns="__bk").reset_index(drop=True)
+        from . import pd_table
+
+        return pd_table(g.loc[~same_as_prev].drop(columns="__bk").reset_index(drop=True))
 
     return ds.map_batches(hash_and_bucket, batch_format="pyarrow").groupby(
         "__bk"
@@ -160,9 +165,11 @@ def _dedup_pairs_ds(cand):
         h = splitmix64(a * np.uint64(0x9E3779B9) ^ bb)
         return b.append_column("__bk", pa.array((h % np.uint64(N_SHUFFLE_BUCKETS)).astype(np.int32)))
 
-    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+    def uniq(g: pd.DataFrame):
+        from . import pd_table
+
         g = g.drop(columns="__bk")
-        return g.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
+        return pd_table(g.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True))
 
     return cand.map_batches(bucket, batch_format="pyarrow").groupby("__bk").map_groups(
         uniq, batch_format="pandas"
@@ -200,11 +207,13 @@ def minhash_lsh_pairs(ds, *, concurrency: int = 4, shingle_w: int = 3):
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs(g: pd.DataFrame):
+        from . import pd_table
+
         a, b = _pairs_from_runs(
             g["key"].to_numpy().astype(np.uint64), g["doc_id"].to_numpy().astype(np.int64)
         )
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+        return pd_table(pd.DataFrame({"doc_a": a, "doc_b": b}))
 
     cand = (
         banded.map_batches(bucket, batch_format="pyarrow")
@@ -342,9 +351,11 @@ def simhash_pairs(ds, *, max_hamming: int = 6):
         )
         hd = textkit.hamming64(sa, sb) if len(a) else np.empty(0, dtype=np.int64)
         keep = hd <= max_hamming
-        return pd.DataFrame(
+        from . import pd_table
+
+        return pd_table(pd.DataFrame(
             {"doc_a": a[keep], "doc_b": b[keep], "hamming": hd[keep].astype(np.int64)}
-        )
+        ))
 
     cand = (
         banded.map_batches(bucket, batch_format="pyarrow")

@@ -94,8 +94,11 @@ def cosine_topk(ds, queries: np.ndarray, k: int = 10, *, concurrency: int = 4,
         concurrency=autoscale(concurrency),
     )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+    def final(g: pd.DataFrame):
+        from . import pd_table
+
+        return pd_table(g.sort_values(["cosine", "vec_id"],
+                                      ascending=[False, True]).head(k))
 
     return partial.groupby("query_id").map_groups(final, batch_format="pandas")
 
@@ -283,20 +286,22 @@ def embedding_neardup(ds, *, threshold: float = 0.9, nbits: int = 10,
              "emb": emb}
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs(g: pd.DataFrame):
+        from . import pd_table
+
         ids = g["vec_id"].to_numpy().astype(np.int64)
         if len(ids) < 2 or len(ids) > max_bucket:
-            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
-                                 "doc_b": pd.Series(dtype=np.int64),
-                                 "cosine": pd.Series(dtype=np.float64)})
+            return pd_table(pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                                          "doc_b": pd.Series(dtype=np.int64),
+                                          "cosine": pd.Series(dtype=np.float64)}))
         m = np.vstack(g["emb"].to_numpy()).astype(np.float32)
         sims = (m @ m.T).astype(np.float64)
         iu, ju = np.triu_indices(len(ids), k=1)
         keep = (sims[iu, ju] >= threshold) & (ids[iu] != ids[ju])
         a, b = ids[iu[keep]], ids[ju[keep]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"doc_a": lo, "doc_b": hi,
-                             "cosine": sims[iu[keep], ju[keep]]})
+        return pd_table(pd.DataFrame({"doc_a": lo, "doc_b": hi,
+                                      "cosine": sims[iu[keep], ju[keep]]}))
 
     from .dedup import _dedup_pairs_ds
 
