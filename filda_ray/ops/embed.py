@@ -84,12 +84,18 @@ def cosine_topk(ds, queries: np.ndarray, k: int = 10, *, concurrency: int = 4,
     sort+limit per query — the shuffle carries k rows per (batch,
     query), not the corpus.
     """
-    import ray
+    # the query matrix is tiny (nq x dim): capture it in the actor
+    # class closure (serialized with the task spec) — object-store
+    # constructor args make restartable actors fragile (ray#53727)
+    # and log an error-level advisory
+    q = np.asarray(queries, dtype=dtype)
 
-    q_ref = ray.put(np.asarray(queries, dtype=dtype))
+    class Stage(CosineTopK):
+        def __init__(self):
+            super().__init__(q, k, dtype)
+
     partial = ds.map_batches(
-        CosineTopK,
-        fn_constructor_args=(q_ref, k, dtype),
+        Stage,
         batch_format="pyarrow",
         concurrency=autoscale(concurrency),
     )
