@@ -103,3 +103,42 @@ def test_pc_neighbors_contains_self_and_symmetric(vals, ring):
     ids = nb[0][keep[0]]
     assert int(t[0]) in ids.tolist()
     assert len(set(ids.tolist())) == len(ids)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+                min_size=2, max_size=40),
+       st.floats(min_value=0.3, max_value=1.0))
+def test_hdi_bounds_properties(vals, frac):
+    """HDI window: lo <= hi, both are data points, and the window
+    contains at least ceil(frac*d) of the sorted values."""
+    from filda_ray.kernels.stats import hdi_bounds
+
+    s = np.sort(np.array([vals], dtype=np.float64), axis=1)
+    lo, hi = hdi_bounds(s, frac)
+    assert lo[0] <= hi[0]
+    assert lo[0] in s[0] and hi[0] in s[0]
+    m = int(np.ceil(frac * s.shape[1]))
+    assert ((s[0] >= lo[0]) & (s[0] <= hi[0])).sum() >= m
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.floats(min_value=0, max_value=1e4, allow_nan=False),
+                min_size=10, max_size=400),
+       st.integers(min_value=0, max_value=3))
+def test_quantile_sketch_merge_bounds(vals, split_seed):
+    """Merged sketches answer quantiles within the data's range and
+    match the unsplit sketch's level-0-exact regime for small inputs."""
+    from filda_ray.ops.sketch import QuantileSketch
+
+    v = np.array(vals, dtype=np.float64)
+    cut = len(v) // 2
+    a = QuantileSketch(k=256, seed=split_seed).add(v[:cut])
+    b = QuantileSketch(k=256, seed=split_seed + 1).add(v[cut:])
+    a.merge(b)
+    for q in (0.0, 0.5, 1.0):
+        est = a.quantile(q)
+        assert v.min() <= est <= v.max()
+    if len(v) <= 256:
+        # no compaction happened -> exact rank semantics
+        assert a.quantile(0.5) in v
