@@ -86,20 +86,27 @@ def pc_neighbors(tile_id: np.ndarray, ring: int = 1, tile_deg: float = PC_TILE_D
     return out
 
 
+def rowwise_first_occurrence_mask(mat: np.ndarray) -> np.ndarray:
+    """Boolean mask keeping the FIRST occurrence of each value per row
+    (row width is small — neighbor/prefix fans of <= ~25 — so the
+    O(w^2) column comparison is cheap and fully vectorized over rows).
+    Shared by every halo/re-key emitter."""
+    n, w = mat.shape
+    keep = np.ones((n, w), dtype=bool)
+    for j in range(1, w):
+        dup = np.zeros(n, dtype=bool)
+        for i in range(j):
+            dup |= mat[:, j] == mat[:, i]
+        keep[:, j] = ~dup
+    return keep
+
+
 def pc_distinct_neighbors_mask(tile_id: np.ndarray, ring: int = 1,
                                tile_deg: float = PC_TILE_DEG):
     """(neighbors, keep_mask): keep_mask deduplicates clamped/self ids
     per row so a flat_map re-key emits each (row, neighbor) pair once."""
     nb = pc_neighbors(tile_id, ring, tile_deg)
-    n, w = nb.shape
-    keep = np.ones((n, w), dtype=bool)
-    # mark duplicates within each row (w is small: 9 or 25)
-    for j in range(1, w):
-        dup = np.zeros(n, dtype=bool)
-        for i in range(j):
-            dup |= nb[:, j] == nb[:, i]
-        keep[:, j] = ~dup
-    return nb, keep
+    return nb, rowwise_first_occurrence_mask(nb)
 
 
 # ---------------------------------------------------------------------------

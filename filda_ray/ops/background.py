@@ -296,13 +296,7 @@ def background_stats_hex(ds, value_col: str, cell_col: str = "hex_r7",
         pfx = cells.hex_prefix(disk.ravel(), prefix_shift).reshape(disk.shape)
         own = cells.hex_prefix(c, prefix_shift)
         m = disk.shape[1]
-        keep = np.ones_like(pfx, dtype=bool)
-        for j in range(1, m):
-            dup = np.zeros(len(c), dtype=bool)
-            for i in range(j):
-                dup |= pfx[:, j] == pfx[:, i]
-            keep[:, j] = ~dup
-        flat = keep.ravel()
+        flat = cells.rowwise_first_occurrence_mask(pfx).ravel()
         return pa.table(
             {"cell": pa.array(np.repeat(c, m)[flat], pa.uint64()),
              "value": pa.array(np.repeat(v, m)[flat]),
@@ -352,13 +346,7 @@ def _rekey_batch(batch: pa.Table, value_col: str, tile_col: str,
     dcol = np.minimum(dcol, ncols - dcol)  # lon wrap distance
     ring = np.maximum(np.abs(nrow - row[:, None]), dcol).astype(np.int8)
     n, w = nb.shape
-    keep = np.ones((n, w), dtype=bool)
-    for j in range(1, w):
-        dup = np.zeros(n, dtype=bool)
-        for i in range(j):
-            dup |= nb[:, j] == nb[:, i]
-        keep[:, j] = ~dup
-    flat = keep.ravel()
+    flat = cells.rowwise_first_occurrence_mask(nb).ravel()
     return pa.table(
         {
             "center_tile": pa.array(nb.ravel()[flat].astype(np.int32)),

@@ -127,16 +127,9 @@ def knn_hotspots(ds, *, k_ring: int = 1, cell_col: str = "hex_r7",
         disk = cells.hex_disk(c, k_ring)            # (rows, m)
         pfx = cells.hex_prefix(disk.ravel(), prefix_shift).reshape(disk.shape)
         own = cells.hex_prefix(c, prefix_shift)
-        rows_c, rows_n, rows_p, rows_owned = [], [], [], []
         m = disk.shape[1]
         # distinct prefixes per row (m small: 7 or 19)
-        keep = np.ones_like(pfx, dtype=bool)
-        for j in range(1, m):
-            dup = np.zeros(len(c), dtype=bool)
-            for i in range(j):
-                dup |= pfx[:, j] == pfx[:, i]
-            keep[:, j] = ~dup
-        flat = keep.ravel()
+        flat = cells.rowwise_first_occurrence_mask(pfx).ravel()
         cc = np.repeat(c, m)[flat]
         nn = np.repeat(n, m)[flat]
         pp = pfx.ravel()[flat]
