@@ -147,6 +147,12 @@ def write_product_streaming(ds, out_dir: str, *, partition_col: str,
     fine-grained resume matters.
     """
     os.makedirs(out_dir, exist_ok=True)
+    # a crashed prior run leaves un-renamed __part= dirs (no markers);
+    # rerunning would APPEND files into them and duplicate rows —
+    # clean in-flight state first (completed part= dirs are untouched)
+    for d in os.listdir(out_dir):
+        if d.startswith("__part="):
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
     lineage = dict(lineage or {})
     from ..kernels.textkit import EXTRACTOR_VERSION
 
@@ -166,8 +172,11 @@ def write_product_streaming(ds, out_dir: str, *, partition_col: str,
         pdir = os.path.join(out_dir, f"__part={part}")
         if not os.path.isdir(pdir):
             continue
-        # normalize layout to the manifest convention (part=<v>/)
+        # normalize layout to the manifest convention (part=<v>/);
+        # a rerun over an existing product replaces the partition
+        # (same overwrite semantics as write_product)
         norm = os.path.join(out_dir, f"part={int(part)}")
+        shutil.rmtree(norm, ignore_errors=True)
         os.rename(pdir, norm)
         with open(os.path.join(norm, SUCCESS), "w") as f:
             json.dump({"partition": int(part), "rows": int(n), "lineage": lineage}, f)

@@ -114,3 +114,25 @@ def test_streaming_writer_equals_partitioned(ray_session, sf_dir, tmp_path):
     a = _read_all(a_dir)
     b = _read_all(b_dir)[list(a.columns)]
     pd.testing.assert_frame_equal(a, b)
+
+def test_streaming_writer_crash_rerun_no_duplicates(ray_session, sf_dir, tmp_path):
+    """A crashed streaming run leaves stale __part= dirs; a rerun (and
+    a rerun over a completed product) must not duplicate rows."""
+    from filda_ray.pipelines.flagship import detect_pipeline
+    from filda_ray.state.manifest import write_product_streaming
+
+    out = str(tmp_path / "s")
+    os.makedirs(out)
+    # simulate in-flight leftovers from a crashed attempt
+    stale = os.path.join(out, "__part=999")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    write_product_streaming(detect_pipeline(sf_dir), out, partition_col="pc_tile")
+    first = _read_all(out)
+    assert len(first) == 500
+    assert not os.path.exists(stale)
+    # rerun over the completed product: replaced, not appended
+    write_product_streaming(detect_pipeline(sf_dir), out, partition_col="pc_tile")
+    again = _read_all(out)
+    assert len(again) == 500
