@@ -136,3 +136,27 @@ def test_streaming_writer_crash_rerun_no_duplicates(ray_session, sf_dir, tmp_pat
     write_product_streaming(detect_pipeline(sf_dir), out, partition_col="pc_tile")
     again = _read_all(out)
     assert len(again) == 500
+
+def test_write_partitioned_by_hex_prefix(ray_session, sf_dir, tmp_path):
+    """north_rule 'partition by H3 prefix': the product writer accepts
+    the hex partition key via config; markers, lineage and resume work
+    identically."""
+    from filda_ray.config import RunConfig
+    from filda_ray.pipelines.flagship import write_detections
+    from filda_ray.state.manifest import load_done
+
+    cfg = RunConfig()
+    cfg.partition_col = "hex_prefix"
+    out = str(tmp_path / "hexprod")
+    write_detections(sf_dir, out, config=cfg)
+    done = load_done(out)
+    assert len(done) > 1
+    assert sum(r["rows"] for r in done.values()) == 500
+    assert next(iter(done.values()))["lineage"]["config"]["partition_col"] == "hex_prefix"
+    full = _read_all(out)
+    assert len(full) == 500
+    # resume: drop one partition, rerun, converge
+    p = sorted(done)[0]
+    shutil.rmtree(os.path.join(out, f"part={p}"))
+    write_detections(sf_dir, out, config=cfg)
+    assert len(_read_all(out)) == 500
