@@ -24,6 +24,7 @@ KEYWORDS = {
     "Z low": "z_lo",
     "Z high": "z_hi",
     "Trim fraction": "trim_frac",
+    "Quantize": "quantize",
     "Replicate": "replicate",
     "Concurrency": "concurrency",
     "Materialize narrow?": "materialize_narrow",
@@ -44,6 +45,12 @@ class RunConfig:
     z_lo: float = 3.0
     z_hi: float = 6.0
     trim_frac: float = 0.25
+    # background histogram quantum: bounds the value domain for
+    # continuous metrics (distinct values <= range/quantize per tile).
+    # 1.0 is EXACT for integer metrics (the default value_col) and
+    # unit-bin approximate for floats; 'None' restores exact float
+    # medians at unbounded-domain cost.
+    quantize: float | None = 1.0
     replicate: int = 1
     concurrency: int | None = None
     materialize_narrow: bool = True

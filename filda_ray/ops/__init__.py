@@ -12,6 +12,62 @@ def autoscale(concurrency):
     return (1, concurrency) if isinstance(concurrency, int) else concurrency
 
 
+def input_size_bytes(ds):
+    """Best-effort input size of a (possibly lazy) Dataset from plan
+    metadata, WITHOUT triggering execution.
+
+    ``Dataset.size_bytes()`` executes the plan when the top-level op
+    lacks metadata, so it cannot be used for planning.  Instead walk
+    the logical DAG upward until some ancestor (usually the Parquet
+    read) knows its size — a map chain roughly preserves data volume,
+    so the nearest known ancestor is a fine planning estimate.
+    Returns ``None`` when nothing in the lineage knows.
+    """
+    try:
+        node = ds._logical_plan.dag
+        for _ in range(64):
+            if node is None:
+                return None
+            meta = node.infer_metadata()
+            if meta.size_bytes is not None:
+                return meta.size_bytes
+            deps = node.input_dependencies
+            node = deps[0] if deps else None
+    except Exception:
+        return None
+    return None
+
+
+def derive_buckets(ds, *, bytes_per_bucket=256 << 20, lo=None, hi=65536,
+                   default=64):
+    """Default shuffle-bucket count proportional to input bytes.
+
+    Every bounded-bucket shuffle in the engine (dedup_exact,
+    distinct_rows, pair dedup, asof carry partitions, sessionize)
+    processes ONE bucket as one vectorized pandas/numpy group, so a
+    bucket must fit in a worker heap: size the count so a bucket is
+    ~``bytes_per_bucket`` (default 256 MiB) of input.  A fixed
+    constant (the round-2 default of 16/64) would make a bucket =
+    corpus/64 at 100 TB.  Falls back to ``default`` when the lineage
+    has no size metadata (rare: all engine entry points start at a
+    Parquet read, whose size is known from file metadata).
+    """
+    if lo is None:
+        # keep every core busy on small inputs: floor at 2x cluster CPUs
+        lo = 16
+        try:
+            import ray
+
+            if ray.is_initialized():
+                lo = max(lo, 2 * int(ray.cluster_resources().get("CPU", 0)))
+        except Exception:
+            pass
+    sz = input_size_bytes(ds)
+    if sz is None:
+        return max(default, lo)
+    return int(min(hi, max(lo, -(-sz // bytes_per_bucket))))
+
+
 def pd_table(df):
     """pandas -> Arrow with schema metadata stripped.
 

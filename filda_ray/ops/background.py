@@ -8,16 +8,17 @@ when populated, else ring-2 (5x5) — recorded in win_ring / QA bits.
 
 Two scalable implementations, identical results:
 
-1. ``background_stats`` (default, integer-valued metrics): per-batch
-   (tile, value) -> COUNT HISTOGRAM partials (np.unique — vectorized,
-   mergeable, tiny: <= #tiles x #distinct values), merged once, then
-   exact weighted median/MAD per tile from merged counts, including
-   the ring-1/ring-2 neighborhoods, computed in milliseconds.  This is
-   the survey's A4 'per-cell sums aggregated over neighborhood key'
-   design: the all-to-all shuffle of raw rows disappears entirely —
-   only O(tiles x distinct-values) partial rows move.  Exactness: for
-   discrete-valued metrics the histogram median IS the exact median
-   (numpy/DuckDB interpolation reproduced on ranks).
+1. ``background_stats`` (default): per-batch (tile, value) -> COUNT
+   HISTOGRAM partials (np.unique — vectorized, mergeable, tiny:
+   <= #tiles x #distinct values), halo re-keyed to neighbor center
+   tiles and merged by one groupby(center_tile) — fully distributed,
+   the driver never holds a histogram.  This is the survey's A4
+   'per-cell sums aggregated over neighborhood key' design: the
+   all-to-all shuffle of raw rows disappears entirely — only
+   O(tiles x distinct-values x window) partial rows move.  Exactness:
+   for discrete-valued metrics the histogram median IS the exact
+   median (numpy/DuckDB interpolation reproduced on ranks); for
+   continuous metrics pass ``quantize`` to bound the value domain.
 
 2. ``background_stats_shuffle`` (general floats): re-key each row to
    its <=25 neighbor tiles and groupby(tile).map_groups median/MAD —
@@ -78,30 +79,6 @@ def _hist_partial(batch: pa.Table, value_col: str, tile_col: str,
     )
 
 
-def _merge_partials(batch: pa.Table) -> pa.Table:
-    """Sum counts of identical (tile, value) pairs across partials."""
-    t = batch.column("tile").to_numpy().astype(np.int64)
-    v = batch.column("value").to_numpy()
-    n = batch.column("n").to_numpy()
-    vi = v.astype(np.int64)
-    if v.size and (vi == v).all() and vi.min() >= 0 and vi.max() < (1 << 31):
-        key = (t << np.int64(32)) | vi
-        uk, inv = np.unique(key, return_inverse=True)
-        sums = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)
-        return pa.table(
-            {
-                "tile": pa.array((uk >> np.int64(32)).astype(np.int32)),
-                "value": pa.array((uk & np.int64(0xFFFFFFFF)).astype(np.float64)),
-                "n": pa.array(sums),
-            }
-        )
-    import pandas as pd
-
-    df = pd.DataFrame({"tile": t.astype(np.int32), "value": v, "n": n})
-    agg = df.groupby(["tile", "value"], sort=True)["n"].sum().reset_index()
-    return pa.Table.from_pandas(agg, preserve_index=False)
-
-
 def _weighted_median(values: np.ndarray, counts: np.ndarray) -> float:
     """Exact median of the multiset {values repeated counts times},
     matching numpy/DuckDB linear interpolation (avg of the two middle
@@ -146,59 +123,96 @@ TRIM_FRAC = 0.25  # lowest-25% background mean, FILDA.py:1362-1368
 def background_stats(ds, value_col: str, tile_col: str = "pc_tile",
                      tile_deg: float = cells.PC_TILE_DEG,
                      rings: tuple = DEFAULT_RINGS, trim_frac: float = TRIM_FRAC,
-                     quantize: float | None = None):
+                     quantize: float | None = None, block: int = 6):
     """Dataset op: rows -> per-tile background stats table (histogram
-    path; exact for discrete-valued metrics).
+    path; exact for discrete-valued metrics, quantize-step approximate
+    for continuous ones when ``quantize`` is set).
 
     ``rings`` is the adaptive-window ladder (reference grows half-win
     5->31 step 1, FILDA.py:804-845; the engine escalates through a
     configurable ring list instead).  Columns out, per ring k:
     bg{k}_{median,mad,n,trim} — trim is the lowest-``trim_frac`` mean
     of the same window (FRP background analog, FILDA.py:1335-1368).
-    """
-    import ray.data as rd
 
+    Distributed design (no driver materialization — the same
+    halo-exchange pattern as ``background_stats_hex``): per-batch
+    (tile, value, n) count partials are emitted to the ``block`` x
+    ``block`` tile-block of every tile in their max-ring neighborhood
+    (a boundary row is visible to adjacent blocks; interior rows emit
+    once), then each block group computes exact weighted
+    median/MAD/trim for its OWNED populated tiles only, fully
+    vectorized (one ``grouped_weighted_median_mad`` per ring, never a
+    per-tile Python call).  The driver never holds a histogram; a
+    group is bounded by (block+2k)^2 x distinct values per tile, which
+    ``quantize`` caps for continuous metrics.
+    """
     from ..kernels.stats import grouped_weighted_low_mean, grouped_weighted_median_mad
 
+    max_ring = max(rings)
+    assert block > max_ring  # a halo only reaches adjacent blocks
+    ncols = int(round(360.0 / tile_deg))
+    nbc = -(-ncols // block)
     parts = ds.select_columns([tile_col, value_col]).map_batches(
         lambda b: _hist_partial(b, value_col, tile_col, quantize), batch_format="pyarrow"
     )
-    # tree reduce: coalesce partials and re-merge in parallel so the
-    # driver only ever sees <= 8 merged histograms (each bounded by
-    # #tiles x #distinct values), not one partial per input block
-    parts = parts.repartition(8).map_batches(_merge_partials, batch_format="pyarrow")
-    df = parts.to_pandas()
-    if df.empty:
-        df = pd.DataFrame({"tile": pd.Series(dtype=np.int32),
-                           "value": pd.Series(dtype=np.float64),
-                           "n": pd.Series(dtype=np.int64)})
-    merged = df.groupby(["tile", "value"], sort=True)["n"].sum().reset_index()
 
-    tiles = merged["tile"].to_numpy().astype(np.int64)
-    vals = merged["value"].to_numpy().astype(np.float64)
-    cnts = merged["n"].to_numpy().astype(np.int64)
-    uniq_tiles = np.unique(tiles)
-    starts = np.searchsorted(tiles, uniq_tiles, side="left")
-    ends = np.searchsorted(tiles, uniq_tiles, side="right")
+    def halo(batch: pa.Table) -> pa.Table:
+        t = batch.column("tile").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        nb = cells.pc_neighbors(t, max_ring, tile_deg).astype(np.int64)
+        blk = ((nb // ncols) // block) * nbc + (nb % ncols) // block
+        own = ((t // ncols) // block) * nbc + (t % ncols) // block
+        w = nb.shape[1]
+        flat = cells.rowwise_first_occurrence_mask(blk).ravel()
+        return pa.table(
+            {"tile": pa.array(np.repeat(t, w)[flat].astype(np.int32)),
+             "value": pa.array(np.repeat(v, w)[flat]),
+             "n": pa.array(np.repeat(n, w)[flat]),
+             "blk": pa.array(blk.ravel()[flat].astype(np.int32)),
+             "owned": pa.array(np.repeat(own, w)[flat] == blk.ravel()[flat])}
+        )
 
-    out = {"pc_tile": pa.array(uniq_tiles.astype(np.int32))}
+    halo_ds = parts.map_batches(halo, batch_format="pyarrow")
+    empty_cols = {"pc_tile": pd.Series(dtype=np.int32)}
     for k in rings:
-        nb, keep = cells.pc_distinct_neighbors_mask(uniq_tiles.astype(np.int32), k, tile_deg)
-        pos = np.searchsorted(uniq_tiles, nb)
-        pos_c = np.clip(pos, 0, max(len(uniq_tiles) - 1, 0))
-        hit = keep & (len(uniq_tiles) > 0) & (uniq_tiles[pos_c] == nb)
-        ss = np.where(hit, starts[pos_c], 0).ravel()
-        ll = np.where(hit, ends[pos_c] - starts[pos_c], 0).ravel()
-        oi = np.broadcast_to(np.arange(len(uniq_tiles))[:, None], nb.shape).ravel()
-        owner, idx = _expand_slices(ss, ll, oi)
-        med, mad, n = grouped_weighted_median_mad(owner, vals[idx], cnts[idx], len(uniq_tiles))
-        trim, _ = grouped_weighted_low_mean(owner, vals[idx], cnts[idx], len(uniq_tiles),
-                                            frac=trim_frac)
-        out[f"bg{k}_median"] = pa.array(med)
-        out[f"bg{k}_mad"] = pa.array(mad)
-        out[f"bg{k}_n"] = pa.array(n)
-        out[f"bg{k}_trim"] = pa.array(trim)
-    return rd.from_arrow(pa.table(out))
+        empty_cols[f"bg{k}_median"] = pd.Series(dtype=np.float64)
+        empty_cols[f"bg{k}_mad"] = pd.Series(dtype=np.float64)
+        empty_cols[f"bg{k}_n"] = pd.Series(dtype=np.int64)
+        empty_cols[f"bg{k}_trim"] = pd.Series(dtype=np.float64)
+
+    def per_block(g: pd.DataFrame) -> pd.DataFrame:
+        tiles = g["tile"].to_numpy().astype(np.int64)
+        vals = g["value"].to_numpy().astype(np.float64)
+        cnts = g["n"].to_numpy().astype(np.int64)
+        owned = g["owned"].to_numpy().astype(bool)
+        ot = np.unique(tiles[owned])
+        if ot.size == 0:
+            return pd.DataFrame(empty_cols)
+        order = np.lexsort((vals, tiles))
+        st, sv, sn = tiles[order], vals[order], cnts[order]
+        uniq_tiles, starts = np.unique(st, return_index=True)
+        ends = np.r_[starts[1:], len(st)]
+        out = {"pc_tile": ot.astype(np.int32)}
+        for k in rings:
+            nb, keep = cells.pc_distinct_neighbors_mask(ot.astype(np.int32), k, tile_deg)
+            pos = np.searchsorted(uniq_tiles, nb)
+            pos_c = np.clip(pos, 0, max(len(uniq_tiles) - 1, 0))
+            hit = keep & (uniq_tiles[pos_c] == nb)
+            ss = np.where(hit, starts[pos_c], 0).ravel()
+            ll = np.where(hit, ends[pos_c] - starts[pos_c], 0).ravel()
+            oi = np.broadcast_to(np.arange(len(ot))[:, None], nb.shape).ravel()
+            owner, idx = _expand_slices(ss, ll, oi)
+            med, mad, n = grouped_weighted_median_mad(owner, sv[idx], sn[idx], len(ot))
+            trim, _ = grouped_weighted_low_mean(owner, sv[idx], sn[idx], len(ot),
+                                                frac=trim_frac)
+            out[f"bg{k}_median"] = med
+            out[f"bg{k}_mad"] = mad
+            out[f"bg{k}_n"] = n
+            out[f"bg{k}_trim"] = trim
+        return pd.DataFrame(out)
+
+    return halo_ds.groupby("blk").map_groups(per_block, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

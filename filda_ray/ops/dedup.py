@@ -22,6 +22,7 @@ import pyarrow as pa
 from ..kernels import textkit
 from ..kernels.hashing import md5_hex
 from . import autoscale
+from . import derive_buckets as autoscale_buckets
 
 MAX_BUCKET = 1000  # runaway-bucket guard (drop, per ray_guide near-dup notes)
 N_SHUFFLE_BUCKETS = 64
@@ -36,7 +37,7 @@ def add_content_hash(ds, text_col: str = "text", out_col: str = "content_md5"):
 
 
 def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id",
-                n_buckets: int = N_SHUFFLE_BUCKETS):
+                n_buckets: int | None = None):
     """Keep the min-id row per distinct content (deterministic winner).
 
     Scale design: at web scale ~every document is unique, so a
@@ -45,8 +46,12 @@ def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id",
     bucket (md5's first 8 bytes % n_buckets — uniform by construction,
     no salting needed) and each bucket runs ONE vectorized sort +
     first-wins pass, the same pattern as ``relational.distinct_rows``
-    and the minhash band buckets.
+    and the minhash band buckets.  ``n_buckets`` defaults to
+    bytes-proportional (``derive_buckets``) so a bucket stays ~one
+    worker-heap's worth of rows at any corpus size.
     """
+    if n_buckets is None:
+        n_buckets = autoscale_buckets(ds)
 
     def hash_and_bucket(batch: pa.Table) -> pa.Table:
         from ..kernels.hashing import md5_hex64
@@ -154,16 +159,18 @@ def _pairs_from_runs(key: np.ndarray, doc: np.ndarray, extra: np.ndarray | None 
     return res + (np.concatenate(ex_a), np.concatenate(ex_b))
 
 
-def _dedup_pairs_ds(cand):
+def _dedup_pairs_ds(cand, n_buckets: int | None = None):
     """Global (doc_a, doc_b) dedup via bounded hash buckets + one
     vectorized unique per bucket (no per-pair UDF calls)."""
     from ..kernels.hashing import splitmix64
+
+    nb = n_buckets or autoscale_buckets(cand)
 
     def bucket(b: pa.Table) -> pa.Table:
         a = b.column("doc_a").to_numpy().astype(np.uint64)
         bb = b.column("doc_b").to_numpy().astype(np.uint64)
         h = splitmix64(a * np.uint64(0x9E3779B9) ^ bb)
-        return b.append_column("__bk", pa.array((h % np.uint64(N_SHUFFLE_BUCKETS)).astype(np.int32)))
+        return b.append_column("__bk", pa.array((h % np.uint64(nb)).astype(np.int32)))
 
     def uniq(g: pd.DataFrame):
         from . import pd_table
@@ -188,6 +195,7 @@ def minhash_lsh_pairs(ds, *, concurrency: int = 4, shingle_w: int = 3):
     """
     from ..kernels.hashing import hash_combine
 
+    nb = autoscale_buckets(ds)
     banded = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs={"shingle_w": shingle_w},
@@ -203,7 +211,7 @@ def minhash_lsh_pairs(ds, *, concurrency: int = 4, shingle_w: int = 3):
             {
                 "key": pa.array(key, pa.uint64()),
                 "doc_id": b.column("doc_id"),
-                "__bk": pa.array((key % np.uint64(N_SHUFFLE_BUCKETS)).astype(np.int32)),
+                "__bk": pa.array((key % np.uint64(nb)).astype(np.int32)),
             }
         )
 
@@ -223,68 +231,157 @@ def minhash_lsh_pairs(ds, *, concurrency: int = 4, shingle_w: int = 3):
     return _dedup_pairs_ds(cand)
 
 
+def _shingle_sig_stage(id_col: str, text_col: str, shingle_w: int):
+    """map_batches fn: (id, text) -> (id, sig:large_binary) where sig is
+    the sorted-unique uint64 shingle-hash set as raw little-endian bytes.
+    Binary (not list<uint64>) so the column survives an Acero hash join
+    (Acero rejects list payload columns)."""
+
+    def sig(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        texts = batch.column(text_col).to_pylist()
+        hs = [textkit.shingle_hashes(t or "", shingle_w).tobytes() for t in texts]
+        return pa.table({id_col: ids, "sig": pa.array(hs, pa.large_binary())})
+
+    return sig
+
+
+def _jaccard_from_sig_cols(batch: pa.Table, a_col: str, b_col: str) -> np.ndarray:
+    """Per-row exact Jaccard between two binary signature columns."""
+    sa = batch.column(a_col).combine_chunks() if isinstance(
+        batch.column(a_col), pa.ChunkedArray) else batch.column(a_col)
+    sb = batch.column(b_col).combine_chunks() if isinstance(
+        batch.column(b_col), pa.ChunkedArray) else batch.column(b_col)
+    empty = np.empty(0, dtype=np.uint64)
+
+    def dec(v):
+        return np.frombuffer(v, dtype=np.uint64) if v is not None else empty
+
+    return np.fromiter(
+        (textkit.jaccard(dec(x.as_py()), dec(y.as_py())) for x, y in zip(sa, sb)),
+        dtype=np.float64, count=len(batch),
+    )
+
+
 def verify_jaccard_op(pairs, docs, *, text_col: str = "text", id_col: str = "doc_id",
-                      shingle_w: int = 3, threshold: float = 0.7):
+                      shingle_w: int = 3, threshold: float = 0.7,
+                      mode: str = "auto", broadcast_max_pairs: int = 100_000):
     """Distributed exact-Jaccard verification of LSH candidate pairs.
 
     Scale design: the expensive work — shingling each candidate
     document — streams over the corpus as a ``map_batches`` stage,
-    semi-filtered to candidate ids so non-candidate documents are
-    never touched; the per-pair set intersections then stream over
-    the PAIRS dataset.  The only broadcast is the candidate signature
-    table, bounded by 2 x #pairs documents (the LSH contract that
-    candidates are rare); if candidates ever outgrow the object store,
-    swap the broadcast for a hash join of pairs vs signatures on each
-    side's id.
+    restricted to candidate ids so non-candidate documents are never
+    shingled.  Two paths, chosen by MEASURED candidate-pair count:
+
+    - ``broadcast`` (pair count <= ``broadcast_max_pairs``): candidate
+      ids are semi-filtered by a broadcast key set and the signature
+      table is ``ray.put`` once; verification streams over pairs.
+      One round-trip fewer than the join path; right whenever the LSH
+      rare-candidate contract holds.
+    - ``join`` (adversarial corpora — templated boilerplate where LSH
+      emits pairs far beyond "rare"): nothing lands on the driver.
+      Candidate ids = distinct-rows over both pair sides; candidate
+      docs = hash join docs x ids; signatures joined back to pairs on
+      doc_a then doc_b via two hash joins.  Driver holds only the
+      pair COUNT.
+
+    The pairs dataset is materialized once (object store, spillable —
+    never the driver heap) to get the count and feed both joins.
     """
-    import ray
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if mode == "auto":
+        mode = "broadcast" if n_pairs <= broadcast_max_pairs else "join"
 
-    from .relational import semi_anti_filter
-    from .workercache import worker_state
+    sig_fn = _shingle_sig_stage(id_col, text_col, shingle_w)
 
-    pairs_tbl = pa.concat_tables(
-        list(pairs.iter_batches(batch_format="pyarrow", batch_size=None))
-    )
-    a = pairs_tbl.column("doc_a").to_numpy().astype(np.int64)
-    b = pairs_tbl.column("doc_b").to_numpy().astype(np.int64)
-    cand_ids = np.unique(np.concatenate([a, b])) if len(a) else np.empty(0, np.int64)
+    if mode == "broadcast":
+        import ray
 
-    cand_docs = semi_anti_filter(
-        docs.select_columns([id_col, text_col]), cand_ids, on=id_col
-    )
+        from .relational import semi_anti_filter
+        from .workercache import worker_state
 
-    def sig(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy()
-        texts = batch.column(text_col).to_pylist()
-        hs = [textkit.shingle_hashes(t or "", shingle_w) for t in texts]
-        return pa.table(
-            {id_col: pa.array(ids),
-             "sig": pa.array([h.tolist() for h in hs], pa.large_list(pa.uint64()))}
+        pairs_tbl = pa.concat_tables(
+            list(pairs.iter_batches(batch_format="pyarrow", batch_size=None))
         )
+        a = pairs_tbl.column("doc_a").to_numpy().astype(np.int64)
+        b = pairs_tbl.column("doc_b").to_numpy().astype(np.int64)
+        cand_ids = np.unique(np.concatenate([a, b])) if len(a) else np.empty(0, np.int64)
 
-    sig_tbl = pa.concat_tables(
-        list(cand_docs.map_batches(sig, batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow", batch_size=None))
-    )
-    by_id = {int(i): np.asarray(s, dtype=np.uint64)
-             for i, s in zip(sig_tbl.column(id_col).to_pylist(),
-                             sig_tbl.column("sig").to_pylist())}
-    ref = ray.put(by_id)
-    empty = np.empty(0, dtype=np.uint64)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        d = worker_state(ref, lambda: ray.get(ref))
-        aa = batch.column("doc_a").to_numpy()
-        bb = batch.column("doc_b").to_numpy()
-        j = np.fromiter(
-            (textkit.jaccard(d.get(int(x), empty), d.get(int(y), empty))
-             for x, y in zip(aa, bb)),
-            dtype=np.float64, count=len(aa),
+        cand_docs = semi_anti_filter(
+            docs.select_columns([id_col, text_col]), cand_ids, on=id_col
         )
-        out = batch.append_column("jaccard", pa.array(j))
-        return out.filter(pa.array(j >= threshold))
+        sig_tbl = pa.concat_tables(
+            list(cand_docs.map_batches(sig_fn, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+        by_id = {int(i): np.frombuffer(s, dtype=np.uint64)
+                 for i, s in zip(sig_tbl.column(id_col).to_pylist(),
+                                 sig_tbl.column("sig").to_pylist())}
+        ref = ray.put(by_id)
+        empty = np.empty(0, dtype=np.uint64)
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+        def verify(batch: pa.Table) -> pa.Table:
+            d = worker_state(ref, lambda: ray.get(ref))
+            aa = batch.column("doc_a").to_numpy()
+            bb = batch.column("doc_b").to_numpy()
+            j = np.fromiter(
+                (textkit.jaccard(d.get(int(x), empty), d.get(int(y), empty))
+                 for x, y in zip(aa, bb)),
+                dtype=np.float64, count=len(aa),
+            )
+            out = batch.append_column("jaccard", pa.array(j))
+            return out.filter(pa.array(j >= threshold))
+
+        return pairs.map_batches(verify, batch_format="pyarrow")
+
+    # --- fully distributed join path -------------------------------------
+    from . import derive_buckets
+    from .relational import distinct_rows, hash_join
+
+    def both_sides(b: pa.Table) -> pa.Table:
+        ids = np.concatenate([
+            b.column("doc_a").to_numpy().astype(np.int64),
+            b.column("doc_b").to_numpy().astype(np.int64),
+        ])
+        return pa.table({id_col: pa.array(ids)})
+
+    ids_ds = distinct_rows(pairs.map_batches(both_sides, batch_format="pyarrow"),
+                           [id_col])
+    np_docs = derive_buckets(docs)
+    cand_docs = hash_join(
+        docs.select_columns([id_col, text_col]), ids_ds,
+        on=id_col, how="inner", num_partitions=np_docs,
+    )
+    # signatures are consumed by TWO joins below; materialize once so the
+    # shingling runs once (object store, spillable — not the driver)
+    sigs = cand_docs.map_batches(sig_fn, batch_format="pyarrow").materialize()
+
+    def rename(idc: str, sigc: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({idc: b.column(id_col), sigc: b.column("sig")})
+        return f
+
+    np_pairs = max(16, min(1024, -(-n_pairs // 500_000)))
+    j = hash_join(pairs, sigs.map_batches(rename("doc_a", "sig_a"),
+                                          batch_format="pyarrow"),
+                  on="doc_a", how="inner", num_partitions=np_pairs)
+    # barrier: without it BOTH JoinOperators run concurrently and their
+    # aggregator actor pools can reserve every CPU on a small cluster,
+    # starving the map stages that feed them (observed deadlock at
+    # num_cpus=4).  Bounded by pairs volume; object store, spillable.
+    j = j.materialize()
+    j = hash_join(j, sigs.map_batches(rename("doc_b", "sig_b"),
+                                      batch_format="pyarrow"),
+                  on="doc_b", how="inner", num_partitions=np_pairs)
+
+    def verify_joined(batch: pa.Table) -> pa.Table:
+        jac = _jaccard_from_sig_cols(batch, "sig_a", "sig_b")
+        out = batch.drop_columns(["sig_a", "sig_b"]).append_column(
+            "jaccard", pa.array(jac))
+        return out.filter(pa.array(jac >= threshold))
+
+    return j.map_batches(verify_joined, batch_format="pyarrow")
 
 
 def verify_jaccard(pairs_df: pd.DataFrame, texts_by_id: dict, *, shingle_w: int = 3,
@@ -330,6 +427,8 @@ def simhash_pairs(ds, *, max_hamming: int = 6):
     banded = sigs.map_batches(explode, batch_format="pyarrow")
     from ..kernels.hashing import hash_combine
 
+    nb = autoscale_buckets(ds)
+
     def bucket(b: pa.Table) -> pa.Table:
         band = b.column("band").to_numpy().astype(np.uint64)
         bh = b.column("band_hash").to_numpy()
@@ -339,7 +438,7 @@ def simhash_pairs(ds, *, max_hamming: int = 6):
                 "key": pa.array(key, pa.uint64()),
                 "doc_id": b.column("doc_id"),
                 "simhash": b.column("simhash"),
-                "__bk": pa.array((key % np.uint64(N_SHUFFLE_BUCKETS)).astype(np.int32)),
+                "__bk": pa.array((key % np.uint64(nb)).astype(np.int32)),
             }
         )
 

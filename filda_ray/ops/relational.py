@@ -88,11 +88,17 @@ def semi_anti_filter(ds, keys: np.ndarray, *, on: str, anti: bool = False):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def distinct_rows(ds, key_cols: list[str], *, n_buckets: int = 64):
+def distinct_rows(ds, key_cols: list[str], *, n_buckets: int | None = None):
     """Exact distinct over key columns (np.unique candidate-dedup
     analog, FILDA.py:395-398/491-497): bounded hash buckets + one
-    vectorized drop_duplicates per bucket — never a per-key UDF."""
+    vectorized drop_duplicates per bucket — never a per-key UDF.
+    Bucket count defaults to bytes-proportional (``derive_buckets``)."""
     from ..kernels.hashing import splitmix64
+
+    if n_buckets is None:
+        from . import derive_buckets
+
+        n_buckets = derive_buckets(ds)
 
     def bucket(b: pa.Table) -> pa.Table:
         h = np.zeros(len(b), dtype=np.uint64)

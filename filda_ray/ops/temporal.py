@@ -41,7 +41,7 @@ def bucket_op(ds, ts_col: str, bucket_s: int, out_col: str = "bucket_ts"):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def asof_join(left, right, *, on: str, by: str, num_buckets: int = 16,
+def asof_join(left, right, *, on: str, by: str, num_buckets: int | None = None,
               right_cols: list[str] | None = None, direction: str = "backward",
               time_chunk_us: int | None = None):
     """As-of join: for each left row, latest right row with
@@ -55,8 +55,9 @@ def asof_join(left, right, *, on: str, by: str, num_buckets: int = 16,
     BOTH sides per task — unbounded working set at 100-TB inputs.  Two
     levers, composable:
 
-    - ``num_buckets``: size proportional to input blocks (results are
-      bucket-count invariant; tested).
+    - ``num_buckets``: defaults to bytes-proportional
+      (``derive_buckets`` over both sides; results are bucket-count
+      invariant, tested).
     - ``time_chunk_us``: co-partition by (key-hash, time chunk) so a
       group holds only one chunk's rows.  Boundary handling: the last
       right row of each (key, chunk) is CARRIED into every later chunk
@@ -67,6 +68,10 @@ def asof_join(left, right, *, on: str, by: str, num_buckets: int = 16,
       chunked mode.  Reference analog: nearest-period static-layer
       selection (MCBEF_IO.py:210) generalized.
     """
+    if num_buckets is None:
+        from . import derive_buckets
+
+        num_buckets = max(derive_buckets(ds, default=16) for ds in (left, right))
     lcols = left.schema().names
     rkeep = [by, on] + [c for c in (right_cols or []) if c not in (by, on)]
     payload = [c for c in rkeep if c not in (by, on)]
@@ -321,7 +326,8 @@ def range_join(events, windows: pa.Table, *, ts_col: str = "ts",
     return events.map_batches(probe, batch_format="pyarrow")
 
 
-def sessionize(ds, *, key_col: str, ts_col: str, gap_s: int, num_buckets: int = 16):
+def sessionize(ds, *, key_col: str, ts_col: str, gap_s: int,
+               num_buckets: int | None = None):
     """Session-window aggregation per key (gap-based): a new session
     starts when the time since the previous event exceeds ``gap_s``.
 
@@ -329,9 +335,14 @@ def sessionize(ds, *, key_col: str, ts_col: str, gap_s: int, num_buckets: int = 
     the group, vectorized diff/cumsum — no per-event Python.  Output:
     (key, n_sessions, n_events).  SQL mirror: lag() window + sum of
     new-session flags.  Scale: one group materializes 1/num_buckets of
-    the events — size ``num_buckets`` proportional to input blocks
-    (results are bucket-count invariant, same contract as asof_join).
+    the events — ``num_buckets`` defaults to bytes-proportional
+    (``derive_buckets``; results are bucket-count invariant, same
+    contract as asof_join).
     """
+    if num_buckets is None:
+        from . import derive_buckets
+
+        num_buckets = derive_buckets(ds, default=16)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)

@@ -127,7 +127,8 @@ def detect_pipeline(sf_dir: str, *, materialize_narrow: bool = True,
         ds = count_stage(ds, "narrow_pages", mactor)
     if materialize_narrow:
         ds = ds.materialize()
-    bg = background_stats(ds, cfg.value_col, rings=cfg.rings, trim_frac=cfg.trim_frac)
+    bg = background_stats(ds, cfg.value_col, rings=cfg.rings, trim_frac=cfg.trim_frac,
+                          quantize=cfg.quantize)
     det = contextual_detect(ds, bg, cfg.value_col, concurrency=concurrency,
                             min_bg_n=cfg.min_bg_n, z_lo=cfg.z_lo, z_hi=cfg.z_hi)
     det = pip_join(det, concurrency=concurrency)

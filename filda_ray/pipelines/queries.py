@@ -22,6 +22,7 @@ from ..ops import temporal
 from ..ops.dedup import dedup_exact
 from ..ops.text import quality_op
 from ..sources import pages as P
+from ..sources import read_parquet_clean
 from ..sources import polygons as PG
 from ..pipelines import flagship
 
@@ -204,7 +205,7 @@ FROM pages
 
 def q_quality(sf_dir: str):
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = quality_op(ds)
     return ds.select_columns(
         ["doc_id", "n_chars", "n_tokens", "mean_token_len", "digit_ratio",
@@ -235,7 +236,7 @@ FROM documents
 
 def q_dedup(sf_dir: str):
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return dedup_exact(ds).select_columns(["doc_id", "content_md5"])
 
 
@@ -320,7 +321,7 @@ FROM g
 
 def q_window_events(sf_dir: str):
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
     b = temporal.bucket_op(ds, "ts", 3600)
 
     def to_us(t: pa.Table) -> pa.Table:
@@ -356,7 +357,7 @@ FROM events GROUP BY 1, 2
 
 def q_asof(sf_dir: str):
     rd = _rd()
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["event_id", "ts", "user_id", "event_type", "value"])
     left = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
     right = ev.filter(expr="event_type == 'click'")
@@ -420,7 +421,7 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
 
 def q_topk_orders(sf_dir: str):
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
                          columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
     out = rel.top_k_per_group(ds, group_col="o_orderpriority", value_col="o_totalprice",
                               k=3, ascending=False, tie_col="o_orderkey")
@@ -444,8 +445,8 @@ WHERE rn <= 3
 
 def q_join_revenue(sf_dir: str):
     rd = _rd()
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
 
     def cents(b: pa.Table) -> pa.Table:
         v = b.column("o_totalprice").to_numpy()
@@ -496,7 +497,7 @@ def _urgent_orderkeys(sf_dir: str) -> np.ndarray:
 
 def q_semi(sf_dir: str):
     rd = _rd()
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_linenumber", "l_quantity"])
     return rel.semi_anti_filter(li, _urgent_orderkeys(sf_dir), on="l_orderkey")
 
@@ -510,7 +511,7 @@ WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-UR
 
 def q_anti(sf_dir: str):
     rd = _rd()
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_linenumber", "l_quantity"])
     return rel.semi_anti_filter(li, _urgent_orderkeys(sf_dir), on="l_orderkey", anti=True)
 
@@ -528,7 +529,7 @@ WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '
 
 def q_trimmed(sf_dir: str):
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"])
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"])
     return rel.trimmed_low_mean_per_group(ds, group_col="l_returnflag",
                                           value_col="l_quantity", frac=0.25)
 
@@ -556,7 +557,7 @@ GROUP BY l_returnflag
 
 def q_low_quantile(sf_dir: str):
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
 
     def batch_cents(b: pa.Table) -> pa.Table:
         v = b.column("l_extendedprice").to_numpy()
@@ -602,7 +603,7 @@ GROUP BY cnt
 
 def q_pricing(sf_dir: str):
     rd = _rd()
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                  "l_discount", "l_tax"],
@@ -656,7 +657,7 @@ def q_embed_topk(sf_dir: str):
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qsel = qt.slice(0, 3)
     queries = np.asarray(qsel.column("embedding").to_pylist(), dtype=np.float64)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = cosine_topk(ds, queries, k=10, dtype=np.float64)
 
     def rounded(b: pa.Table) -> pa.Table:
@@ -802,7 +803,7 @@ def q_candidate_union(sf_dir: str):
     from ..ops.text import quality_op
 
     base = quality_op(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ).select_columns(["doc_id", "n_chars", "distinct_ratio"])
     c1 = base.map_batches(
         lambda b: b.filter(pac.greater_equal(b.column("n_chars"), 400)),
@@ -831,7 +832,7 @@ def q_hash_sample(sf_dir: str):
     rd = _rd()
     from ..ops.sample import hash_sample, split_assign
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
     ds = hash_sample(ds, "doc_id", 0.5, seed=0)
     ds = split_assign(ds, "doc_id", seed=1)
     return ds.select_columns(["doc_id", "lang", "split"])
@@ -851,7 +852,7 @@ def q_vocab(sf_dir: str):
     rd = _rd()
     from ..ops.text import vocab_count
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
     return vocab_count(ds, top_k=20)
 
 
@@ -870,7 +871,7 @@ def q_sessionize(sf_dir: str):
     rd = _rd()
     from ..ops.temporal import sessionize
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     out = sessionize(ds, key_col="user_id", ts_col="ts", gap_s=1800)
 
     def clean(b: pa.Table) -> pa.Table:
@@ -905,7 +906,7 @@ def q_vector_stats(sf_dir: str):
     analog: per-fire trace matrix -> per-row stats, MCBEF.py:916-933;
     95% HDI + half-sample mode per MCBEF.py:856-889)."""
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def stats(b: pa.Table) -> pa.Table:
         from ..kernels.stats import hdi_bounds
@@ -984,7 +985,7 @@ def q_minhash(sf_dir: str):
     rd = _rd()
     from ..ops.dedup import minhash_lsh_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_lsh_pairs(ds)
 
 
@@ -995,7 +996,7 @@ def q_neardup_verified(sf_dir: str):
     rd = _rd()
     from ..ops.dedup import minhash_lsh_pairs, verify_jaccard_op
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     pairs = minhash_lsh_pairs(docs)
     return verify_jaccard_op(pairs, docs, threshold=0.5)
 
@@ -1004,7 +1005,7 @@ def q_simhash(sf_dir: str):
     rd = _rd()
     from ..ops.dedup import simhash_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_pairs(ds)
 
 
@@ -1023,7 +1024,7 @@ def q_ann_lsh(sf_dir: str):
     rd = _rd()
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).slice(0, 3)
     queries = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return lsh_bucket_topk(ds, queries, k=10, nbits=8)
 
 
@@ -1039,7 +1040,7 @@ def q_ivf_topk(sf_dir: str):
     from ..ops.embed import ivf_build, ivf_topk
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     idx = tempfile.mkdtemp(prefix="ivf_", dir="/tmp")
     ivf_build(ds, idx, n_centroids=16, sample_size=1000, seed=1)
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -1057,7 +1058,7 @@ def q_embedding_neardup(sf_dir: str):
     rd = _rd()
     from ..ops.embed import embedding_neardup
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def shift(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1073,7 +1074,7 @@ def q_langid(sf_dir: str):
     rd = _rd()
     from ..ops.text import langid_op
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return langid_op(ds).select_columns(["doc_id", "lang_guess"])
 
 
@@ -1097,7 +1098,7 @@ def q_range_join(sf_dir: str):
     rd = _rd()
     from ..ops.temporal import range_join
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
     out = range_join(ev, _windows_table())
 
     def clean(b: pa.Table) -> pa.Table:
@@ -1128,7 +1129,7 @@ def q_window_user_value(sf_dir: str):
     """Tumbling per-key value aggregate via ``temporal.window_aggregate``
     (daily buckets per user; integer cents so sums are order-exact)."""
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
 
     def cents(b: pa.Table) -> pa.Table:
         v = b.column("value").to_numpy()
@@ -1186,7 +1187,7 @@ def q_hopping_agg(sf_dir: str):
 
     from ..ops.temporal import range_join
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "value"])
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "value"])
     j = range_join(ev, _hop_windows_table())
     return j.groupby("window_id").aggregate(
         Count(alias_name="n"),
@@ -1271,7 +1272,7 @@ def q_fingerprints(sf_dir: str):
     rd = _rd()
     from ..ops.text import fingerprint_op
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return fingerprint_op(ds).select_columns(["doc_id", "fingerprint", "simhash"])
 
 

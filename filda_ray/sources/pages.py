@@ -21,6 +21,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from . import read_parquet_clean
+
 N_HOSTS = 1000
 _HOST_MIX = 2654435761          # Knuth multiplicative constant
 _HOST_MOD = 4294967296          # 2^32
@@ -123,7 +125,7 @@ def read_pages(sf_dir: str, *, replicate: int = 1):
     """
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     if replicate > 1:
@@ -172,7 +174,7 @@ def read_pages_parquet(pages_dir: str):
     live until the extraction stage drops them)."""
     import ray.data as rd
 
-    return rd.read_parquet(
+    return read_parquet_clean(
         pages_dir, columns=["doc_id", "url", "warc_ts", "html", "text", "lang"]
     )
 

@@ -52,6 +52,41 @@ def test_verify_jaccard_op_distributed(ray_session):
     assert (ver.jaccard >= 0.5).all()
 
 
+def test_verify_jaccard_join_mode_matches_broadcast(ray_session):
+    """The fully distributed (hash-join) verify path returns exactly the
+    broadcast path's pairs + jaccard values — adversarial high-collision
+    corpus (templated texts) so LSH emits many candidate pairs."""
+    from filda_ray.ops.dedup import minhash_lsh_pairs, verify_jaccard_op
+
+    texts = [("breaking news article about topic %d with shared boilerplate "
+              "header footer navigation sidebar copyright notice " % (i % 3)) * 4
+             for i in range(40)]
+    ds = _ds({"doc_id": list(range(40)), "text": texts})
+    pairs = minhash_lsh_pairs(ds)
+    bc = verify_jaccard_op(pairs, ds, threshold=0.5, mode="broadcast").to_pandas()
+    jn = verify_jaccard_op(pairs, ds, threshold=0.5, mode="join").to_pandas()
+    key = lambda df: sorted(zip(df.doc_a, df.doc_b, df.jaccard.round(12)))
+    assert len(bc) > 100  # templated corpus really is high-collision
+    assert key(bc) == key(jn)
+
+
+def test_derive_buckets_grows_with_input(ray_session):
+    import ray.data as rd
+
+    from filda_ray.ops import derive_buckets, input_size_bytes
+
+    small = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    big = rd.read_parquet("/root/testdata/sf0.1/documents.parquet")
+    s, b = input_size_bytes(small), input_size_bytes(big)
+    assert s is not None and b is not None and b > s
+    # derived count is monotone in bytes (tiny bpb so sf0.1 clears lo)
+    nb_s = derive_buckets(small, bytes_per_bucket=1 << 20, lo=1)
+    nb_b = derive_buckets(big, bytes_per_bucket=1 << 20, lo=1)
+    assert nb_b > nb_s >= 1
+    # a transformed dataset still derives from its read ancestor
+    assert input_size_bytes(big.map_batches(lambda t: t, batch_format="pyarrow")) == b
+
+
 def test_simhash_finds_planted_neardups(ray_session):
     from filda_ray.ops.dedup import simhash_pairs
 

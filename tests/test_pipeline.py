@@ -106,6 +106,41 @@ def test_background_quantize_bounds_domain(ray_session, sf_dir):
     assert (exact["bg1_n"] == q["bg1_n"]).all()
 
 
+def test_background_float_domain_capped(ray_session):
+    """A continuous float value column with quantize=q yields at most
+    ceil(range/q)+1 distinct histogram values per tile — the bound that
+    keeps shuffle volume and group size finite at web scale — and the
+    distributed merge returns per-populated-tile stats."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from filda_ray.ops.background import _hist_partial, background_stats
+
+    rng = np.random.default_rng(7)
+    n = 50_000
+    vals = rng.uniform(0.0, 1000.0, n)  # ~all distinct as raw floats
+    tiles = rng.integers(0, 4, n).astype(np.int32)
+    tbl = pa.table({"pc_tile": tiles, "score": vals})
+    part = _hist_partial(tbl, "score", "pc_tile", quantize=10.0)
+    cap = 4 * (int(1000.0 / 10.0) + 1)
+    assert len(part) <= cap  # stated cap: tiles x (range/q + 1)
+    raw = _hist_partial(tbl, "score", "pc_tile", quantize=None)
+    assert len(raw) == n  # without quantize every float is distinct
+    bg = background_stats(rd.from_arrow(tbl), "score", quantize=10.0).to_pandas()
+    assert set(bg["pc_tile"]) == set(np.unique(tiles))
+    assert bg["bg1_n"].sum() > 0
+
+
+def test_flagship_config_threads_quantize(ray_session):
+    """RunConfig.quantize default (1.0) is a no-op for the integer
+    value_col and parses from the namelist grammar, incl. 'None'."""
+    from filda_ray.config import RunConfig
+
+    assert RunConfig().quantize == 1.0
+    assert RunConfig.from_text("Quantize : 2.5").quantize == 2.5
+    assert RunConfig.from_text("Quantize : None").quantize is None
+
+
 def test_background_ring_ladder(ray_session, sf_dir):
     """Configurable adaptive-window ladder rings=(1,2,4): the histogram
     and shuffle paths agree on every bg{k}_* column, and the detect
