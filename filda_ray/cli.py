@@ -40,7 +40,9 @@ def main(argv=None):
     d = sub.add_parser("detect", help="run the flagship detection pipeline to a product dir")
     d.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     d.add_argument("--out", required=True)
-    d.add_argument("--replicate", type=int, default=1)
+    # default None so an explicitly passed --replicate 1 can still
+    # override a config file's larger Replicate setting
+    d.add_argument("--replicate", type=int, default=None)
     d.add_argument("--config", default=None,
                    help="namelist-style run config file (key : value; see filda_ray.config)")
     d.add_argument("--resume", action="store_true",
@@ -77,9 +79,10 @@ def main(argv=None):
                 from filda_ray.config import RunConfig
 
                 config = RunConfig.from_file(args.config)
-                if args.replicate != 1:
+                if args.replicate is not None:
                     config.replicate = args.replicate
-            done = write_detections(args.sf_dir, args.out, replicate=args.replicate,
+            done = write_detections(args.sf_dir, args.out,
+                                    replicate=args.replicate or 1,
                                     config=config)
             rows = sum(r["rows"] for r in done.values())
             print(json.dumps({"partitions": len(done), "rows": rows, "out": args.out}))

@@ -126,6 +126,15 @@ def grouped_weighted_median_mad(owner: np.ndarray, values: np.ndarray,
     o = np.asarray(owner, dtype=np.int64)
     v = np.asarray(values, dtype=np.float64)
     c = np.asarray(counts, dtype=np.int64)
+    # zero/negative-count rows would make gcum non-strictly increasing
+    # and let an empty segment searchsort into the previous owner's
+    # values; dropping them preserves the multiset semantics exactly
+    # (an owner whose rows all drop gets the empty-owner (nan, nan, 0))
+    pos = c > 0
+    if not pos.all():
+        o, v, c = o[pos], v[pos], c[pos]
+        if len(o) == 0:
+            return med, mad, tot
     order = np.lexsort((v, o))
     o, v, c = o[order], v[order], c[order]
     po, pm, ptot = _pass(o, v, c)
@@ -175,6 +184,11 @@ def grouped_weighted_low_mean(owner: np.ndarray, values: np.ndarray,
     o = np.asarray(owner, dtype=np.int64)
     v = np.asarray(values, dtype=np.float64)
     c = np.asarray(counts, dtype=np.int64)
+    pos = c > 0  # same zero-count guard as grouped_weighted_median_mad
+    if not pos.all():
+        o, v, c = o[pos], v[pos], c[pos]
+        if len(o) == 0:
+            return mean, kk
     order = np.lexsort((v, o))
     o, v, c = o[order], v[order], c[order]
     gcum = np.cumsum(c)

@@ -60,15 +60,43 @@ _ARROW_BODY_PAT = r"(?s)<body[^>]*>(?P<body>.*?)</body>"
 _ARROW_TAG_PAT = r"<[^>]*>"
 
 
+def _utf8_invalid_rows(arr) -> np.ndarray:
+    """Indices of rows that fail the validating binary->string cast,
+    found by BISECTION over zero-copy slices — never a per-row Python
+    decode.  Cost ~ 2x one full cast plus O(bad x log n) small casts.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    bad = []
+    stack = [(0, len(arr))]
+    while stack:
+        s, e = stack.pop()
+        if s >= e:
+            continue
+        try:
+            pc.cast(arr.slice(s, e - s), pa.string())
+        except pa.ArrowInvalid:
+            if e - s == 1:
+                bad.append(s)
+            else:
+                m = (s + e) // 2
+                stack.append((s, m))
+                stack.append((m, e))
+    return np.array(sorted(bad), dtype=np.int64)
+
+
 def extract_text_arrow(html):
     """Vectorized Arrow twin of ``extract_text`` (same semantics,
     same EXTRACTOR_VERSION): RE2 kernels instead of a Python loop.
     Equivalence is pinned by tests; the hot path uses this one.
 
     Invalid UTF-8 (routine in Common-Crawl-style input) would make the
-    validating binary->string cast raise and kill the job; such batches
-    fall back to the scalar kernel, which decodes errors='replace' —
-    output stays byte-identical between paths by construction.
+    validating binary->string cast raise and kill the job.  Repair is
+    PER ROW: the invalid rows are located by bisection, only they take
+    the scalar errors='replace' kernel, and the valid 99% stay on the
+    Arrow path — output is byte-identical between paths by
+    construction, reassembled in original order with one Arrow take.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -76,8 +104,18 @@ def extract_text_arrow(html):
     try:
         hs = pc.cast(html, pa.string())
     except pa.ArrowInvalid:
-        vals = html.to_pylist() if hasattr(html, "to_pylist") else list(html)
-        return pa.array(extract_text(vals), pa.string())
+        arr = html.combine_chunks() if isinstance(html, pa.ChunkedArray) else html
+        bad_idx = _utf8_invalid_rows(arr)
+        good_idx = np.setdiff1d(np.arange(len(arr), dtype=np.int64), bad_idx,
+                                assume_unique=True)
+        good_out = extract_text_arrow(arr.take(pa.array(good_idx)))
+        if isinstance(good_out, pa.ChunkedArray):
+            good_out = good_out.combine_chunks()
+        bad_out = pa.array(extract_text(arr.take(pa.array(bad_idx)).to_pylist()),
+                           pa.string())
+        inv = np.empty(len(arr), dtype=np.int64)
+        inv[np.concatenate([good_idx, bad_idx])] = np.arange(len(arr))
+        return pa.concat_arrays([good_out, bad_out]).take(pa.array(inv))
     # NOTE(perf, measured): a multi-pass numpy byte scanner for the
     # body capture is ~1.8x faster single-threaded but 2-3x SLOWER in
     # aggregate at 32-way concurrency (memory-bandwidth bound; RE2's

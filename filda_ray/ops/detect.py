@@ -143,35 +143,46 @@ def _classify(v: np.ndarray, med: np.ndarray, mad: np.ndarray, n: np.ndarray,
     return z, status.astype(np.int32), qa
 
 
+BROADCAST_MAX_BG_CELLS = 2_000_000
+
+
 def contextual_detect_hex(ds, bg_ds, value_col: str, *, cell_col: str = "hex_r7",
                           min_bg_n: int = MIN_BG_N, z_lo: float = Z_LO,
-                          z_hi: float = Z_HI, mode: str = "broadcast"):
+                          z_hi: float = Z_HI, mode: str = "auto",
+                          broadcast_max_cells: int = BROADCAST_MAX_BG_CELLS):
     """Per-row anomaly classification against the FINE hex-grid
     background (the north_star's per-pixel contextual kernel: each page
     scored against the k-ring neighborhood stats of its own hex cell,
     from ``background_stats_hex``).
 
-    ``mode='broadcast'``: the occupied-cell bg table is ray.put once
-    and gathered per batch by sorted-key searchsorted — right whenever
-    occupied cells fit the object store (one 56-byte row per occupied
-    cell).  ``mode='join'``: hash join on the cell id for planetary
-    cell counts; same results, one extra shuffle of the page stream.
+    ``mode`` is chosen by MEASURED occupied-cell cardinality when
+    'auto': ``broadcast`` (the occupied-cell bg table is ray.put once
+    and gathered per batch by sorted-key searchsorted) up to
+    ``broadcast_max_cells`` — one 56-byte row per occupied cell;
+    ``join`` (hash join on the cell id, the bg table never leaves the
+    cluster) for planetary cell counts where the broadcast would be
+    GBs.  Same results either way (tested equal).
     """
     import ray
 
     from .workercache import worker_state
 
-    bg_tbl = pa.concat_tables(
-        [b for b in bg_ds.iter_batches(batch_format="pyarrow", batch_size=None)]
-    ) if not isinstance(bg_ds, pa.Table) else bg_ds
+    if mode == "auto":
+        if isinstance(bg_ds, pa.Table):
+            mode = "broadcast" if len(bg_ds) <= broadcast_max_cells else "join"
+        else:
+            bg_ds = bg_ds.materialize()
+            mode = "broadcast" if bg_ds.count() <= broadcast_max_cells else "join"
 
     if mode == "join":
         import ray.data as rd
 
+        from . import derive_buckets
         from .relational import hash_join
 
-        joined = hash_join(ds, rd.from_arrow(bg_tbl),
-                           on=cell_col, right_on="cell", how="left_outer")
+        bg_side = rd.from_arrow(bg_ds) if isinstance(bg_ds, pa.Table) else bg_ds
+        joined = hash_join(ds, bg_side, on=cell_col, right_on="cell",
+                           how="left_outer", num_partitions=derive_buckets(ds))
 
         def classify_joined(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -204,6 +215,9 @@ def contextual_detect_hex(ds, bg_ds, value_col: str, *, cell_col: str = "hex_r7"
 
         return joined.map_batches(classify_joined, batch_format="pyarrow")
 
+    bg_tbl = pa.concat_tables(
+        [b for b in bg_ds.iter_batches(batch_format="pyarrow", batch_size=None)]
+    ) if not isinstance(bg_ds, pa.Table) else bg_ds
     cells_arr = bg_tbl.column("cell").to_numpy().astype(np.uint64)
     order = np.argsort(cells_arr)
     packed = (

@@ -154,12 +154,24 @@ def ivf_build(ds, out_dir: str, *, n_centroids: int = 64, sample_size: int = 200
     import pyarrow.parquet as pq
 
     from ..state.manifest import write_product
+    from .sample import hash_sample, hash_uniform
     from .workercache import worker_state
 
-    head = pa.concat_tables(
-        list(ds.limit(sample_size).iter_batches(batch_format="pyarrow", batch_size=None))
+    # training sample must be RANDOM, not a storage-order head: a
+    # sorted/clustered corpus would bias the centroids toward the
+    # first rows' cluster.  Deterministic hash-Bernoulli at ~2x the
+    # target size, trimmed to sample_size by the same hash order.
+    n_rows = max(ds.count(), 1)
+    frac = min(1.0, (2.0 * sample_size) / n_rows)
+    samp = pa.concat_tables(
+        list(hash_sample(ds.select_columns(["vec_id", "embedding"]),
+                         "vec_id", frac, seed=seed)
+             .iter_batches(batch_format="pyarrow", batch_size=None))
     )
-    cent = kmeans_fit(_to_matrix(head.column("embedding"), np.float32), n_centroids,
+    if len(samp) > sample_size:
+        u = hash_uniform(samp.column("vec_id").to_numpy(), seed)
+        samp = samp.take(pa.array(np.argsort(u, kind="stable")[:sample_size]))
+    cent = kmeans_fit(_to_matrix(samp.column("embedding"), np.float32), n_centroids,
                       iters=iters, seed=seed)
     ref = ray.put(cent)
 
@@ -208,7 +220,14 @@ def ivf_topk(index_dir: str, queries: np.ndarray, k: int = 10, *, nprobe: int = 
     nprobe = min(nprobe, cent.shape[0])
     probes = np.argsort(-sims, axis=1)[:, :nprobe]          # (nq, nprobe)
     needed = sorted({int(c) for row in probes for c in row})
-    paths = [os.path.join(index_dir, f"part={c}", "data.parquet") for c in needed]
+    # a centroid that won zero vectors (dead k-means cell) has no
+    # part=<c>/ directory — probe only partitions that exist
+    paths = [p for c in needed
+             if os.path.exists(p := os.path.join(index_dir, f"part={c}", "data.parquet"))]
+    if not paths:  # every probed cell was dead
+        return rd.from_arrow(pa.table({"query_id": pa.array([], pa.int32()),
+                                       "vec_id": pa.array([], pa.int64()),
+                                       "cosine": pa.array([], pa.float64())}))
     ds = rd.read_parquet(paths, columns=["vec_id", "embedding", "centroid"])
 
     # membership matrix: query x centroid -> probe?

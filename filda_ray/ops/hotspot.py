@@ -19,14 +19,14 @@ import pyarrow as pa
 from ..kernels import cells
 
 
-def cell_counts(ds, cell_col: str = "hex_r7"):
-    """Per-cell row counts: vectorized partial counts per batch
-    (np.unique, one row per distinct cell per batch) merged by a
-    distributed ``groupby.aggregate(Sum)`` — the driver only ever sees
-    the final table (one row per occupied cell), never the
-    #batches x #distinct-cells partials.  Returns (sorted_keys,
-    counts) numpy arrays for broadcast gathering.
-    """
+BROADCAST_MAX_CELLS = 2_000_000  # ~one 56-byte row per occupied cell
+
+
+def cell_counts_ds(ds, cell_col: str = "hex_r7"):
+    """Per-cell row counts as a DATASET: vectorized partial counts per
+    batch (np.unique, one row per distinct cell per batch) merged by a
+    distributed ``groupby.aggregate(Sum)`` — cardinality = occupied
+    cells, not rows."""
 
     def partial(batch: pa.Table) -> pa.Table:
         c = batch.column(cell_col).to_numpy(zero_copy_only=False)
@@ -35,38 +35,111 @@ def cell_counts(ds, cell_col: str = "hex_r7"):
 
     from ray.data.aggregate import Sum
 
-    agg = (
+    return (
         ds.select_columns([cell_col])
         .map_batches(partial, batch_format="pyarrow")
         .groupby(cell_col)
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def _collect_sorted_kv(agg, key_col: str, val_col: str, key_dtype=None):
+    """(sorted keys, values) numpy arrays from a small keyed Dataset.
+
+    ``key_dtype``: restore the source key dtype — Ray's hash aggregate
+    widens uint64 keys to int64, and a later mixed int64-vs-uint64
+    searchsorted silently promotes BOTH to float64, which cannot
+    resolve adjacent hex ids at 2^59 magnitude (observed: misses on
+    every boundary cell)."""
+    empty_t = key_dtype or np.uint64
     batches = list(agg.iter_batches(batch_format="pyarrow", batch_size=None))
     if not batches or sum(len(b) for b in batches) == 0:
-        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=empty_t), np.empty(0, dtype=np.int64)
     tbl = pa.concat_tables(batches)
-    keys = tbl.column(cell_col).to_numpy()
-    vals = tbl.column("n").to_numpy().astype(np.int64)
+    keys = tbl.column(key_col).to_numpy()
+    if key_dtype is not None:
+        keys = keys.astype(key_dtype, copy=False)
+    vals = tbl.column(val_col).to_numpy().astype(np.int64)
     order = np.argsort(keys)
     return keys[order], vals[order]
 
 
+def _np_key_dtype(ds, col: str):
+    """numpy dtype of ``col`` in the dataset's schema (None if unknown)."""
+    try:
+        sch = ds.schema()
+        return dict(zip(sch.names, sch.types))[col].to_pandas_dtype()
+    except Exception:
+        return None
+
+
+def cell_counts(ds, cell_col: str = "hex_r7"):
+    """Driver-side (sorted_keys, counts) arrays for broadcast gathering
+    — only for cell tables known to fit the driver/object store."""
+    return _collect_sorted_kv(cell_counts_ds(ds, cell_col), cell_col, "n",
+                              key_dtype=_np_key_dtype(ds, cell_col))
+
+
+def _join_counts_back(ds, agg, *, cell_col: str, agg_key: str, agg_val: str,
+                      out_col: str):
+    """Hash-join per-cell values back onto rows, misses -> 0 (int32).
+    The scale path when occupied-cell cardinality outgrows a broadcast."""
+    import pyarrow.compute as pc
+
+    from . import derive_buckets
+    from .relational import hash_join
+
+    # the groupby aggregate may widen/normalize the key dtype (uint64 ->
+    # int64); Acero requires identical key types on both join sides
+    sch = ds.schema()
+    key_type = dict(zip(sch.names, sch.types))[cell_col]
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({agg_key: b.column(agg_key).cast(key_type),
+                         "__cnt": b.column(agg_val).cast(pa.int64())})
+
+    side = agg.map_batches(prep, batch_format="pyarrow")
+    joined = hash_join(ds, side, on=cell_col,
+                       right_on=agg_key if agg_key != cell_col else None,
+                       how="left_outer", num_partitions=derive_buckets(ds))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.fill_null(b.column("__cnt"), 0), pa.int32())
+        drop = [c for c in ("__cnt", agg_key) if c in b.column_names and c != cell_col]
+        return b.drop_columns(drop).append_column(out_col, n)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def count_in_cell(ds, cell_col: str = "hex_r7", out_col: str = "n_in_cell",
-                  counts_from=None):
+                  counts_from=None, mode: str = "auto",
+                  broadcast_max_cells: int = BROADCAST_MAX_CELLS):
     """Per-row count of rows sharing its cell (FP_Num_Fire analog,
     FILDA.py:1487-1497 — reproduced as counts + gather, never O(n^2)).
 
     ``counts_from`` lets callers count an UPSTREAM dataset (e.g. the
     pre-classification stream) so the pipeline stays single-pass.
-    The counts table is broadcast (ray.put) and gathered per batch by
-    searchsorted; for runs where occupied cells outgrow the object
-    store, swap the broadcast for ``relational.hash_join``.
+    Mode is chosen by MEASURED occupied-cell cardinality: ``broadcast``
+    (ray.put the counts once, searchsorted per batch — zero shuffle of
+    the page stream) up to ``broadcast_max_cells``; ``join`` (hash join
+    on the cell id — planetary cell counts, e.g. global res-7 with
+    10^7-10^8 occupied cells, where the broadcast would be GBs) above.
     """
     import ray
 
     from .workercache import worker_state
 
-    keys, vals = cell_counts(counts_from if counts_from is not None else ds, cell_col)
+    agg = cell_counts_ds(counts_from if counts_from is not None else ds,
+                         cell_col).materialize()
+    if mode == "auto":
+        mode = "broadcast" if agg.count() <= broadcast_max_cells else "join"
+
+    if mode == "join":
+        return _join_counts_back(ds, agg, cell_col=cell_col, agg_key=cell_col,
+                                 agg_val="n", out_col=out_col)
+
+    keys, vals = _collect_sorted_kv(agg, cell_col, "n",
+                                    key_dtype=_np_key_dtype(ds, cell_col))
     ref = ray.put((keys, vals))
 
     def gather(batch: pa.Table) -> pa.Table:
@@ -82,7 +155,9 @@ def count_in_cell(ds, cell_col: str = "hex_r7", out_col: str = "n_in_cell",
 
 
 def knn_hotspots(ds, *, k_ring: int = 1, cell_col: str = "hex_r7",
-                 out_col: str = "n_kring", prefix_shift: int = 5):
+                 out_col: str = "n_kring", prefix_shift: int = 5,
+                 mode: str = "auto",
+                 broadcast_max_cells: int = BROADCAST_MAX_CELLS):
     """Per-row count of rows within ``k_ring`` hex cells — EXACT across
     partition boundaries via halo exchange:
 
@@ -92,9 +167,10 @@ def knn_hotspots(ds, *, k_ring: int = 1, cell_col: str = "hex_r7",
        its k-ring ('halo': a boundary cell is visible to adjacent
        blocks; duplication factor ~ block perimeter / area);
     3. per-prefix vectorized neighbor-sum for OWNED cells only;
-    4. gather n_kring back onto rows by cell id (broadcast; swap for a
-       hash join when occupied-cell cardinality outgrows the object
-       store).
+    4. gather n_kring back onto rows by cell id — ``broadcast`` vs
+       hash ``join`` chosen by MEASURED occupied-cell cardinality
+       (broadcast up to ``broadcast_max_cells``; join above, where a
+       planetary res-7 table would make the broadcast GBs).
 
     Partitioning assumption (documented per SURVEY §2 custom-op
     rules): k_ring hexes never span more than adjacent prefix blocks,
@@ -155,12 +231,14 @@ def knn_hotspots(ds, *, k_ring: int = 1, cell_col: str = "hex_r7",
         total = np.where(hit, sn[idx], 0).sum(axis=1)
         return pd.DataFrame({"cell": oc, out_col: total.astype(np.int64)})
 
-    nk = halo.groupby("pfx").map_groups(per_prefix, batch_format="pandas")
-    nk_tbl = pa.concat_tables(list(nk.iter_batches(batch_format="pyarrow", batch_size=None)))
-    keys = nk_tbl.column("cell").to_numpy()
-    vals = nk_tbl.column(out_col).to_numpy()
-    order = np.argsort(keys)
-    ref = ray.put((keys[order], vals[order]))
+    nk = halo.groupby("pfx").map_groups(per_prefix, batch_format="pandas").materialize()
+    if mode == "auto":
+        mode = "broadcast" if nk.count() <= broadcast_max_cells else "join"
+    if mode == "join":
+        return _join_counts_back(ds, nk, cell_col=cell_col, agg_key="cell",
+                                 agg_val=out_col, out_col=out_col)
+    keys, vals = _collect_sorted_kv(nk, "cell", out_col, key_dtype=np.uint64)
+    ref = ray.put((keys, vals))
 
     def gather(batch: pa.Table) -> pa.Table:
         kk, vv = worker_state(ref, lambda: ray.get(ref))

@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 BIPHASIC_MIN_TOKENS = 20  # routing threshold (MCBEF FRP-threshold analog)
+TEMPLATE_LEN = 4.0  # 'template' component token length of the mixture model
 
 
 class Estimator:
@@ -33,7 +34,7 @@ class Estimator:
         self.t_grid = np.linspace(2.0, 12.0, grid_n)           # mean token length scale
         P, T = np.meshgrid(self.p_grid, self.t_grid, indexing="ij")
         # model: mean_token_len = p * t + (1-p) * TEMPLATE_LEN
-        self.TEMPLATE_LEN = 4.0
+        self.TEMPLATE_LEN = TEMPLATE_LEN
         self.model_mtl = P * T + (1.0 - P) * self.TEMPLATE_LEN  # (grid_n, grid_n)
         self.P = P
         self.T = T
@@ -121,6 +122,47 @@ def score_op(ds, *, concurrency=(2, 8), batch_size: int = 2048,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+RESID_WARN = 2.0  # |obs - model| above this flags eval-warn
+
+
+def evaluate_op(scored, *, resid_warn: float = RESID_WARN):
+    """Forward-model re-evaluation stage (MCBEF_EVAL analog,
+    /root/reference/src/MCBEF/MCBEF_EVAL.py:85-134: re-run the fitted
+    forward model against the observations and compare modeled vs
+    observed signal; the reference plots, the engine emits product QA
+    columns).
+
+    Per-row, one vectorized map_batches, no shuffle:
+    - ``model_mtl``: the fitted forward model p*t + (1-p)*TEMPLATE_LEN
+      evaluated at (est_p, est_t) — the 'modeled signal';
+    - ``eval_resid``: observed mean-token-length minus model;
+    - ``eval_qa``: 0 good (|resid| <= resid_warn), 1 warn, 2 invalid
+      (estimator QA = invalid, or non-finite inputs).
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        n_chars = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        n_tokens = batch.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.float64)
+        p = batch.column("est_p").to_numpy(zero_copy_only=False).astype(np.float64)
+        t = batch.column("est_t").to_numpy(zero_copy_only=False).astype(np.float64)
+        qa = batch.column("est_qa").to_numpy(zero_copy_only=False)
+        valid = (n_tokens > 0) & (n_chars > 0)
+        mtl_obs = np.where(
+            valid, (n_chars - np.maximum(n_tokens - 1, 0)) / np.maximum(n_tokens, 1),
+            np.nan)
+        model = p * t + (1.0 - p) * TEMPLATE_LEN
+        resid = mtl_obs - model
+        bad = (qa == 3) | ~np.isfinite(resid)
+        eval_qa = np.where(bad, 2, np.where(np.abs(resid) <= resid_warn, 0, 1))
+        return (
+            batch.append_column("model_mtl", pa.array(np.where(bad, np.nan, model)))
+            .append_column("eval_resid", pa.array(np.where(bad, np.nan, resid)))
+            .append_column("eval_qa", pa.array(eval_qa.astype(np.int32)))
+        )
+
+    return scored.map_batches(f, batch_format="pyarrow")
 
 
 def summarize_posteriors(scored, trace_col: str = "trace_t"):

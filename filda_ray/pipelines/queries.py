@@ -1254,6 +1254,99 @@ def q_hex_background(sf_dir: str):
     return background_stats_hex(narrow, "n_chars")
 
 
+# coarse-ladder hex oracle: the SAME engine path (hex encode ->
+# halo-exchange background) at a coarser resolution whose axial
+# arithmetic is 1:1 SQL-expressible (cube-round via round_even); this
+# promotes the hex background from rows-only to a full DuckDB oracle.
+HEX_ORACLE_RES = 4
+
+
+def q_hex_tile_stats(sf_dir: str):
+    """Hex k-ring background median/MAD/n at the coarse oracle
+    resolution — identical math to ``hex_background`` (same
+    ``background_stats_hex`` halo path), cells unpacked to (q, r)
+    axial columns for the SQL compare."""
+    from ..kernels import cells as C
+    from ..ops.background import background_stats_hex
+
+    narrow = flagship.narrow_pages(sf_dir)
+
+    def recode(b: pa.Table) -> pa.Table:
+        lat = b.column("lat").to_numpy(zero_copy_only=False)
+        lon = b.column("lon").to_numpy(zero_copy_only=False)
+        cell = C.hex_cell(lat, lon, HEX_ORACLE_RES)
+        return pa.table({"hex_c": pa.array(cell, pa.uint64()),
+                         "n_chars": b.column("n_chars")})
+
+    ds = narrow.select_columns(["lat", "lon", "n_chars"]).map_batches(
+        recode, batch_format="pyarrow")
+    bg = background_stats_hex(ds, "n_chars", cell_col="hex_c")
+
+    def unpack(b: pa.Table) -> pa.Table:
+        _, q, r = C.hex_unpack(b.column("cell").to_numpy(zero_copy_only=False))
+        out = pa.table({"q": pa.array(q), "r": pa.array(r)})
+        for c in b.column_names:
+            if c != "cell":
+                out = out.append_column(c, b.column(c))
+        return out
+
+    return bg.map_batches(unpack, batch_format="pyarrow")
+
+
+def sql_hex_tile_stats() -> str:
+    from ..kernels import cells as C
+
+    pages = P.sql_pages_cte()
+    size = C.HEX_BASE_DEG / (C.HEX_APERTURE ** HEX_ORACLE_RES)
+    c_q = float(np.sqrt(3.0) / 3.0)
+    c_y = float(1.0 / 3.0)
+    c_r = float(2.0 / 3.0)
+    offs = C.hex_disk_offsets(2)
+    rings = ((np.abs(offs[:, 0]) + np.abs(offs[:, 1])
+              + np.abs(offs[:, 0] + offs[:, 1])) // 2)
+    disk_rows = ", ".join(f"({int(dq)},{int(dr)},{int(k)})"
+                          for (dq, dr), k in zip(offs, rings))
+    return f"""
+WITH pages AS ({pages}),
+ax AS (
+  SELECT cast(length(text) as bigint) AS n_chars,
+         {c_q!r}*(lon/{size!r}) - {c_y!r}*(lat/{size!r}) AS qf,
+         {c_r!r}*(lat/{size!r}) AS rf
+  FROM pages
+),
+rnd AS (
+  SELECT n_chars, qf, rf, -qf-rf AS yf,
+         round_even(qf, 0) AS rx, round_even(-qf-rf, 0) AS ry,
+         round_even(rf, 0) AS rz
+  FROM ax
+),
+cells AS (
+  SELECT n_chars,
+         cast(CASE WHEN abs(rx-qf) > abs(ry-yf) AND abs(rx-qf) > abs(rz-rf)
+              THEN -ry-rz ELSE rx END as bigint) AS q,
+         cast(CASE WHEN NOT (abs(rx-qf) > abs(ry-yf) AND abs(rx-qf) > abs(rz-rf))
+                   AND abs(rz-rf) > abs(ry-yf)
+              THEN -rx-ry ELSE rz END as bigint) AS r
+  FROM rnd
+),
+occ AS (SELECT DISTINCT q, r FROM cells),
+disk AS (SELECT * FROM (VALUES {disk_rows}) AS t(dq, dr, ring)),
+nbr AS (
+  SELECT o.q AS cq, o.r AS cr, cast(c.n_chars as double) AS v, d.ring
+  FROM occ o JOIN disk d ON true
+  JOIN cells c ON c.q = o.q + d.dq AND c.r = o.r + d.dr
+)
+SELECT cq AS q, cr AS r,
+       median(CASE WHEN ring <= 1 THEN v END) AS bg1_median,
+       mad(CASE WHEN ring <= 1 THEN v END)    AS bg1_mad,
+       cast(count(CASE WHEN ring <= 1 THEN 1 END) as bigint) AS bg1_n,
+       median(v) AS bg2_median,
+       mad(v)    AS bg2_mad,
+       cast(count(*) as bigint) AS bg2_n
+FROM nbr GROUP BY cq, cr
+"""
+
+
 def q_hex_detect(sf_dir: str):
     """Per-page anomaly classification against the FINE hex-grid
     background (north_star per-pixel kernel end-to-end: hex bg via
@@ -1318,6 +1411,19 @@ def q_score(sf_dir: str):
     return score_op(ds).select_columns(["doc_id", "est_p", "est_t", "est_qa"])
 
 
+def q_estimate_eval(sf_dir: str):
+    """Forward-model re-evaluation product QA (MCBEF_EVAL analog,
+    MCBEF_EVAL.py:85-134): modeled signal, observed-minus-model
+    residual, and eval QA flag per scored row."""
+    from ..ops.score import evaluate_op, score_op
+
+    ds = flagship.narrow_pages(sf_dir)
+    out = evaluate_op(score_op(ds))
+    return out.select_columns(
+        ["doc_id", "est_p", "est_t", "est_qa", "model_mtl", "eval_resid", "eval_qa"]
+    )
+
+
 QUERIES = {
     "flagship_detect": q_flagship,
     "geocode_tiles": q_geocode,
@@ -1348,6 +1454,7 @@ QUERIES = {
     "range_join_windows": q_range_join,
     "hopping_window_agg": q_hopping_agg,
     "window_user_value": q_window_user_value,
+    "hex_tile_stats": q_hex_tile_stats,
     # rows-only (non-SQL-expressible; covered by pytest goldens/oracles)
     "cells_hex_s2": q_cells,
     "pip_biome": q_pip_biome,
@@ -1360,6 +1467,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "langid": q_langid,
     "estimator_score": q_score,
+    "estimate_eval": q_estimate_eval,
     "estimate_posteriors": q_estimate_posteriors,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
@@ -1399,4 +1507,5 @@ ORACLES = {
     "range_join_windows": sql_range_join(),
     "hopping_window_agg": sql_hopping_agg(),
     "window_user_value": sql_window_user_value(),
+    "hex_tile_stats": sql_hex_tile_stats(),
 }

@@ -71,6 +71,23 @@ def resume_filter(ds, out_dir: str, partition_col: str):
     return semi_anti_filter(ds, keys, on=partition_col, anti=True), done
 
 
+def _check_int_partition(ds, partition_col: str):
+    """The manifest protocol keys partitions by int (marker JSON,
+    resume_filter's int64 key set, part=<v> dir parsing) — fail fast
+    on a non-integer partition column instead of erroring after data
+    was already written."""
+    try:
+        sch = ds.schema()
+        t = dict(zip(sch.names, sch.types))[partition_col]
+    except Exception:
+        return
+    if not pa.types.is_integer(t):
+        raise ValueError(
+            f"partition_col {partition_col!r} must be integer-typed for the "
+            f"manifest protocol (got {t}); markers and resume keys are ints"
+        )
+
+
 def write_product(ds, out_dir: str, *, partition_col: str, lineage: dict | None = None,
                   sort_cols: list[str] | None = None,
                   field_metadata: dict[str, dict[str, str]] | None = None):
@@ -83,6 +100,7 @@ def write_product(ds, out_dir: str, *, partition_col: str, lineage: dict | None 
     Returns the manifest dict after the run.
     """
     os.makedirs(out_dir, exist_ok=True)
+    _check_int_partition(ds, partition_col)
     lineage = dict(lineage or {})
     from ..kernels.textkit import EXTRACTOR_VERSION
 
@@ -163,23 +181,28 @@ def write_product_streaming(ds, out_dir: str, *, partition_col: str,
     def addp(b: pa.Table) -> pa.Table:
         return b.append_column("__part", b.column(partition_col))
 
-    ds = ds.map_batches(addp, batch_format="pyarrow").materialize()  # files + counts
-    ds.write_parquet(out_dir, partition_cols=["__part"])
-    counts = ds.groupby(partition_col).count().to_pandas()
-    part_vals = counts[partition_col].to_numpy()
-    ns = counts["count()" if "count()" in counts.columns else counts.columns[-1]].to_numpy()
-    for part, n in zip(part_vals, ns):
-        pdir = os.path.join(out_dir, f"__part={part}")
-        if not os.path.isdir(pdir):
+    _check_int_partition(ds, partition_col)
+    ds.map_batches(addp, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["__part"]
+    )  # ONE streaming pass: no materialization of the payload
+    # per-partition row counts from the WRITTEN FILES' parquet footers
+    # (metadata-only reads, no second pass over the data)
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith("__part="):
             continue
+        pdir = os.path.join(out_dir, d)
+        part = int(d.split("=", 1)[1])
+        files = [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
+                 if f.endswith(".parquet")]
+        n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         # normalize layout to the manifest convention (part=<v>/);
         # a rerun over an existing product replaces the partition
         # (same overwrite semantics as write_product)
-        norm = os.path.join(out_dir, f"part={int(part)}")
+        norm = os.path.join(out_dir, f"part={part}")
         shutil.rmtree(norm, ignore_errors=True)
         os.rename(pdir, norm)
         with open(os.path.join(norm, SUCCESS), "w") as f:
-            json.dump({"partition": int(part), "rows": int(n), "lineage": lineage}, f)
+            json.dump({"partition": part, "rows": int(n), "lineage": lineage}, f)
     done = load_done(out_dir)
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
         for part in sorted(done):

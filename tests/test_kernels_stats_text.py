@@ -140,6 +140,31 @@ def test_grouped_weighted_median_mad_vs_bruteforce():
                 assert med[g] == m and mad[g] == d and tot[g] == exp.size
 
 
+def test_grouped_weighted_kernels_ignore_zero_counts():
+    """Zero-count histogram rows must not poison segment boundaries:
+    results equal those with the zero rows removed, and an owner whose
+    rows are ALL zero-count gets the empty-owner (nan, nan, 0)."""
+    from filda_ray.kernels.stats import (grouped_weighted_low_mean,
+                                         grouped_weighted_median_mad)
+
+    owner = np.array([0, 0, 0, 1, 1, 2])
+    values = np.array([5.0, 7.0, 9.0, 3.0, 4.0, 8.0])
+    counts = np.array([2, 0, 1, 0, 0, 3])
+    med, mad, tot = grouped_weighted_median_mad(owner, values, counts, 3)
+    m2, d2, t2 = grouped_weighted_median_mad(
+        np.array([0, 0, 2]), np.array([5.0, 9.0, 8.0]), np.array([2, 1, 3]), 3)
+    assert np.array_equal(med, m2, equal_nan=True)
+    assert np.array_equal(mad, d2, equal_nan=True)
+    assert np.array_equal(tot, t2)
+    assert np.isnan(med[1]) and tot[1] == 0  # all-zero owner -> empty
+    mean, k = grouped_weighted_low_mean(owner, values, counts, 3, frac=0.5)
+    mn2, k2 = grouped_weighted_low_mean(
+        np.array([0, 0, 2]), np.array([5.0, 9.0, 8.0]), np.array([2, 1, 3]), 3,
+        frac=0.5)
+    assert np.array_equal(mean, mn2, equal_nan=True)
+    assert np.array_equal(k, k2)
+
+
 def test_grouped_weighted_low_mean_vs_bruteforce():
     from filda_ray.kernels.stats import grouped_weighted_low_mean, trimmed_low_mean
 

@@ -145,6 +145,36 @@ def test_ivf_index_full_probe_equals_bruteforce(ray_session, tmp_path):
     assert hits / len(pd_exact) >= 0.9  # clustered data: high recall
 
 
+def test_ivf_random_sample_handles_sorted_corpus(ray_session, tmp_path):
+    """Centroid training must hash-sample, not head-sample: on a
+    cluster-SORTED corpus with sample_size << corpus, a head sample
+    sees only the first cluster and recall collapses; the hash sample
+    keeps every cluster represented and few-probe recall >= 0.9."""
+    import ray.data as rd
+
+    from filda_ray.ops.embed import cosine_topk, ivf_build, ivf_topk
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(6, 16) * 4
+    # sorted by cluster: all of cluster 0 first, then cluster 1, ...
+    vecs = np.concatenate([c + 0.05 * rng.randn(400, 16) for c in centers])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array([v.tolist() for v in vecs],
+                                          pa.list_(pa.float32()))})
+    idx = str(tmp_path / "ivf_sorted")
+    # sample_size 150 < one cluster's 400 rows: a head sample would
+    # train every centroid inside cluster 0
+    ivf_build(rd.from_arrow(tbl), idx, n_centroids=12, sample_size=150, seed=3)
+    queries = centers + 0.02 * rng.randn(6, 16)
+    exact = cosine_topk(rd.from_arrow(tbl), queries, k=10, dtype=np.float64).to_pandas()
+    few = ivf_topk(idx, queries, k=10, nprobe=3).to_pandas()
+    key = ["query_id", "vec_id"]
+    hits = len(set(map(tuple, few[key].to_numpy())) &
+               set(map(tuple, exact[key].to_numpy())))
+    assert hits / len(exact) >= 0.9
+
+
 def test_embedding_neardup_planted_clusters(ray_session):
     """Multi-table sign-LSH near-dup: every planted intra-cluster pair
     found, every reported pair verified >= threshold by its cosine."""
@@ -255,6 +285,59 @@ def test_knn_hotspots_counts(ray_session):
     hot = knn_hotspots(ds, k_ring=1).to_pandas().sort_values("doc_id")
     assert hot["n_kring"].iloc[0] >= 3  # the cluster sees itself
     assert hot["n_kring"].iloc[4] == 1
+
+
+def test_hotspot_join_mode_matches_broadcast(ray_session):
+    """The hash-join gather path (scale path for planetary occupied-cell
+    counts) returns identical columns to the broadcast path for both
+    count_in_cell and knn_hotspots, and 'auto' picks join when the
+    occupied-cell count exceeds the broadcast cap."""
+    from filda_ray.kernels import cells
+    from filda_ray.ops.hotspot import count_in_cell, knn_hotspots
+
+    rng = np.random.RandomState(5)
+    lat = 10.0 + rng.rand(300) * 0.4
+    lon = 20.0 + rng.rand(300) * 0.4
+    cell = cells.hex_cell(lat, lon)
+    ds = _ds({"doc_id": list(range(300)), "hex_r7": cell})
+
+    for op, col in ((count_in_cell, "n_in_cell"), (knn_hotspots, "n_kring")):
+        bc = op(ds, mode="broadcast").to_pandas().sort_values("doc_id").reset_index(drop=True)
+        jn = op(ds, mode="join").to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert np.array_equal(bc[col].to_numpy(), jn[col].to_numpy()), col
+        # auto: tiny cap forces the join path; result unchanged
+        au = op(ds, mode="auto", broadcast_max_cells=1).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert np.array_equal(bc[col].to_numpy(), au[col].to_numpy()), col
+
+
+def test_hex_detect_auto_mode_selection(ray_session):
+    """contextual_detect_hex 'auto' selects by measured bg cardinality:
+    forcing a 1-cell cap routes through the join path with identical
+    results to broadcast."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from filda_ray.kernels import cells
+    from filda_ray.ops.background import background_stats_hex
+    from filda_ray.ops.detect import contextual_detect_hex
+
+    rng = np.random.RandomState(9)
+    lat = 5.0 + rng.rand(200) * 0.2
+    lon = 7.0 + rng.rand(200) * 0.2
+    vals = rng.randint(50, 500, 200).astype(np.int64)
+    cell = cells.hex_cell(lat, lon)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(np.arange(200, dtype=np.int64)),
+                                 "hex_r7": pa.array(cell, pa.uint64()),
+                                 "n_chars": pa.array(vals)}))
+    bg = background_stats_hex(ds, "n_chars").materialize()
+    bc = contextual_detect_hex(ds, bg, "n_chars", mode="broadcast").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    au = contextual_detect_hex(ds, bg, "n_chars", mode="auto",
+                               broadcast_max_cells=1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)[bc.columns]
+    for c in bc.columns:
+        assert np.array_equal(bc[c].to_numpy(), au[c].to_numpy()), c
 
 
 def test_knn_hotspots_exact_across_prefix_boundaries(ray_session):
@@ -478,6 +561,33 @@ def test_estimator_posterior_summaries(ray_session, sf_dir):
     if len(point):
         assert np.allclose(point.est_t_hdi_lo, point.est_t)
         assert np.allclose(point.est_t_hdi_hi, point.est_t)
+
+
+def test_evaluate_op_residual_algebra(ray_session, sf_dir):
+    """MCBEF_EVAL analog: eval_resid must equal the numpy re-derivation
+    obs_mtl - (p*t + (1-p)*TEMPLATE_LEN) for every valid row; QA flags
+    partition rows by residual magnitude and estimator validity."""
+    from filda_ray.ops.score import RESID_WARN, TEMPLATE_LEN, evaluate_op, score_op
+    from filda_ray.pipelines.flagship import narrow_pages
+
+    out = evaluate_op(score_op(narrow_pages(sf_dir))).to_pandas()
+    nc = out.n_chars.to_numpy(dtype=np.float64)
+    nt = out.n_tokens.to_numpy(dtype=np.float64)
+    valid = (nt > 0) & (nc > 0)
+    mtl = np.where(valid, (nc - np.maximum(nt - 1, 0)) / np.maximum(nt, 1), np.nan)
+    model = out.est_p.to_numpy() * out.est_t.to_numpy() \
+        + (1.0 - out.est_p.to_numpy()) * TEMPLATE_LEN
+    want = mtl - model
+    ok = out.eval_qa.to_numpy() != 2
+    assert ok.any()
+    assert np.allclose(out.eval_resid.to_numpy()[ok], want[ok], equal_nan=False)
+    assert np.isnan(out.eval_resid.to_numpy()[~ok]).all()
+    r = np.abs(out.eval_resid.to_numpy()[ok])
+    q = out.eval_qa.to_numpy()[ok]
+    assert ((q == 0) == (r <= RESID_WARN)).all()
+    # good biphasic fits re-evaluate to small residuals by construction
+    good = out[(out.est_qa == 0)]
+    assert len(good) and (good.eval_qa == 0).mean() > 0.9
 
 
 def test_dedup_exact_null_texts_form_one_group(ray_session):

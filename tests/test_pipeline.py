@@ -357,3 +357,34 @@ def test_flagship_handles_null_html(ray_session, tmp_path):
     assert out.status.isin([0, 1, 2]).all()
     bad = out[out.doc_id % 10 == 5]
     assert (bad.n_chars > 0).all()  # invalid UTF-8 decoded with replacement
+
+
+def test_extract_repairs_only_invalid_rows(monkeypatch):
+    """A batch with 1% bad bytes must keep the 99% on the Arrow path:
+    the scalar errors='replace' kernel sees ONLY the invalid rows, and
+    the reassembled output equals the all-scalar reference."""
+    import pyarrow as pa
+
+    from filda_ray.kernels import textkit
+
+    n = 500
+    htmls = [f"<html><body>doc {i} body text</body></html>".encode()
+             for i in range(n)]
+    bad_rows = {37, 123, 409, 499, 0}
+    for i in bad_rows:
+        htmls[i] = b"<body>bad \xff\xfe bytes " + str(i).encode() + b"</body>"
+    arr = pa.array(htmls, pa.binary())
+
+    seen = []
+    orig = textkit.extract_text
+
+    def spy(vals):
+        seen.extend(vals)
+        return orig(vals)
+
+    monkeypatch.setattr(textkit, "extract_text", spy)
+    got = textkit.extract_text_arrow(arr).to_pylist()
+    monkeypatch.undo()
+    assert len(seen) == len(bad_rows)  # scalar path saw ONLY bad rows
+    want = textkit.extract_text(htmls).tolist()
+    assert got == want
