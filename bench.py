@@ -107,9 +107,11 @@ def run_bench() -> dict:
             return pa.table({"doc_id": pa.array(rep_ids),
                              "text": pa.array(rep_texts, pa.large_string())})
 
+        from filda_ray.sources import read_parquet_clean
+
         def distinct_corpus():
-            docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
-                                   columns=["doc_id", "text"])
+            docs = read_parquet_clean(f"{SF_DIR}/documents.parquet",
+                                      columns=["doc_id", "text"])
             return docs.map_batches(explode64, batch_format="pyarrow")
 
         t0 = time.time()
@@ -130,7 +132,27 @@ def run_bench() -> dict:
         ).count()
         timings["hex_background_1.3M"] = round(time.time() - t0, 3)
 
+        # adversarial near-dup verify (fresh subprocess so the driver
+        # peak RSS is attributable): templated corpus -> LSH emits far
+        # more candidate pairs than the broadcast cap -> the fully
+        # distributed hash-join verify path must keep driver RSS
+        # bounded (the pairs/signature tables never land on the driver)
+        env = dict(os.environ, GRAFT_BENCH_MODE="neardup")
+        try:
+            nd = json.loads(subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout.strip().splitlines()[-1])
+            timings["neardup_verify_adversarial"] = nd["sec"]
+            out_extra = {"neardup_adversarial": nd}
+        except subprocess.CalledProcessError:
+            out_extra = {}
+
+    if os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY"):
+        out_extra = {}
     out = {
+        **out_extra,
         "metric": "flagship pages/sec (geocode->tile->background->classify->PIP->QA)",
         "value": timings["flagship_detect"],
         "unit": "sec",
@@ -141,6 +163,59 @@ def run_bench() -> dict:
         "pages_per_sec": round(n_pages / max(timings["flagship_detect"], 1e-9), 1),
         "flagship_runs": runs,
     }
+    ray.shutdown()
+    return out
+
+
+def run_neardup_adversarial() -> dict:
+    """Templated high-collision corpus: ~40k docs in ~5k near-dup
+    groups of 8 -> ~140k candidate pairs (above the broadcast cap, so
+    verify_jaccard_op auto-selects the distributed hash-join path).
+    Reports wall time, verified pair count, and this process's peak
+    RSS — the bounded-driver evidence."""
+    import resource
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    from filda_ray.ops.dedup import minhash_lsh_pairs, verify_jaccard_op
+    from filda_ray.sources import read_parquet_clean
+
+    REPS = 8
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        rep_ids = np.repeat(ids, REPS) * REPS + np.tile(np.arange(REPS), len(ids))
+        texts = []
+        for i in ids:
+            base = (f"breaking news article about shared topic {int(i)} with "
+                    "boilerplate header footer navigation sidebar copyright ") * 3
+            for k in range(REPS):
+                texts.append(base + f"unique tail token{int(i)}x{k}")
+        return pa.table({"doc_id": pa.array(rep_ids),
+                         "text": pa.array(texts, pa.large_string())})
+
+    def docs():
+        return read_parquet_clean(f"{SF_DIR}/documents.parquet",
+                                  columns=["doc_id"]).map_batches(
+            synth, batch_format="pyarrow")
+
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(docs())
+    ver = verify_jaccard_op(pairs, docs(), threshold=0.6)
+    n_ver = ver.count()
+    sec = round(time.time() - t0, 3)
+    rss_mib = round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0, 1)
+    n_docs = REPS * read_parquet_clean(f"{SF_DIR}/documents.parquet",
+                                       columns=["doc_id"]).count()
+    out = {"sec": sec, "verified_pairs": int(n_ver),
+           "driver_peak_rss_mib": rss_mib, "docs": int(n_docs)}
     ray.shutdown()
     return out
 
@@ -179,5 +254,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif os.environ.get("GRAFT_BENCH_MODE") == "neardup":
+        print(json.dumps(run_neardup_adversarial()))
     else:
         print(json.dumps(run_bench()))

@@ -120,10 +120,44 @@ DEFAULT_RINGS = (1, MAX_RING)
 TRIM_FRAC = 0.25  # lowest-25% background mean, FILDA.py:1362-1368
 
 
+def _stats_for_tiles(ot: np.ndarray, st: np.ndarray, sv: np.ndarray,
+                     sn: np.ndarray, rings, trim_frac: float, tile_deg: float):
+    """Per-owner-tile ring stats from histogram rows sorted by
+    (tile, value): the shared vectorized core of the driver-merge and
+    block-halo paths.  ``ot`` = owner tiles (sorted unique)."""
+    from ..kernels.stats import grouped_weighted_low_mean, grouped_weighted_median_mad
+
+    uniq_tiles, starts = np.unique(st, return_index=True)
+    ends = np.r_[starts[1:], len(st)]
+    out = {"pc_tile": ot.astype(np.int32)}
+    for k in rings:
+        nb, keep = cells.pc_distinct_neighbors_mask(ot.astype(np.int32), k, tile_deg)
+        pos = np.searchsorted(uniq_tiles, nb)
+        pos_c = np.clip(pos, 0, max(len(uniq_tiles) - 1, 0))
+        hit = keep & (len(uniq_tiles) > 0) & (uniq_tiles[pos_c] == nb)
+        ss = np.where(hit, starts[pos_c], 0).ravel()
+        ll = np.where(hit, ends[pos_c] - starts[pos_c], 0).ravel()
+        oi = np.broadcast_to(np.arange(len(ot))[:, None], nb.shape).ravel()
+        owner, idx = _expand_slices(ss, ll, oi)
+        med, mad, n = grouped_weighted_median_mad(owner, sv[idx], sn[idx], len(ot))
+        trim, _ = grouped_weighted_low_mean(owner, sv[idx], sn[idx], len(ot),
+                                            frac=trim_frac)
+        out[f"bg{k}_median"] = med
+        out[f"bg{k}_mad"] = mad
+        out[f"bg{k}_n"] = n
+        out[f"bg{k}_trim"] = trim
+    return out
+
+
+DRIVER_MERGE_MAX_ROWS = 5_000_000  # ~120 MB of (tile, value, n) rows
+
+
 def background_stats(ds, value_col: str, tile_col: str = "pc_tile",
                      tile_deg: float = cells.PC_TILE_DEG,
                      rings: tuple = DEFAULT_RINGS, trim_frac: float = TRIM_FRAC,
-                     quantize: float | None = None, block: int = 6):
+                     quantize: float | None = None, block: int = 6,
+                     merge: str = "auto",
+                     driver_max_rows: int = DRIVER_MERGE_MAX_ROWS):
     """Dataset op: rows -> per-tile background stats table (histogram
     path; exact for discrete-valued metrics, quantize-step approximate
     for continuous ones when ``quantize`` is set).
@@ -134,27 +168,52 @@ def background_stats(ds, value_col: str, tile_col: str = "pc_tile",
     bg{k}_{median,mad,n,trim} — trim is the lowest-``trim_frac`` mean
     of the same window (FRP background analog, FILDA.py:1335-1368).
 
-    Distributed design (no driver materialization — the same
-    halo-exchange pattern as ``background_stats_hex``): per-batch
-    (tile, value, n) count partials are emitted to the ``block`` x
-    ``block`` tile-block of every tile in their max-ring neighborhood
-    (a boundary row is visible to adjacent blocks; interior rows emit
-    once), then each block group computes exact weighted
-    median/MAD/trim for its OWNED populated tiles only, fully
-    vectorized (one ``grouped_weighted_median_mad`` per ring, never a
-    per-tile Python call).  The driver never holds a histogram; a
-    group is bounded by (block+2k)^2 x distinct values per tile, which
-    ``quantize`` caps for continuous metrics.
-    """
-    from ..kernels.stats import grouped_weighted_low_mean, grouped_weighted_median_mad
+    The merge strategy is chosen by the MEASURED histogram size (the
+    partials are materialized once and feed either path):
 
+    - ``driver`` (partial rows <= ``driver_max_rows``): the merged
+      histogram is provably small, so one driver pandas merge + the
+      shared vectorized ring kernel resolves every tile at memcpy
+      speed — no extra shuffle.
+    - ``halo`` (unbounded value domains): the same halo-exchange
+      pattern as ``background_stats_hex`` — partials are emitted to
+      the ``block`` x ``block`` tile-block of every tile in their
+      max-ring neighborhood, then each block group computes stats for
+      its OWNED populated tiles, fully vectorized.  The driver never
+      holds a histogram; a group is bounded by (block+2k)^2 x distinct
+      values per tile, which ``quantize`` caps for continuous metrics.
+
+    Both paths run the SAME ``_stats_for_tiles`` kernel (tested equal).
+    """
     max_ring = max(rings)
     assert block > max_ring  # a halo only reaches adjacent blocks
     ncols = int(round(360.0 / tile_deg))
     nbc = -(-ncols // block)
     parts = ds.select_columns([tile_col, value_col]).map_batches(
         lambda b: _hist_partial(b, value_col, tile_col, quantize), batch_format="pyarrow"
-    )
+    ).materialize()
+    if merge == "auto":
+        merge = "driver" if parts.count() <= driver_max_rows else "halo"
+
+    if merge == "driver":
+        import ray.data as rd
+
+        tbl = pa.concat_tables(
+            list(parts.iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+        t = tbl.column("tile").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = tbl.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = tbl.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, t))
+        st, sv, sn = t[order], v[order], n[order]
+        ot = np.unique(st)
+        if ot.size == 0:
+            return rd.from_arrow(pa.table(
+                {"pc_tile": pa.array([], pa.int32()),
+                 **{f"bg{k}_{s}": pa.array([], pa.int64() if s == "n" else pa.float64())
+                    for k in rings for s in ("median", "mad", "n", "trim")}}))
+        out = _stats_for_tiles(ot, st, sv, sn, rings, trim_frac, tile_deg)
+        return rd.from_arrow(pa.table({c: pa.array(a) for c, a in out.items()}))
 
     def halo(batch: pa.Table) -> pa.Table:
         t = batch.column("tile").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -191,26 +250,8 @@ def background_stats(ds, value_col: str, tile_col: str = "pc_tile",
             return pd.DataFrame(empty_cols)
         order = np.lexsort((vals, tiles))
         st, sv, sn = tiles[order], vals[order], cnts[order]
-        uniq_tiles, starts = np.unique(st, return_index=True)
-        ends = np.r_[starts[1:], len(st)]
-        out = {"pc_tile": ot.astype(np.int32)}
-        for k in rings:
-            nb, keep = cells.pc_distinct_neighbors_mask(ot.astype(np.int32), k, tile_deg)
-            pos = np.searchsorted(uniq_tiles, nb)
-            pos_c = np.clip(pos, 0, max(len(uniq_tiles) - 1, 0))
-            hit = keep & (uniq_tiles[pos_c] == nb)
-            ss = np.where(hit, starts[pos_c], 0).ravel()
-            ll = np.where(hit, ends[pos_c] - starts[pos_c], 0).ravel()
-            oi = np.broadcast_to(np.arange(len(ot))[:, None], nb.shape).ravel()
-            owner, idx = _expand_slices(ss, ll, oi)
-            med, mad, n = grouped_weighted_median_mad(owner, sv[idx], sn[idx], len(ot))
-            trim, _ = grouped_weighted_low_mean(owner, sv[idx], sn[idx], len(ot),
-                                                frac=trim_frac)
-            out[f"bg{k}_median"] = med
-            out[f"bg{k}_mad"] = mad
-            out[f"bg{k}_n"] = n
-            out[f"bg{k}_trim"] = trim
-        return pd.DataFrame(out)
+        return pd.DataFrame(_stats_for_tiles(ot, st, sv, sn, rings, trim_frac,
+                                             tile_deg))
 
     return halo_ds.groupby("blk").map_groups(per_block, batch_format="pandas")
 
