@@ -1293,7 +1293,10 @@ def q_hex_tile_stats(sf_dir: str):
     return bg.map_batches(unpack, batch_format="pyarrow")
 
 
-def sql_hex_tile_stats() -> str:
+def _sql_hex_cte_prefix() -> str:
+    """Shared CTE chain: pages -> axial cube-round cells -> occupied
+    cells -> disk(2) neighborhood histogram -> per-cell ring stats.
+    Used by the hex background AND hex detect oracles."""
     from ..kernels import cells as C
 
     pages = P.sql_pages_cte()
@@ -1309,19 +1312,19 @@ def sql_hex_tile_stats() -> str:
     return f"""
 WITH pages AS ({pages}),
 ax AS (
-  SELECT cast(length(text) as bigint) AS n_chars,
+  SELECT doc_id, cast(length(text) as bigint) AS n_chars,
          {c_q!r}*(lon/{size!r}) - {c_y!r}*(lat/{size!r}) AS qf,
          {c_r!r}*(lat/{size!r}) AS rf
   FROM pages
 ),
 rnd AS (
-  SELECT n_chars, qf, rf, -qf-rf AS yf,
+  SELECT doc_id, n_chars, qf, rf, -qf-rf AS yf,
          round_even(qf, 0) AS rx, round_even(-qf-rf, 0) AS ry,
          round_even(rf, 0) AS rz
   FROM ax
 ),
 cells AS (
-  SELECT n_chars,
+  SELECT doc_id, n_chars,
          cast(CASE WHEN abs(rx-qf) > abs(ry-yf) AND abs(rx-qf) > abs(rz-rf)
               THEN -ry-rz ELSE rx END as bigint) AS q,
          cast(CASE WHEN NOT (abs(rx-qf) > abs(ry-yf) AND abs(rx-qf) > abs(rz-rf))
@@ -1335,15 +1338,81 @@ nbr AS (
   SELECT o.q AS cq, o.r AS cr, cast(c.n_chars as double) AS v, d.ring
   FROM occ o JOIN disk d ON true
   JOIN cells c ON c.q = o.q + d.dq AND c.r = o.r + d.dr
-)
-SELECT cq AS q, cr AS r,
-       median(CASE WHEN ring <= 1 THEN v END) AS bg1_median,
-       mad(CASE WHEN ring <= 1 THEN v END)    AS bg1_mad,
-       cast(count(CASE WHEN ring <= 1 THEN 1 END) as bigint) AS bg1_n,
-       median(v) AS bg2_median,
-       mad(v)    AS bg2_mad,
-       cast(count(*) as bigint) AS bg2_n
-FROM nbr GROUP BY cq, cr
+),
+bgagg AS (
+  SELECT cq AS q, cr AS r,
+         median(CASE WHEN ring <= 1 THEN v END) AS bg1_median,
+         mad(CASE WHEN ring <= 1 THEN v END)    AS bg1_mad,
+         cast(count(CASE WHEN ring <= 1 THEN 1 END) as bigint) AS bg1_n,
+         median(v) AS bg2_median,
+         mad(v)    AS bg2_mad,
+         cast(count(*) as bigint) AS bg2_n
+  FROM nbr GROUP BY cq, cr
+)"""
+
+
+def sql_hex_tile_stats() -> str:
+    return _sql_hex_cte_prefix() + """
+SELECT q, r, bg1_median, bg1_mad, bg1_n, bg2_median, bg2_mad, bg2_n
+FROM bgagg
+"""
+
+
+def q_hex_detect_coarse(sf_dir: str):
+    """Per-page hex contextual classification at the oracle resolution
+    — the north-star per-pixel kernel (hex bg via halo exchange ->
+    own-cell k-ring robust-z) promoted to a full SQL oracle."""
+    from ..kernels import cells as C
+    from ..ops.background import background_stats_hex
+    from ..ops.detect import contextual_detect_hex
+
+    narrow = flagship.narrow_pages(sf_dir)
+
+    def recode(b: pa.Table) -> pa.Table:
+        lat = b.column("lat").to_numpy(zero_copy_only=False)
+        lon = b.column("lon").to_numpy(zero_copy_only=False)
+        cell = C.hex_cell(lat, lon, HEX_ORACLE_RES)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "hex_c": pa.array(cell, pa.uint64()),
+                         "n_chars": b.column("n_chars")})
+
+    ds = narrow.select_columns(["doc_id", "lat", "lon", "n_chars"]).map_batches(
+        recode, batch_format="pyarrow").materialize()
+    bg = background_stats_hex(ds, "n_chars", cell_col="hex_c")
+    out = contextual_detect_hex(ds, bg, "n_chars", cell_col="hex_c")
+
+    def unpack(b: pa.Table) -> pa.Table:
+        _, q, r = C.hex_unpack(b.column("hex_c").to_numpy(zero_copy_only=False))
+        t = pa.table({"doc_id": b.column("doc_id"),
+                      "q": pa.array(q), "r": pa.array(r),
+                      "n_chars": b.column("n_chars")})
+        for c in ("bg_median", "bg_mad", "bg_n", "win_ring", "score", "status"):
+            t = t.append_column(c, b.column(c))
+        return t
+
+    return out.map_batches(unpack, batch_format="pyarrow")
+
+
+def sql_hex_detect_coarse() -> str:
+    return _sql_hex_cte_prefix() + """
+SELECT c.doc_id, c.q, c.r, c.n_chars,
+       CASE WHEN b.bg1_n >= 10 THEN b.bg1_median ELSE b.bg2_median END AS bg_median,
+       CASE WHEN b.bg1_n >= 10 THEN b.bg1_mad    ELSE b.bg2_mad    END AS bg_mad,
+       CASE WHEN b.bg1_n >= 10 THEN b.bg1_n      ELSE b.bg2_n      END AS bg_n,
+       cast(CASE WHEN b.bg1_n >= 10 THEN 1 ELSE 2 END as int) AS win_ring,
+       (c.n_chars - CASE WHEN b.bg1_n >= 10 THEN b.bg1_median ELSE b.bg2_median END)
+         / (1.4826 * (CASE WHEN b.bg1_n >= 10 THEN b.bg1_mad ELSE b.bg2_mad END) + 1e-9)
+         AS score,
+       cast(CASE
+         WHEN (CASE WHEN b.bg1_n >= 10 THEN b.bg1_n ELSE b.bg2_n END) < 10 THEN 0
+         WHEN (c.n_chars - CASE WHEN b.bg1_n >= 10 THEN b.bg1_median ELSE b.bg2_median END)
+              / (1.4826 * (CASE WHEN b.bg1_n >= 10 THEN b.bg1_mad ELSE b.bg2_mad END) + 1e-9)
+              >= 6.0 THEN 2
+         WHEN (c.n_chars - CASE WHEN b.bg1_n >= 10 THEN b.bg1_median ELSE b.bg2_median END)
+              / (1.4826 * (CASE WHEN b.bg1_n >= 10 THEN b.bg1_mad ELSE b.bg2_mad END) + 1e-9)
+              >= 3.0 THEN 1
+         ELSE 0 END as int) AS status
+FROM cells c JOIN bgagg b ON b.q = c.q AND b.r = c.r
 """
 
 
@@ -1455,6 +1524,7 @@ QUERIES = {
     "hopping_window_agg": q_hopping_agg,
     "window_user_value": q_window_user_value,
     "hex_tile_stats": q_hex_tile_stats,
+    "hex_detect_coarse": q_hex_detect_coarse,
     # rows-only (non-SQL-expressible; covered by pytest goldens/oracles)
     "cells_hex_s2": q_cells,
     "pip_biome": q_pip_biome,
@@ -1508,4 +1578,5 @@ ORACLES = {
     "hopping_window_agg": sql_hopping_agg(),
     "window_user_value": sql_window_user_value(),
     "hex_tile_stats": sql_hex_tile_stats(),
+    "hex_detect_coarse": sql_hex_detect_coarse(),
 }
