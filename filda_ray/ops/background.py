@@ -149,15 +149,10 @@ def _stats_for_tiles(ot: np.ndarray, st: np.ndarray, sv: np.ndarray,
     return out
 
 
-DRIVER_MERGE_MAX_ROWS = 5_000_000  # ~120 MB of (tile, value, n) rows
-
-
 def background_stats(ds, value_col: str, tile_col: str = "pc_tile",
                      tile_deg: float = cells.PC_TILE_DEG,
                      rings: tuple = DEFAULT_RINGS, trim_frac: float = TRIM_FRAC,
-                     quantize: float | None = None, block: int = 6,
-                     merge: str = "auto",
-                     driver_max_rows: int = DRIVER_MERGE_MAX_ROWS):
+                     quantize: float | None = None, block: int = 6):
     """Dataset op: rows -> per-tile background stats table (histogram
     path; exact for discrete-valued metrics, quantize-step approximate
     for continuous ones when ``quantize`` is set).
@@ -168,22 +163,19 @@ def background_stats(ds, value_col: str, tile_col: str = "pc_tile",
     bg{k}_{median,mad,n,trim} — trim is the lowest-``trim_frac`` mean
     of the same window (FRP background analog, FILDA.py:1335-1368).
 
-    The merge strategy is chosen by the MEASURED histogram size (the
-    partials are materialized once and feed either path):
-
-    - ``driver`` (partial rows <= ``driver_max_rows``): the merged
-      histogram is provably small, so one driver pandas merge + the
-      shared vectorized ring kernel resolves every tile at memcpy
-      speed — no extra shuffle.
-    - ``halo`` (unbounded value domains): the same halo-exchange
-      pattern as ``background_stats_hex`` — partials are emitted to
-      the ``block`` x ``block`` tile-block of every tile in their
-      max-ring neighborhood, then each block group computes stats for
-      its OWNED populated tiles, fully vectorized.  The driver never
-      holds a histogram; a group is bounded by (block+2k)^2 x distinct
-      values per tile, which ``quantize`` caps for continuous metrics.
-
-    Both paths run the SAME ``_stats_for_tiles`` kernel (tested equal).
+    Distributed design (the same halo-exchange pattern as
+    ``background_stats_hex``): per-batch (tile, value, n) count
+    partials are emitted to the ``block`` x ``block`` tile-block of
+    every tile in their max-ring neighborhood, then each block group
+    computes exact weighted median/MAD/trim for its OWNED populated
+    tiles via the shared ``_stats_for_tiles`` kernel.  The driver
+    never holds a histogram, and — measured, r3 — the per-block
+    parallelism beats a driver merge by ~5-10x even when the histogram
+    WOULD fit the driver (the ring expansion is sort-bound: one
+    process sorts 20M expanded rows in ~15 s; 18 block groups across
+    the pool do it in ~1.5 s).  A group is bounded by (block+2k)^2 x
+    distinct values per tile, which ``quantize`` caps for continuous
+    metrics.
     """
     max_ring = max(rings)
     assert block > max_ring  # a halo only reaches adjacent blocks
@@ -191,29 +183,7 @@ def background_stats(ds, value_col: str, tile_col: str = "pc_tile",
     nbc = -(-ncols // block)
     parts = ds.select_columns([tile_col, value_col]).map_batches(
         lambda b: _hist_partial(b, value_col, tile_col, quantize), batch_format="pyarrow"
-    ).materialize()
-    if merge == "auto":
-        merge = "driver" if parts.count() <= driver_max_rows else "halo"
-
-    if merge == "driver":
-        import ray.data as rd
-
-        tbl = pa.concat_tables(
-            list(parts.iter_batches(batch_format="pyarrow", batch_size=None))
-        )
-        t = tbl.column("tile").to_numpy(zero_copy_only=False).astype(np.int64)
-        v = tbl.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
-        n = tbl.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((v, t))
-        st, sv, sn = t[order], v[order], n[order]
-        ot = np.unique(st)
-        if ot.size == 0:
-            return rd.from_arrow(pa.table(
-                {"pc_tile": pa.array([], pa.int32()),
-                 **{f"bg{k}_{s}": pa.array([], pa.int64() if s == "n" else pa.float64())
-                    for k in rings for s in ("median", "mad", "n", "trim")}}))
-        out = _stats_for_tiles(ot, st, sv, sn, rings, trim_frac, tile_deg)
-        return rd.from_arrow(pa.table({c: pa.array(a) for c, a in out.items()}))
+    )
 
     def halo(batch: pa.Table) -> pa.Table:
         t = batch.column("tile").to_numpy(zero_copy_only=False).astype(np.int64)

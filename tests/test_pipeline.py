@@ -106,26 +106,6 @@ def test_background_quantize_bounds_domain(ray_session, sf_dir):
     assert (exact["bg1_n"] == q["bg1_n"]).all()
 
 
-def test_background_merge_paths_equal(ray_session, sf_dir):
-    """The driver-merge fast path and the block-halo scale path run the
-    same kernel and must agree exactly; 'auto' with a zero cap selects
-    halo."""
-    from filda_ray.ops.background import background_stats
-    from filda_ray.pipelines.flagship import narrow_pages
-
-    narrow = narrow_pages(sf_dir).materialize()
-    a = background_stats(narrow, "n_chars", merge="driver").to_pandas() \
-        .sort_values("pc_tile").reset_index(drop=True)
-    b = background_stats(narrow, "n_chars", merge="halo").to_pandas() \
-        .sort_values("pc_tile").reset_index(drop=True)[a.columns]
-    c = background_stats(narrow, "n_chars", merge="auto", driver_max_rows=0) \
-        .to_pandas().sort_values("pc_tile").reset_index(drop=True)[a.columns]
-    assert len(a) == len(b) == len(c) > 0
-    for col in a.columns:
-        assert np.array_equal(a[col].to_numpy(), b[col].to_numpy()), col
-        assert np.array_equal(a[col].to_numpy(), c[col].to_numpy()), col
-
-
 def test_background_float_domain_capped(ray_session):
     """A continuous float value column with quantize=q yields at most
     ceil(range/q)+1 distinct histogram values per tile — the bound that
