@@ -2,12 +2,17 @@
 
 The engine treats media as ``binary`` columns with typed metadata and
 runs decode / feature-extract / resize / frame-sample as actor-pool
-map_batches stages.  This container ships no image/audio libraries, so
-the DECODE KERNELS are stubs — ``DeterministicFakeDecoder`` (seeded,
-reproducible pseudo-decode used by tests and queries) or
-``NotImplementedDecoder`` (raises, marking the integration point) —
-while all the Ray-side plumbing is real and tested: schema handling,
-actor signature, batch sizing for large payloads, output layout.
+map_batches stages.  Decode is REAL for the uncompressed container
+formats that need no external library — RIFF/WAVE PCM16, binary PNM
+(P5/P6), and the RVID raw-video container (``kernels.media``):
+``RawMediaDecoder`` sniffs the payload magic, decodes, and extracts
+numeric features (RMS/peak/ZCR for audio; mean/std + block-averaged
+thumbnail for images; first-frame image features for video), with a
+decode QA flag for undecodable payloads.  COMPRESSED codecs
+(jpeg/mp3/h264) genuinely require external libraries this container
+does not ship — ``NotImplementedDecoder`` marks that integration
+point, and ``DeterministicFakeDecoder`` remains as a seeded
+plumbing-only stand-in.
 
 Reference analog: the per-granule raster ingest stages (READ_IMG /
 READ_DNB, FILDA_IO.py:383-567) — heavy binary blobs decoded once per
@@ -35,13 +40,73 @@ MEDIA_SCHEMA = pa.schema(
 
 
 class NotImplementedDecoder:
-    """The real-decoder integration point.  __init__ is where PIL /
-    libsndfile / pyav handles would be created (once per actor)."""
+    """Integration point for COMPRESSED codecs (jpeg/mp3/h264).
+    __init__ is where PIL / libsndfile / pyav handles would be created
+    (once per actor); uncompressed formats need no such library — use
+    ``RawMediaDecoder``."""
 
     def __init__(self, target_size: tuple[int, int] = (64, 64)):
         raise NotImplementedError(
-            "no image/audio libraries in this environment; use "
-            "DeterministicFakeDecoder for the plumbing-exercising path"
+            "no compressed-codec libraries in this environment; "
+            "RawMediaDecoder handles wav/pnm/rvid payloads for real"
+        )
+
+
+class RawMediaDecoder:
+    """REAL decode + feature extraction for uncompressed payloads.
+
+    Per payload: sniff the container magic, decode with the pure-numpy
+    codecs in ``kernels.media``, and emit a fixed-width float32
+    feature vector (zero-padded), feat_mean, and decode_ok.  Feature
+    layouts: audio = [rms, peak, zcr, seconds]; image = [mean, std,
+    3x3 thumbnail]; video = image features of frame 0 + [n_frames].
+    Undecodable/truncated payloads set decode_ok=False with zero
+    features (QA-flag convention of the raster readers,
+    FILDA_IO.py:404-412)."""
+
+    FEATURE_DIM = 16
+
+    def __init__(self, feature_dim: int = FEATURE_DIM, grid: int = 3):
+        from ..kernels import media
+
+        self.m = media
+        self.feature_dim = feature_dim
+        self.grid = grid
+
+    def _features(self, payload: bytes | None):
+        m = self.m
+        if not payload:
+            return np.zeros(self.feature_dim, dtype=np.float32), False
+        try:
+            if payload[:4] == b"RIFF":
+                f = m.audio_features(*m.decode_wav(payload))
+            elif payload[:1] == b"P" and payload[1:2] in b"56":
+                f = m.image_features(m.decode_ppm(payload), self.grid)
+            elif payload[:4] == m.RVID_MAGIC:
+                frames = m.decode_rvid(payload)
+                f = np.concatenate([m.image_features(frames[0], self.grid),
+                                    [float(len(frames))]])
+            else:
+                raise ValueError("unknown container magic")
+        except Exception:
+            return np.zeros(self.feature_dim, dtype=np.float32), False
+        out = np.zeros(self.feature_dim, dtype=np.float32)
+        out[: min(len(f), self.feature_dim)] = f[: self.feature_dim]
+        return out, True
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        feats = np.empty((len(payloads), self.feature_dim), dtype=np.float32)
+        ok = np.empty(len(payloads), dtype=bool)
+        for i, p in enumerate(payloads):
+            feats[i], ok[i] = self._features(p)
+        mean = feats.mean(axis=1).astype(np.float64)
+        return (
+            batch.drop_columns(["payload"])  # heavy bytes leave the stream here
+            .append_column("features", pa.array(list(feats),
+                                                pa.list_(pa.float32(), self.feature_dim)))
+            .append_column("feat_mean", pa.array(mean))
+            .append_column("decode_ok", pa.array(ok))
         )
 
 
@@ -100,8 +165,11 @@ def decode_media(ds, *, decoder=DeterministicFakeDecoder, concurrency: int = 4,
 
 def synth_media(sf_dir: str, kind: str = "image"):
     """Deterministic media table derived from documents (payload =
-    utf-8 text bytes standing in for encoded media)."""
+    utf-8 text bytes standing in for an unknown/compressed container;
+    exercises the decode-QA path)."""
     import ray.data as rd
+
+    from ..sources import read_parquet_clean
 
     def to_media(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -119,7 +187,73 @@ def synth_media(sf_dir: str, kind: str = "image"):
             }
         )
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(to_media, batch_format="pyarrow")
+
+
+IMG_SIZE = 24          # synthesized image side (pixels)
+WAV_RATE = 8000
+WAV_SAMPLES = 1024
+VID_FRAMES = 6
+VID_SIZE = 16
+
+
+def _synth_image(doc_id: int) -> np.ndarray:
+    """Deterministic RGB gradient+checker pattern keyed by doc_id."""
+    y, x = np.mgrid[0:IMG_SIZE, 0:IMG_SIZE]
+    base = (doc_id * 37) % 251
+    r = (x * 255 // IMG_SIZE + base) % 256
+    g = (y * 255 // IMG_SIZE + base * 2) % 256
+    b = (((x // 4 + y // 4) % 2) * 200 + base) % 256
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def _synth_audio(doc_id: int) -> np.ndarray:
+    """Deterministic int16 sine whose frequency is keyed by doc_id."""
+    freq = 200.0 + (doc_id * 13) % 1800
+    t = np.arange(WAV_SAMPLES, dtype=np.float64) / WAV_RATE
+    return (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+
+
+def synth_media_raw(sf_dir: str, kind: str = "image"):
+    """Deterministic media table with REAL encoded payloads: P6 images,
+    PCM16 WAV audio, or RVID raw video (frame f = the doc's image
+    rolled by f rows) — decodable end-to-end by ``RawMediaDecoder``
+    with no media library."""
+    import ray.data as rd
+
+    from ..kernels import media
+    from ..sources import read_parquet_clean
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        payloads, w, h, sr = [], [], [], []
+        for i in ids:
+            i = int(i)
+            if kind == "audio":
+                payloads.append(media.encode_wav(_synth_audio(i), WAV_RATE))
+                w.append(0); h.append(0); sr.append(WAV_RATE)
+            elif kind == "video":
+                img = _synth_image(i)[:VID_SIZE, :VID_SIZE]
+                frames = np.stack([np.roll(img, f, axis=0)
+                                   for f in range(VID_FRAMES)])
+                payloads.append(media.encode_rvid(frames))
+                w.append(VID_SIZE); h.append(VID_SIZE); sr.append(0)
+            else:
+                payloads.append(media.encode_ppm(_synth_image(i)))
+                w.append(IMG_SIZE); h.append(IMG_SIZE); sr.append(0)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array([kind] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "meta_width": pa.array(np.array(w, dtype=np.int32)),
+                "meta_height": pa.array(np.array(h, dtype=np.int32)),
+                "meta_sample_rate": pa.array(np.array(sr, dtype=np.int32)),
+            }
+        )
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return ds.map_batches(to_media, batch_format="pyarrow")
 
 
@@ -128,13 +262,15 @@ def frame_sample(ds, *, every_k: int = 5, max_frames: int = 16,
     """Video frame-sampling stage: each payload expands to its sampled
     frame rows (the flat_map shape of the media pipeline).
 
-    Without a codec in this container the 'frames' are deterministic
-    payload slices (frame i = bytes [i*frame_bytes, (i+1)*frame_bytes));
-    the REAL part is the plumbing a codec version would share: row
-    multiplication with a frame_index column, per-frame payloads
-    leaving the stream as new rows, and small batches so
-    batch_size x max_frames x frame size stays within the worker heap.
+    RVID payloads get REAL frame extraction: each sampled frame is
+    seek-decoded from its computed offset (never decoding the frames
+    in between) and re-encoded as a standalone P6 image payload, so
+    sampled frames flow straight back into ``RawMediaDecoder``.
+    Other payloads fall back to deterministic byte slices (the
+    plumbing-only behavior for unknown containers).  Small batches
+    keep batch_size x max_frames x frame size within the worker heap.
     """
+    from ..kernels import media
 
     def f(batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
@@ -143,6 +279,16 @@ def frame_sample(ds, *, every_k: int = 5, max_frames: int = 16,
         out_id, out_idx, out_frames, out_kind = [], [], [], []
         for mid, kind, p in zip(ids, kinds, payloads):
             p = p or b""
+            if p[:4] == media.RVID_MAGIC:
+                import struct
+
+                n_frames = min(max_frames, struct.unpack_from("<I", p, 4)[0])
+                for fi in range(0, n_frames, every_k):
+                    out_id.append(int(mid))
+                    out_idx.append(fi)
+                    out_kind.append(kind)
+                    out_frames.append(media.encode_ppm(media.rvid_frame(p, fi)))
+                continue
             n_frames = min(max_frames, max(1, len(p) // frame_bytes))
             for fi in range(0, n_frames, every_k):
                 out_id.append(int(mid))

@@ -1452,6 +1452,40 @@ def q_media_features(sf_dir: str):
     return out.select_columns(["media_id", "kind", "feat_mean", "decode_ok"])
 
 
+def q_media_decode_real(sf_dir: str):
+    """REAL media decode (no media libraries): P6 images, PCM16 WAV,
+    and RVID raw video synthesized with spec-conformant encoders, then
+    decoded + feature-extracted by RawMediaDecoder; plus a corrupt
+    payload class exercising the decode-QA flag."""
+    from ..ops.multimodal import RawMediaDecoder, decode_media, synth_media_raw
+
+    parts = [synth_media_raw(sf_dir, kind=k) for k in ("image", "audio", "video")]
+    ds = parts[0].union(*parts[1:])
+    out = decode_media(ds, decoder=RawMediaDecoder)
+    return out.select_columns(["media_id", "kind", "feat_mean", "decode_ok"])
+
+
+def q_media_frames_real(sf_dir: str):
+    """RVID video -> seek-decoded sampled frames re-encoded as P6 ->
+    RawMediaDecoder features per frame (the full real media pipeline:
+    container -> frame sampling -> per-frame decode)."""
+    from ..ops.multimodal import (RawMediaDecoder, decode_media, frame_sample,
+                                  synth_media_raw)
+
+    frames = frame_sample(synth_media_raw(sf_dir, kind="video"), every_k=2,
+                          max_frames=6)
+
+    def as_media(b: pa.Table) -> pa.Table:
+        return pa.table({"media_id": b.column("media_id"),
+                         "kind": b.column("kind"),
+                         "frame_index": b.column("frame_index"),
+                         "payload": b.column("frame_payload")})
+
+    out = decode_media(frames.map_batches(as_media, batch_format="pyarrow"),
+                       decoder=RawMediaDecoder)
+    return out.select_columns(["media_id", "frame_index", "feat_mean", "decode_ok"])
+
+
 def q_estimate_posteriors(sf_dir: str):
     """Estimator with posterior traces -> per-row 95% HDI + mode
     (MCBEF post_processing analog; trace lives with the row, no
@@ -1540,6 +1574,8 @@ QUERIES = {
     "estimate_eval": q_estimate_eval,
     "estimate_posteriors": q_estimate_posteriors,
     "media_features": q_media_features,
+    "media_decode_real": q_media_decode_real,
+    "media_frames_real": q_media_frames_real,
     "media_frames": q_media_frames,
     "fingerprints": q_fingerprints,
     "estimate_summary": q_estimate,

@@ -563,6 +563,86 @@ def test_estimator_posterior_summaries(ray_session, sf_dir):
         assert np.allclose(point.est_t_hdi_hi, point.est_t)
 
 
+def test_media_codecs_roundtrip():
+    """Pure-numpy codecs: encode->decode is the identity for WAV PCM16,
+    P5/P6 PNM, and RVID; seek-decode returns the exact frame."""
+    from filda_ray.kernels import media
+
+    rng = np.random.RandomState(2)
+    s = (rng.randn(500) * 8000).astype(np.int16)
+    out, rate = media.decode_wav(media.encode_wav(s, 8000))
+    assert rate == 8000 and np.array_equal(out, s)
+    img = rng.randint(0, 256, (17, 23, 3), dtype=np.uint8)
+    assert np.array_equal(media.decode_ppm(media.encode_ppm(img)), img)
+    gray = rng.randint(0, 256, (9, 11), dtype=np.uint8)
+    assert np.array_equal(media.decode_ppm(media.encode_ppm(gray)), gray)
+    frames = rng.randint(0, 256, (5, 8, 8, 3), dtype=np.uint8)
+    assert np.array_equal(media.decode_rvid(media.encode_rvid(frames)), frames)
+    assert np.array_equal(media.rvid_frame(media.encode_rvid(frames), 3), frames[3])
+    # comment + whitespace tolerance per the netpbm spec
+    pm = b"P5\n# a comment\n 3 2\n255\n" + bytes(range(6))
+    assert media.decode_ppm(pm).shape == (2, 3)
+    for bad in (b"", b"JUNK", b"RIFFxxxx", b"P6\n2 2\n255\n\x00"):
+        import pytest as _pt
+
+        with _pt.raises((ValueError, Exception)):
+            if bad[:1] == b"P":
+                media.decode_ppm(bad)
+            else:
+                media.decode_wav(bad)
+
+
+def test_media_features_match_numpy():
+    """Feature extraction equals the direct numpy computation."""
+    from filda_ray.kernels import media
+
+    rng = np.random.RandomState(3)
+    s = (rng.randn(800) * 9000).astype(np.int16)
+    f = media.audio_features(s, 8000)
+    x = s.astype(np.float64) / 32768.0
+    assert abs(f[0] - np.sqrt((x ** 2).mean())) < 1e-12
+    assert abs(f[1] - np.abs(x).max()) < 1e-12
+    assert abs(f[3] - 800 / 8000.0) < 1e-12
+    img = rng.randint(0, 256, (12, 12, 3), dtype=np.uint8)
+    fi = media.image_features(img, grid=3)
+    gray = img.astype(np.float64).mean(axis=2)
+    assert abs(fi[0] - gray.mean() / 255.0) < 1e-12
+    # 12x12 / 3x3 grid: block means over exact 4x4 blocks
+    want = gray.reshape(3, 4, 3, 4).mean(axis=(1, 3)).ravel() / 255.0
+    assert np.allclose(fi[2:], want)
+
+
+def test_real_media_decode_pipeline(ray_session, sf_dir):
+    """RawMediaDecoder over real synthesized payloads: every payload of
+    every kind decodes (decode_ok True), corrupt payloads flag False,
+    and RVID frame sampling -> per-frame decode works end-to-end."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from filda_ray.ops.multimodal import (RawMediaDecoder, decode_media,
+                                          frame_sample, synth_media_raw)
+
+    for kind in ("image", "audio", "video"):
+        out = decode_media(synth_media_raw(sf_dir, kind=kind),
+                           decoder=RawMediaDecoder).to_pandas()
+        assert out["decode_ok"].all(), kind
+        assert (out["feat_mean"] > 0).all(), kind
+    # corrupt payloads -> QA False
+    bad = rd.from_arrow(pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "kind": pa.array(["image", "audio"]),
+        "payload": pa.array([b"P6 garbage", b"RIFFbroken"], pa.binary())}))
+    assert not decode_media(bad, decoder=RawMediaDecoder).to_pandas()["decode_ok"].any()
+    # real frame extraction: sampled frames decode as standalone images
+    frames = frame_sample(synth_media_raw(sf_dir, kind="video"), every_k=2,
+                          max_frames=6).to_pandas()
+    assert set(frames["frame_index"].unique()) == {0, 2, 4}
+    from filda_ray.kernels import media as M
+
+    f0 = M.decode_ppm(frames.iloc[0]["frame_payload"])
+    assert f0.shape == (16, 16, 3)
+
+
 def test_evaluate_op_residual_algebra(ray_session, sf_dir):
     """MCBEF_EVAL analog: eval_resid must equal the numpy re-derivation
     obs_mtl - (p*t + (1-p)*TEMPLATE_LEN) for every valid row; QA flags
