@@ -33,11 +33,15 @@ REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "1024"))
 # delivers only ~8 cores of real throughput for memory-bound Arrow
 # work (measured: identical tasks cost 82 cpu-s under 8-way
 # concurrency vs 181 cpu-s under 32-way — vCPU/bandwidth contention,
-# not engine behavior).  The N-vs-4N comparison therefore uses 1 vs 4
+# not engine behavior).  The N-vs-4N comparison therefore uses 2 vs 8
 # — both within genuine capacity — per the round instructions
-# ("N and 4N CPUs").  All pairs recorded in BASELINE.md.
-SCALING_LO = int(os.environ.get("GRAFT_SCALING_LO", "1"))
-SCALING_HI = int(os.environ.get("GRAFT_SCALING_HI", "4"))
+# ("N and 4N CPUs").  Not 1 vs 4: at num_cpus=1 Ray's hash-shuffle
+# aggregator ACTORS (the r3 distributed background groupby) reserve a
+# fractional CPU and the whole-CPU map tasks can never schedule — a
+# 1-CPU 'cluster' is below Ray Data's hash-shuffle floor, which no
+# real deployment hits.  All pairs recorded in BASELINE.md.
+SCALING_LO = int(os.environ.get("GRAFT_SCALING_LO", "2"))
+SCALING_HI = int(os.environ.get("GRAFT_SCALING_HI", "8"))
 SCALING_REPLICATE = int(os.environ.get("GRAFT_SCALING_REPLICATE", "1024"))
 
 

@@ -68,6 +68,29 @@ def derive_buckets(ds, *, bytes_per_bucket=256 << 20, lo=None, hi=65536,
     return int(min(hi, max(lo, -(-sz // bytes_per_bucket))))
 
 
+def shuffle_partitions(n_groups_hint=None, *, per_cpu: int = 2, lo: int = 8,
+                       hi: int = 256):
+    """Hash-shuffle partition count for a ``groupby``: Ray Data's
+    default is a flat 200, which spawns up to 64 aggregator actor
+    processes regardless of cluster size — measured 27 s vs 1.6 s for
+    the flagship background groupby at 8 vs 32 CPUs, almost all worker
+    -process startup.  Scale partitions to the cluster (``per_cpu`` x
+    CPUs, clamped) and never above the number of distinct groups when
+    the caller knows it."""
+    import ray
+
+    cpus = 8
+    try:
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        pass
+    n = min(hi, max(lo, per_cpu * cpus))
+    if n_groups_hint is not None:
+        n = max(1, min(n, int(n_groups_hint)))
+    return n
+
+
 def pd_table(df):
     """pandas -> Arrow with schema metadata stripped.
 

@@ -34,6 +34,8 @@ flagship's metric family.
 from __future__ import annotations
 
 import numpy as np
+
+from filda_ray.ops import shuffle_partitions
 import pandas as pd
 import pyarrow as pa
 
@@ -223,7 +225,7 @@ def background_stats(ds, value_col: str, tile_col: str = "pc_tile",
         return pd.DataFrame(_stats_for_tiles(ot, st, sv, sn, rings, trim_frac,
                                              tile_deg))
 
-    return halo_ds.groupby("blk").map_groups(per_block, batch_format="pandas")
+    return halo_ds.groupby("blk", num_partitions=shuffle_partitions()).map_groups(per_block, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -349,7 +351,7 @@ def background_stats_hex(ds, value_col: str, cell_col: str = "hex_r7",
             out[f"{tag}_median"], out[f"{tag}_mad"], out[f"{tag}_n"] = med, mad, n
         return pd.DataFrame(out)
 
-    return halo.groupby("pfx").map_groups(per_prefix, batch_format="pandas")
+    return halo.groupby("pfx", num_partitions=shuffle_partitions()).map_groups(per_prefix, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -408,4 +410,4 @@ def background_stats_shuffle(ds, value_col: str, tile_col: str = "pc_tile",
             out[f"bg{k}_trim"] = [t]
         return pd.DataFrame(out)
 
-    return rekeyed.groupby("center_tile").map_groups(group_stats, batch_format="pandas")
+    return rekeyed.groupby("center_tile", num_partitions=shuffle_partitions()).map_groups(group_stats, batch_format="pandas")

@@ -21,7 +21,7 @@ import pyarrow as pa
 
 from ..kernels import textkit
 from ..kernels.hashing import md5_hex
-from . import autoscale
+from . import autoscale, shuffle_partitions
 from . import derive_buckets as autoscale_buckets
 
 MAX_BUCKET = 1000  # runaway-bucket guard (drop, per ray_guide near-dup notes)
@@ -81,7 +81,7 @@ def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return ds.map_batches(hash_and_bucket, batch_format="pyarrow").groupby(
         "__bk"
-    ).map_groups(first_wins, batch_format="pandas")
+    , num_partitions=shuffle_partitions()).map_groups(first_wins, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -178,7 +178,7 @@ def _dedup_pairs_ds(cand, n_buckets: int | None = None):
         g = g.drop(columns="__bk")
         return pd_table(g.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True))
 
-    return cand.map_batches(bucket, batch_format="pyarrow").groupby("__bk").map_groups(
+    return cand.map_batches(bucket, batch_format="pyarrow").groupby("__bk", num_partitions=shuffle_partitions()).map_groups(
         uniq, batch_format="pandas"
     )
 
@@ -225,7 +225,7 @@ def minhash_lsh_pairs(ds, *, concurrency: int = 4, shingle_w: int = 3):
 
     cand = (
         banded.map_batches(bucket, batch_format="pyarrow")
-        .groupby("__bk")
+        .groupby("__bk", num_partitions=shuffle_partitions())
         .map_groups(pairs, batch_format="pandas")
     )
     return _dedup_pairs_ds(cand)
@@ -458,7 +458,7 @@ def simhash_pairs(ds, *, max_hamming: int = 6):
 
     cand = (
         banded.map_batches(bucket, batch_format="pyarrow")
-        .groupby("__bk")
+        .groupby("__bk", num_partitions=shuffle_partitions())
         .map_groups(pairs, batch_format="pandas")
     )
     return _dedup_pairs_ds(cand)

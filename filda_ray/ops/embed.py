@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-from . import autoscale
+from . import autoscale, shuffle_partitions
 
 
 def _to_matrix(col, dtype=np.float32) -> np.ndarray:
@@ -106,7 +106,7 @@ def cosine_topk(ds, queries: np.ndarray, k: int = 10, *, concurrency: int = 4,
         return pd_table(g.sort_values(["cosine", "vec_id"],
                                       ascending=[False, True]).head(k))
 
-    return partial.groupby("query_id").map_groups(final, batch_format="pandas")
+    return partial.groupby("query_id", num_partitions=shuffle_partitions()).map_groups(final, batch_format="pandas")
 
 
 def sign_buckets(v: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -264,7 +264,7 @@ def ivf_topk(index_dir: str, queries: np.ndarray, k: int = 10, *, nprobe: int = 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
 
-    return part.groupby("query_id").map_groups(final, batch_format="pandas")
+    return part.groupby("query_id", num_partitions=shuffle_partitions()).map_groups(final, batch_format="pandas")
 
 
 def embedding_neardup(ds, *, threshold: float = 0.9, nbits: int = 10,
@@ -332,7 +332,7 @@ def embedding_neardup(ds, *, threshold: float = 0.9, nbits: int = 10,
 
     cand = ds.map_batches(emit, batch_format="pyarrow").groupby(
         ["table_id", "bucket"]
-    ).map_groups(pairs, batch_format="pandas")
+    , num_partitions=shuffle_partitions()).map_groups(pairs, batch_format="pandas")
     return _dedup_pairs_ds(cand)
 
 
@@ -394,4 +394,4 @@ def lsh_bucket_topk(ds, queries: np.ndarray, k: int = 10, *, nbits: int = 8,
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
 
-    return partial.groupby("query_id").map_groups(final, batch_format="pandas")
+    return partial.groupby("query_id", num_partitions=shuffle_partitions()).map_groups(final, batch_format="pandas")

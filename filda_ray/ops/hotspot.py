@@ -13,6 +13,8 @@ Reference analogs:
 from __future__ import annotations
 
 import numpy as np
+
+from filda_ray.ops import shuffle_partitions
 import pandas as pd
 import pyarrow as pa
 
@@ -38,7 +40,7 @@ def cell_counts_ds(ds, cell_col: str = "hex_r7"):
     return (
         ds.select_columns([cell_col])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby(cell_col)
+        .groupby(cell_col, num_partitions=shuffle_partitions())
         .aggregate(Sum("n", alias_name="n"))
     )
 
@@ -204,7 +206,7 @@ def knn_hotspots(ds, *, k_ring: int = 1, cell_col: str = "hex_r7",
     counts = (
         ds.select_columns([cell_col])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("cell")
+        .groupby("cell", num_partitions=shuffle_partitions())
         .aggregate(Sum("n", alias_name="n"))
     )
 
@@ -242,7 +244,7 @@ def knn_hotspots(ds, *, k_ring: int = 1, cell_col: str = "hex_r7",
         total = np.where(hit, sn[idx], 0).sum(axis=1)
         return pd.DataFrame({"cell": oc, out_col: total.astype(np.int64)})
 
-    nk = halo.groupby("pfx").map_groups(per_prefix, batch_format="pandas").materialize()
+    nk = halo.groupby("pfx", num_partitions=shuffle_partitions()).map_groups(per_prefix, batch_format="pandas").materialize()
     if mode == "auto":
         mode = "broadcast" if nk.count() <= broadcast_max_cells else "join"
     if mode == "join":

@@ -10,6 +10,8 @@ broadcast semi/anti filters for key sets.
 from __future__ import annotations
 
 import numpy as np
+
+from filda_ray.ops import shuffle_partitions
 import pandas as pd
 import pyarrow as pa
 
@@ -109,7 +111,7 @@ def distinct_rows(ds, key_cols: list[str], *, n_buckets: int | None = None):
     def uniq(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop(columns="__bk").drop_duplicates(key_cols).reset_index(drop=True)
 
-    return ds.map_batches(bucket, batch_format="pyarrow").groupby("__bk").map_groups(
+    return ds.map_batches(bucket, batch_format="pyarrow").groupby("__bk", num_partitions=shuffle_partitions()).map_groups(
         uniq, batch_format="pandas"
     )
 
@@ -125,7 +127,7 @@ def top_k_per_group(ds, *, group_col, value_col: str, k: int, ascending: bool = 
     def head(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(by, ascending=asc, kind="mergesort").head(k)
 
-    return ds.groupby(group_col).map_groups(head, batch_format="pandas")
+    return ds.groupby(group_col, num_partitions=shuffle_partitions()).map_groups(head, batch_format="pandas")
 
 
 def trimmed_low_mean_per_group(ds, *, group_col: str, value_col: str, frac: float = 0.25,
@@ -141,4 +143,4 @@ def trimmed_low_mean_per_group(ds, *, group_col: str, value_col: str, frac: floa
         m = float(np.mean(v[:k])) if k else np.nan
         return pd.DataFrame({group_col: [g[group_col].iloc[0]], out_col: [m], "n_used": [k]})
 
-    return ds.groupby(group_col).map_groups(agg, batch_format="pandas")
+    return ds.groupby(group_col, num_partitions=shuffle_partitions()).map_groups(agg, batch_format="pandas")

@@ -21,6 +21,8 @@
 from __future__ import annotations
 
 import numpy as np
+
+from filda_ray.ops import shuffle_partitions
 import pandas as pd
 import pyarrow as pa
 
@@ -44,10 +46,10 @@ def salted_aggregate_count(ds, key_col: str, *, n_salts: int = 8,
     partial = (
         ds.select_columns([key_col])
         .map_batches(add_salt, batch_format="pyarrow")
-        .groupby([key_col, "__salt"])
+        .groupby([key_col, "__salt"], num_partitions=shuffle_partitions())
         .aggregate(Count(alias_name="__pn"))
     )
-    merged = partial.groupby(key_col).aggregate(Sum("__pn", alias_name=out_col))
+    merged = partial.groupby(key_col, num_partitions=shuffle_partitions()).aggregate(Sum("__pn", alias_name=out_col))
 
     def clean(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -81,7 +83,7 @@ def parent_rollup(ds, *, tile_col: str = "pc_tile", value_col: str,
     agg = (
         ds.select_columns([tile_col, value_col])
         .map_batches(to_parent, batch_format="pyarrow")
-        .groupby("parent_tile")
+        .groupby("parent_tile", num_partitions=shuffle_partitions())
         .aggregate(Count(alias_name="n"), Sum("v", alias_name="sum_value"))
     )
 
@@ -142,7 +144,7 @@ def weighted_resample(values_tbl: pa.Table, edges, *, value_col: str = "v",
 
     agg = (
         edges.map_batches(expand, batch_format="pyarrow")
-        .groupby("dst")
+        .groupby("dst", num_partitions=shuffle_partitions())
         .aggregate(Sum("wv", alias_name="swv"), Sum("w", alias_name="sw"),
                    Sum("hit", alias_name="n_src"))
     )

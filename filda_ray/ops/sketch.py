@@ -11,6 +11,8 @@ the 'emit one sketch per batch and merge' pattern from the Ray guide.
 from __future__ import annotations
 
 import numpy as np
+
+from filda_ray.ops import shuffle_partitions
 import pyarrow as pa
 
 from ..kernels.hashing import splitmix64
@@ -220,7 +222,7 @@ def approx_distinct_per_key(ds, key_col: str, col: str, *, p: int = 8,
     return (
         ds.select_columns([key_col, col])
         .map_batches(sketch, batch_format="pyarrow")
-        .groupby("__bk")
+        .groupby("__bk", num_partitions=shuffle_partitions())
         .map_groups(reduce_bucket, batch_format="pandas")
     )
 

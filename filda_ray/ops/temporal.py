@@ -16,6 +16,8 @@ Reference analogs:
 from __future__ import annotations
 
 import numpy as np
+
+from filda_ray.ops import shuffle_partitions
 import pandas as pd
 import pyarrow as pa
 
@@ -115,7 +117,7 @@ def asof_join(left, right, *, on: str, by: str, num_buckets: int | None = None,
         both = left.map_batches(tag(0), batch_format="pyarrow").union(
             rnarrow.map_batches(tag(1), batch_format="pyarrow")
         ).map_batches(add_bucket, batch_format="pyarrow")
-        return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+        return both.groupby("__bucket", num_partitions=shuffle_partitions()).map_groups(merge, batch_format="pandas")
 
     assert direction == "backward", "chunked as-of supports backward only"
     # global max left chunk (one pruned pass over the narrow ts column)
@@ -178,7 +180,7 @@ def asof_join(left, right, *, on: str, by: str, num_buckets: int | None = None,
     carries = (
         rnarrow.map_batches(rlast_partial, batch_format="pyarrow")
         .map_batches(rbucket, batch_format="pyarrow")
-        .groupby("__bucket")
+        .groupby("__bucket", num_partitions=shuffle_partitions())
         .map_groups(carry_emit, batch_format="pandas")
     )
 
@@ -193,7 +195,7 @@ def asof_join(left, right, *, on: str, by: str, num_buckets: int | None = None,
         .map_batches(add_bucket, batch_format="pyarrow")
         .union(carries.map_batches(carry_tag, batch_format="pyarrow"))
     )
-    return both.groupby(["__bucket", "__chunk"]).map_groups(merge, batch_format="pandas")
+    return both.groupby(["__bucket", "__chunk"], num_partitions=shuffle_partitions()).map_groups(merge, batch_format="pandas")
 
 
 def climatology(ds, *, key_cols: list[str], value_col: str, ts_col: str | None = None,
@@ -226,7 +228,7 @@ def climatology(ds, *, key_cols: list[str], value_col: str, ts_col: str | None =
     partials = ds.map_batches(partial, batch_format="pyarrow")
     from ray.data.aggregate import Sum
 
-    merged = partials.groupby(key_cols).aggregate(
+    merged = partials.groupby(key_cols, num_partitions=shuffle_partitions()).aggregate(
         Sum("__n", alias_name="n"),
         Sum("__s", alias_name="s"),
         Sum("__ss", alias_name="ss"),
@@ -363,7 +365,7 @@ def sessionize(ds, *, key_col: str, ts_col: str, gap_s: int,
         )
         return out
 
-    return narrow.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+    return narrow.groupby("__bucket", num_partitions=shuffle_partitions()).map_groups(per_bucket, batch_format="pandas")
 
 
 def window_aggregate(ds, *, key_col: str, ts_col: str, value_col: str, bucket_s: int):
@@ -373,7 +375,7 @@ def window_aggregate(ds, *, key_col: str, ts_col: str, value_col: str, bucket_s:
     b = bucket_op(ds, ts_col, bucket_s)
     from ray.data.aggregate import Count, Mean, Sum
 
-    return b.groupby([key_col, "bucket_ts"]).aggregate(
+    return b.groupby([key_col, "bucket_ts"], num_partitions=shuffle_partitions()).aggregate(
         Sum(value_col, alias_name="sum_value"),
         Count(alias_name="n"),
         Mean(value_col, alias_name="mean_value"),

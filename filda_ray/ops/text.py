@@ -9,6 +9,8 @@ token counting, quality scoring, language ID, fingerprints.
 from __future__ import annotations
 
 import numpy as np
+
+from filda_ray.ops import shuffle_partitions
 import pyarrow as pa
 
 from ..kernels import textkit
@@ -83,7 +85,7 @@ def vocab_count(ds, text_col: str = "text", *, top_k: int | None = None):
 
     from ray.data.aggregate import Sum
 
-    merged = ds.map_batches(partial, batch_format="pyarrow").groupby("token").aggregate(
+    merged = ds.map_batches(partial, batch_format="pyarrow").groupby("token", num_partitions=shuffle_partitions()).aggregate(
         Sum("n", alias_name="n")
     )
 

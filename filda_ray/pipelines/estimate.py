@@ -21,6 +21,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..ops import shuffle_partitions
+
 from ..ops.relational import broadcast_join
 from ..ops.score import score_op
 from ..sources import pages as P
@@ -69,7 +71,7 @@ def summarize(scored, by: str = "pc_tile") -> "pd.DataFrame":
     from ray.data.aggregate import Count, Mean
 
     return (
-        scored.groupby([by, "est_qa"])
+        scored.groupby([by, "est_qa"], num_partitions=shuffle_partitions())
         .aggregate(Count(alias_name="n"), Mean("est_p", alias_name="mean_p"),
                    Mean("est_t", alias_name="mean_t"))
     )

@@ -18,6 +18,7 @@ import pyarrow as pa
 
 from ..kernels import cells
 from ..ops import relational as rel
+from ..ops import shuffle_partitions
 from ..ops import temporal
 from ..ops.dedup import dedup_exact
 from ..ops.text import quality_op
@@ -253,7 +254,7 @@ FROM documents GROUP BY md5(text)
 
 def q_tile_counts(sf_dir: str):
     ds = flagship.narrow_pages(sf_dir)
-    counts = ds.groupby("pc_tile").count()
+    counts = ds.groupby("pc_tile", num_partitions=shuffle_partitions()).count()
 
     def rn(b: pa.Table) -> pa.Table:
         return b.rename_columns(["pc_tile", "n_pages"])
@@ -332,7 +333,7 @@ def q_window_events(sf_dir: str):
     b = b.map_batches(to_us, batch_format="pyarrow")
     from ray.data.aggregate import Count, Max, Min
 
-    out = b.groupby(["event_type", "bucket_us"]).aggregate(
+    out = b.groupby(["event_type", "bucket_us"], num_partitions=shuffle_partitions()).aggregate(
         Count(alias_name="n"),
         Min("value", alias_name="min_value"),
         Max("value", alias_name="max_value"),
@@ -464,7 +465,7 @@ def q_join_revenue(sf_dir: str):
                            on="c_nationkey")
     from ray.data.aggregate import Count, Sum
 
-    out = j.groupby("n_name").aggregate(
+    out = j.groupby("n_name", num_partitions=shuffle_partitions()).aggregate(
         Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents")
     )
     return out
@@ -626,7 +627,7 @@ def q_pricing(sf_dir: str):
     d = ds.map_batches(derive, batch_format="pyarrow")
     from ray.data.aggregate import Count, Sum
 
-    out = d.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+    out = d.groupby(["l_returnflag", "l_linestatus"], num_partitions=shuffle_partitions()).aggregate(
         Sum("qty", alias_name="sum_qty"),
         Sum("charge_cents", alias_name="sum_charge_cents"),
         Count(alias_name="count_order"),
@@ -750,7 +751,7 @@ def q_resample_hosts(sf_dir: str):
 
     hv = (
         _narrow(sf_dir)
-        .groupby("host_id")
+        .groupby("host_id", num_partitions=shuffle_partitions())
         .aggregate(Sum("n_chars", alias_name="v"))
     )
     hv_tbl = pa.concat_tables(
@@ -1189,7 +1190,7 @@ def q_hopping_agg(sf_dir: str):
 
     ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "value"])
     j = range_join(ev, _hop_windows_table())
-    return j.groupby("window_id").aggregate(
+    return j.groupby("window_id", num_partitions=shuffle_partitions()).aggregate(
         Count(alias_name="n"),
         Min("value", alias_name="min_value"),
         Max("value", alias_name="max_value"),

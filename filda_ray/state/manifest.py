@@ -41,6 +41,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..ops import shuffle_partitions
+
 MANIFEST = "_manifest.jsonl"
 SUCCESS = "_SUCCESS.json"
 
@@ -138,7 +140,7 @@ def write_product(ds, out_dir: str, *, partition_col: str, lineage: dict | None 
                 raise
         return pd.DataFrame({"partition": [part], "rows": [len(g)]})
 
-    summary = ds.groupby(partition_col).map_groups(write_group, batch_format="pandas")
+    summary = ds.groupby(partition_col, num_partitions=shuffle_partitions()).map_groups(write_group, batch_format="pandas")
     # consume to drive execution; summary is tiny (one row per partition)
     summary.materialize()
     done = load_done(out_dir)
