@@ -1294,14 +1294,16 @@ def q_hex_tile_stats(sf_dir: str):
     return bg.map_batches(unpack, batch_format="pyarrow")
 
 
-def _sql_hex_cte_prefix() -> str:
+def _sql_hex_cte_prefix(res: int = HEX_ORACLE_RES) -> str:
     """Shared CTE chain: pages -> axial cube-round cells -> occupied
     cells -> disk(2) neighborhood histogram -> per-cell ring stats.
-    Used by the hex background AND hex detect oracles."""
+    Used by the hex background AND hex detect oracles (coarse-ladder
+    and full fine-resolution variants — the arithmetic is resolution-
+    independent)."""
     from ..kernels import cells as C
 
     pages = P.sql_pages_cte()
-    size = C.HEX_BASE_DEG / (C.HEX_APERTURE ** HEX_ORACLE_RES)
+    size = C.HEX_BASE_DEG / (C.HEX_APERTURE ** res)
     c_q = float(np.sqrt(3.0) / 3.0)
     c_y = float(1.0 / 3.0)
     c_r = float(2.0 / 3.0)
@@ -1356,6 +1358,106 @@ def sql_hex_tile_stats() -> str:
     return _sql_hex_cte_prefix() + """
 SELECT q, r, bg1_median, bg1_mad, bg1_n, bg2_median, bg2_mad, bg2_n
 FROM bgagg
+"""
+
+
+def q_knn_hotspots_coarse(sf_dir: str):
+    """kNN hotspot counts (halo-exchange k-ring neighbor sum) at the
+    oracle resolution — promoted to a full SQL oracle via the same
+    axial cube-round cell arithmetic as hex_tile_stats."""
+    from ..kernels import cells as C
+    from ..ops.hotspot import knn_hotspots
+
+    narrow = flagship.narrow_pages(sf_dir)
+
+    def recode(b: pa.Table) -> pa.Table:
+        lat = b.column("lat").to_numpy(zero_copy_only=False)
+        lon = b.column("lon").to_numpy(zero_copy_only=False)
+        cell = C.hex_cell(lat, lon, HEX_ORACLE_RES)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "hex_c": pa.array(cell, pa.uint64())})
+
+    ds = narrow.select_columns(["doc_id", "lat", "lon"]).map_batches(
+        recode, batch_format="pyarrow")
+    out = knn_hotspots(ds, k_ring=1, cell_col="hex_c")
+
+    def unpack(b: pa.Table) -> pa.Table:
+        _, q, r = C.hex_unpack(b.column("hex_c").to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "q": pa.array(q), "r": pa.array(r),
+                         "n_kring": b.column("n_kring")})
+
+    return out.map_batches(unpack, batch_format="pyarrow")
+
+
+def sql_knn_hotspots_coarse() -> str:
+    from ..kernels import cells as C
+
+    offs = C.hex_disk_offsets(1)
+    disk_rows = ", ".join(f"({int(dq)},{int(dr)})" for dq, dr in offs)
+    # reuse the cube-round cell CTE chain, then count instead of median
+    prefix = _sql_hex_cte_prefix()
+    prefix = prefix[: prefix.index(",\nocc AS")]  # keep pages/ax/rnd/cells
+    return prefix + f""",
+cnt AS (SELECT q, r, cast(count(*) as bigint) AS n FROM cells GROUP BY q, r),
+disk1 AS (SELECT * FROM (VALUES {disk_rows}) AS t(dq, dr)),
+nk AS (
+  SELECT o.q, o.r, cast(sum(c.n) as int) AS n_kring
+  FROM cnt o JOIN disk1 d ON true
+  JOIN cnt c ON c.q = o.q + d.dq AND c.r = o.r + d.dr
+  GROUP BY o.q, o.r
+)
+SELECT cl.doc_id, cl.q, cl.r, nk.n_kring
+FROM cells cl JOIN nk ON nk.q = cl.q AND nk.r = cl.r
+"""
+
+
+def _sql_hex_pack(res: int, q: str = "q", r: str = "r") -> str:
+    """SQL expression packing axial (q, r) into the engine's uint64
+    cell id: [4b res | 28b q+bias | 28b r+bias] (kernels/cells.py
+    hex_pack, bias 2^27)."""
+    return (f"cast(({res} * 72057594037927936 + ({q} + 134217728) * 268435456"
+            f" + ({r} + 134217728)) as ubigint)")
+
+
+def sql_hex_background() -> str:
+    """Full-resolution (res-7) hex k-ring background oracle — the
+    north-star per-pixel kernel checked against DuckDB END-TO-END at
+    the engine's actual grid resolution (not just the coarse ladder)."""
+    from ..kernels import cells as C
+
+    return _sql_hex_cte_prefix(C.HEX_DEFAULT_RES) + f"""
+SELECT {_sql_hex_pack(C.HEX_DEFAULT_RES)} AS cell,
+       bg1_median, bg1_mad, bg1_n, bg2_median, bg2_mad, bg2_n
+FROM bgagg
+"""
+
+
+def sql_hex_detect() -> str:
+    """Full-resolution per-page hex contextual classification oracle."""
+    from ..kernels import cells as C
+
+    return _sql_hex_cte_prefix(C.HEX_DEFAULT_RES) + f"""
+SELECT c.doc_id,
+       {_sql_hex_pack(C.HEX_DEFAULT_RES, "c.q", "c.r")} AS hex_r7,
+       c.n_chars,
+       CASE WHEN b.bg1_n >= 10 THEN b.bg1_median ELSE b.bg2_median END AS bg_median,
+       CASE WHEN b.bg1_n >= 10 THEN b.bg1_mad    ELSE b.bg2_mad    END AS bg_mad,
+       CASE WHEN b.bg1_n >= 10 THEN b.bg1_n      ELSE b.bg2_n      END AS bg_n,
+       cast(CASE WHEN b.bg1_n >= 10 THEN 1 ELSE 2 END as int) AS win_ring,
+       (c.n_chars - CASE WHEN b.bg1_n >= 10 THEN b.bg1_median ELSE b.bg2_median END)
+         / (1.4826 * (CASE WHEN b.bg1_n >= 10 THEN b.bg1_mad ELSE b.bg2_mad END) + 1e-9)
+         AS score,
+       cast(CASE
+         WHEN (CASE WHEN b.bg1_n >= 10 THEN b.bg1_n ELSE b.bg2_n END) < 10 THEN 0
+         WHEN (c.n_chars - CASE WHEN b.bg1_n >= 10 THEN b.bg1_median ELSE b.bg2_median END)
+              / (1.4826 * (CASE WHEN b.bg1_n >= 10 THEN b.bg1_mad ELSE b.bg2_mad END) + 1e-9)
+              >= 6.0 THEN 2
+         WHEN (c.n_chars - CASE WHEN b.bg1_n >= 10 THEN b.bg1_median ELSE b.bg2_median END)
+              / (1.4826 * (CASE WHEN b.bg1_n >= 10 THEN b.bg1_mad ELSE b.bg2_mad END) + 1e-9)
+              >= 3.0 THEN 1
+         ELSE 0 END as int) AS status
+FROM cells c JOIN bgagg b ON b.q = c.q AND b.r = c.r
 """
 
 
@@ -1515,6 +1617,129 @@ def q_score(sf_dir: str):
     return score_op(ds).select_columns(["doc_id", "est_p", "est_t", "est_qa"])
 
 
+def _sql_score_cte() -> str:
+    """Shared CTE chain for the estimator oracles: pages -> observed
+    (mtl, validity) -> 64x64 grid -> per-row argmin fit.  The grid
+    argmin becomes a cross join with row_number ordered by (err, flat
+    index) — np.argmin's first-of-ties rule; grid values reproduce
+    np.linspace bit-for-bit (i*step + start; endpoint forced)."""
+    pages = P.sql_pages_cte()
+    step_p = (0.95 - 0.05) / 63
+    step_t = (12.0 - 2.0) / 63
+    return f"""
+WITH pages AS ({pages}),
+obs AS (
+  SELECT doc_id,
+         cast(length(text) as double) AS n_chars,
+         cast(array_length(string_split(text, ' ')) as double) AS n_tokens
+  FROM pages
+),
+m AS (
+  SELECT doc_id, n_chars, n_tokens,
+         (n_tokens > 0 AND n_chars > 0) AS valid,
+         CASE WHEN n_tokens > 0 AND n_chars > 0
+              THEN (n_chars - greatest(n_tokens - 1, 0)) / greatest(n_tokens, 1)
+              ELSE NULL END AS mtl
+  FROM obs
+),
+grid AS (
+  -- every literal cast to DOUBLE: DuckDB parses bare decimal literals
+  -- as DECIMAL and a pure-literal expression stays in decimal
+  -- arithmetic, which breaks bit-exactness vs numpy float64
+  SELECT pi.i AS pi, ti.i AS ti,
+         CASE WHEN pi.i = 63 THEN cast(0.95 as double)
+              ELSE cast(0.05 as double) + pi.i * cast({step_p!r} as double)
+         END AS p,
+         CASE WHEN ti.i = 63 THEN cast(12.0 as double)
+              ELSE cast(2.0 as double) + ti.i * cast({step_t!r} as double)
+         END AS t
+  FROM range(64) pi(i) CROSS JOIN range(64) ti(i)
+),
+bip AS (SELECT doc_id, mtl FROM m WHERE valid AND n_tokens >= 20),
+fit AS (
+  SELECT doc_id, p, t, err FROM (
+    SELECT b.doc_id, g.p, g.t,
+           (g.p * g.t + (1.0 - g.p) * 4.0 - b.mtl)
+             * (g.p * g.t + (1.0 - g.p) * 4.0 - b.mtl) AS err,
+           row_number() OVER (
+             PARTITION BY b.doc_id
+             ORDER BY (g.p * g.t + (1.0 - g.p) * 4.0 - b.mtl)
+                      * (g.p * g.t + (1.0 - g.p) * 4.0 - b.mtl) ASC,
+                      g.pi * 64 + g.ti ASC) AS rn
+    FROM bip b CROSS JOIN grid g
+  ) WHERE rn = 1
+),
+est AS (
+  SELECT m.doc_id, m.n_chars, m.n_tokens, m.valid, m.mtl,
+         CASE WHEN NOT m.valid THEN NULL
+              WHEN m.n_tokens >= 20 THEN (CASE WHEN f.err < 4.0 THEN f.p ELSE 1.0 END)
+              ELSE 1.0 END AS est_p,
+         CASE WHEN NOT m.valid THEN NULL
+              WHEN m.n_tokens >= 20 THEN (CASE WHEN f.err < 4.0 THEN f.t ELSE m.mtl END)
+              ELSE m.mtl END AS est_t,
+         cast(CASE WHEN NOT m.valid THEN 3
+                   WHEN m.n_tokens >= 20 THEN (CASE WHEN f.err < 4.0 THEN 0 ELSE 2 END)
+                   ELSE 1 END as int) AS est_qa
+  FROM m LEFT JOIN fit f ON f.doc_id = m.doc_id
+)"""
+
+
+def sql_score() -> str:
+    return _sql_score_cte() + """
+SELECT doc_id, est_p, est_t, est_qa FROM est
+"""
+
+
+def sql_langid() -> str:
+    """SQL mirror of the stopword-profile language heuristic
+    (kernels/textkit.py lang_id): distinct ASCII-token set intersected
+    with each language's stopword list; winner = highest hit count,
+    alphabetical on ties, 'und' when no evidence."""
+    from ..kernels.textkit import _LANG_PROFILES
+
+    langs = sorted(_LANG_PROFILES)
+    hit_cols = ",\n         ".join(
+        "len(list_intersect(toks, ["
+        + ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang]))
+        + f"])) AS h_{lang}"
+        for lang in langs
+    )
+    mx = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    pick = " ".join(f"WHEN h_{lang} = {mx} THEN '{lang}'" for lang in langs)
+    return f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_distinct(regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z]+')) AS toks
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+         {hit_cols}
+  FROM toked
+)
+SELECT doc_id,
+       CASE WHEN {mx} = 0 THEN 'und' {pick} ELSE 'und' END AS lang_guess
+FROM hits
+"""
+
+
+def sql_estimate_eval() -> str:
+    """SQL mirror of evaluate_op (the MCBEF_EVAL analog): re-run the
+    fitted forward model, residual = observed mtl - model, eval QA by
+    residual magnitude/validity."""
+    return _sql_score_cte() + """
+SELECT doc_id, est_p, est_t, est_qa,
+       CASE WHEN est_qa = 3 THEN NULL
+            ELSE est_p * est_t + (1.0 - est_p) * 4.0 END AS model_mtl,
+       CASE WHEN est_qa = 3 THEN NULL
+            ELSE mtl - (est_p * est_t + (1.0 - est_p) * 4.0) END AS eval_resid,
+       cast(CASE WHEN est_qa = 3 THEN 2
+                 WHEN abs(mtl - (est_p * est_t + (1.0 - est_p) * 4.0)) <= 2.0 THEN 0
+                 ELSE 1 END as int) AS eval_qa
+FROM est
+"""
+
+
 def q_estimate_eval(sf_dir: str):
     """Forward-model re-evaluation product QA (MCBEF_EVAL analog,
     MCBEF_EVAL.py:85-134): modeled signal, observed-minus-model
@@ -1560,6 +1785,7 @@ QUERIES = {
     "window_user_value": q_window_user_value,
     "hex_tile_stats": q_hex_tile_stats,
     "hex_detect_coarse": q_hex_detect_coarse,
+    "knn_hotspots_coarse": q_knn_hotspots_coarse,
     # rows-only (non-SQL-expressible; covered by pytest goldens/oracles)
     "cells_hex_s2": q_cells,
     "pip_biome": q_pip_biome,
@@ -1616,4 +1842,10 @@ ORACLES = {
     "window_user_value": sql_window_user_value(),
     "hex_tile_stats": sql_hex_tile_stats(),
     "hex_detect_coarse": sql_hex_detect_coarse(),
+    "knn_hotspots_coarse": sql_knn_hotspots_coarse(),
+    "estimator_score": sql_score(),
+    "estimate_eval": sql_estimate_eval(),
+    "langid": sql_langid(),
+    "hex_background": sql_hex_background(),
+    "hex_detect": sql_hex_detect(),
 }
