@@ -975,11 +975,155 @@ def q_cells(sf_dir: str):
     return ds.select_columns(["doc_id", "hex_r7", "s2_l12", "hex_prefix"])
 
 
+def sql_cells() -> str:
+    """SQL mirror of the full tiling surface: hex res-7 packed ids,
+    hex partition prefixes, AND S2 level-12 cell ids — the complete
+    from-scratch S2 pipeline (lat/lon -> XYZ -> cube face (u,v) ->
+    quadratic ST -> leaf (i,j) -> 12-level Hilbert walk -> 64-bit id)
+    expressed in SQL, with the Hilbert state machine unrolled from the
+    same public traversal tables the kernel uses.  Trig is bit-exact
+    between numpy and DuckDB (verified empirically; both use libm)."""
+    from ..kernels import cells as C
+    from ..kernels.s2 import _IJ_TO_POS, _POS_TO_ORIENT, DEFAULT_LEVEL
+
+    pages = P.sql_pages_cte()
+    hex_prefix_cte = _sql_hex_cte_prefix(C.HEX_DEFAULT_RES)
+    hex_cells = hex_prefix_cte[: hex_prefix_cte.index(",\nocc AS")]
+
+    # Hilbert walk: one chained CTE per level, generated from the
+    # kernel's tables so SQL and numpy provably share constants
+    steps = []
+    prev = "h_init"
+    for n, k in enumerate(range(DEFAULT_LEVEL - 1, -1, -1)):
+        d_cases = []
+        for orient in range(4):
+            inner = " ".join(
+                f"WHEN {ij} THEN {int(_IJ_TO_POS[orient][ij])}" for ij in range(4))
+            d_cases.append(
+                f"WHEN {orient} THEN (CASE ((i // {1 << k}) % 2) * 2 + (j // {1 << k}) % 2 {inner} END)")
+        cur = f"h{n + 1}"
+        steps.append(f"""
+{cur} AS (
+  SELECT doc_id, i, j, face, pos * 4 + d AS pos,
+         CASE WHEN d = 0 THEN xor(orient, 1)
+              WHEN d = 3 THEN xor(orient, 3)
+              ELSE orient END AS orient
+  FROM (SELECT *, CASE orient {' '.join(d_cases)} END AS d FROM {prev})
+)""")
+        prev = cur
+    assert int(_POS_TO_ORIENT[0]) == 1 and int(_POS_TO_ORIENT[3]) == 3
+    hilbert = ",".join(steps)
+    shift = 2 * (30 - DEFAULT_LEVEL) + 1
+    lsb = 1 << (2 * (30 - DEFAULT_LEVEL))
+
+    return f"""{hex_cells},
+hexed AS (
+  SELECT doc_id, {_sql_hex_pack(C.HEX_DEFAULT_RES)} AS hex_r7,
+         cast(((cast(floor(q / 32.0) as bigint) + 32768) % 65536) * 65536
+              + ((cast(floor(r / 32.0) as bigint) + 32768) % 65536) as uinteger)
+           AS hex_prefix
+  FROM cells
+),
+pts AS (SELECT doc_id, lat, lon FROM pages),
+xyz AS (
+  SELECT doc_id,
+         cos(radians(lat)) * cos(radians(lon)) AS x,
+         cos(radians(lat)) * sin(radians(lon)) AS y,
+         sin(radians(lat)) AS z
+  FROM pts
+),
+f0 AS (
+  SELECT doc_id, x, y, z,
+         CASE WHEN abs(x) >= abs(y)
+              THEN (CASE WHEN abs(x) >= abs(z) THEN 0 ELSE 2 END)
+              ELSE (CASE WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END) END AS fa
+  FROM xyz
+),
+faced AS (
+  SELECT doc_id, x, y, z,
+         fa + CASE WHEN (CASE fa WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0
+                   THEN 3 ELSE 0 END AS face
+  FROM f0
+),
+uv AS (
+  SELECT doc_id, face,
+         CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                   WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+         CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                   WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+  FROM faced
+),
+st AS (
+  SELECT doc_id, face,
+         CASE WHEN u >= 0.0 THEN 0.5 * sqrt(greatest(1.0 + 3.0 * u, 0.0))
+              ELSE 1.0 - 0.5 * sqrt(greatest(1.0 - 3.0 * u, 0.0)) END AS s,
+         CASE WHEN v >= 0.0 THEN 0.5 * sqrt(greatest(1.0 + 3.0 * v, 0.0))
+              ELSE 1.0 - 0.5 * sqrt(greatest(1.0 - 3.0 * v, 0.0)) END AS t
+  FROM uv
+),
+h_init AS (
+  SELECT doc_id,
+         least(greatest(cast(floor(s * {1 << DEFAULT_LEVEL}) as bigint), 0), {(1 << DEFAULT_LEVEL) - 1}) AS i,
+         least(greatest(cast(floor(t * {1 << DEFAULT_LEVEL}) as bigint), 0), {(1 << DEFAULT_LEVEL) - 1}) AS j,
+         face, cast(0 as bigint) AS pos, face % 2 AS orient
+  FROM st
+),{hilbert}
+SELECT hx.doc_id, hx.hex_r7,
+       cast(cast({prev}.face as hugeint) * {1 << 61}
+            + cast({prev}.pos as hugeint) * {1 << shift} + {lsb} as ubigint) AS s2_l12,
+       hx.hex_prefix
+FROM hexed hx JOIN {prev} ON {prev}.doc_id = hx.doc_id
+"""
+
+
 def q_pip_biome(sf_dir: str):
     from ..ops.pip import pip_join
 
     ds = flagship.narrow_pages(sf_dir)
     return pip_join(ds).select_columns(["doc_id", "admin_id", "biome_id"])
+
+
+def sql_pip_biome() -> str:
+    """SQL mirror of the point-in-polygon join: the crossing-number ray
+    cast becomes per-(point, polygon) edge-crossing parity over a
+    literal edge table (biome layer is deterministic code, so its
+    vertices embed exactly); first-match = min pid among containing
+    polygons (GridIndex candidate order), -1 outside.  Horizontal
+    edges: the parity filter is false before the division, and DuckDB
+    double/0 yields NULL which the AND also rejects — matching the
+    engine's masked-divide semantics."""
+    pages = P.sql_pages_cte()
+    rows = []
+    for pid, _, verts in PG.biome_polygons():
+        n = len(verts)
+        for i in range(n):
+            x0, y0 = verts[i]
+            x1, y1 = verts[(i + 1) % n]
+            rows.append(f"({pid}, {float(x0)!r}, {float(y0)!r}, "
+                        f"{float(x1)!r}, {float(y1)!r})")
+    edges = ", ".join(rows)
+    return f"""
+WITH pages AS ({pages}),
+pts AS (SELECT doc_id, lat, lon FROM pages),
+edges AS (SELECT * FROM (VALUES {edges}) AS t(pid, x0, y0, x1, y1)),
+par AS (
+  SELECT p.doc_id, e.pid,
+         count(*) FILTER (
+           WHERE ((e.y0 <= p.lat) != (e.y1 <= p.lat))
+             AND p.lon < e.x0 + (p.lat - e.y0) * (e.x1 - e.x0) / (e.y1 - e.y0)
+         ) AS crossings
+  FROM pts p CROSS JOIN edges e
+  GROUP BY p.doc_id, e.pid
+),
+inside AS (
+  SELECT doc_id, min(pid) AS biome_id FROM par
+  WHERE crossings % 2 = 1 GROUP BY doc_id
+)
+SELECT p.doc_id,
+       {PG.sql_admin_id('p.lat', 'p.lon')} AS admin_id,
+       cast(coalesce(i.biome_id, -1) as int) AS biome_id
+FROM pts p LEFT JOIN inside i ON i.doc_id = p.doc_id
+"""
 
 
 def q_minhash(sf_dir: str):
@@ -1016,6 +1160,30 @@ def q_knn_hotspots(sf_dir: str):
     ds = flagship.narrow_pages(sf_dir)
     out = knn_hotspots(ds, k_ring=1)
     return out.select_columns(["doc_id", "hex_r7", "n_kring"])
+
+
+def sql_knn_hotspots() -> str:
+    """Full-resolution kNN hotspot oracle (halo-exchange k-ring counts
+    at the engine's actual res-7 grid)."""
+    from ..kernels import cells as C
+
+    offs = C.hex_disk_offsets(1)
+    disk_rows = ", ".join(f"({int(dq)},{int(dr)})" for dq, dr in offs)
+    prefix = _sql_hex_cte_prefix(C.HEX_DEFAULT_RES)
+    prefix = prefix[: prefix.index(",\nocc AS")]
+    return prefix + f""",
+cnt AS (SELECT q, r, cast(count(*) as bigint) AS n FROM cells GROUP BY q, r),
+disk1 AS (SELECT * FROM (VALUES {disk_rows}) AS t(dq, dr)),
+nk AS (
+  SELECT o.q, o.r, cast(sum(c.n) as int) AS n_kring
+  FROM cnt o JOIN disk1 d ON true
+  JOIN cnt c ON c.q = o.q + d.dq AND c.r = o.r + d.dr
+  GROUP BY o.q, o.r
+)
+SELECT cl.doc_id, {_sql_hex_pack(C.HEX_DEFAULT_RES, "cl.q", "cl.r")} AS hex_r7,
+       nk.n_kring
+FROM cells cl JOIN nk ON nk.q = cl.q AND nk.r = cl.r
+"""
 
 
 def q_ann_lsh(sf_dir: str):
@@ -1604,10 +1772,47 @@ def q_estimate_posteriors(sf_dir: str):
 
 def q_media_frames(sf_dir: str):
     """Video frame-sampling plumbing: media rows expand to sampled
-    frame rows (deterministic fake frames; codec-shaped flat_map)."""
+    frame rows (deterministic byte-slice frames; codec-shaped
+    flat_map).  Payload emitted hex-encoded so the byte-slice
+    arithmetic is SQL-oracle-comparable."""
+    import binascii
+
     from ..ops.multimodal import frame_sample, synth_media
 
-    return frame_sample(synth_media(sf_dir, kind="video"), every_k=3, max_frames=9)
+    frames = frame_sample(synth_media(sf_dir, kind="video"), every_k=3, max_frames=9)
+
+    def hexed(b: pa.Table) -> pa.Table:
+        hx = [binascii.hexlify(v or b"").decode() for v in
+              b.column("frame_payload").to_pylist()]
+        return (b.drop_columns(["frame_payload"])
+                .append_column("frame_hex", pa.array(hx, pa.string())))
+
+    return frames.map_batches(hexed, batch_format="pyarrow")
+
+
+def sql_media_frames() -> str:
+    """SQL mirror of the byte-slice frame sampler: n_frames =
+    min(9, max(1, bytes//256)), indices 0,3,6, frame = 256-byte blob
+    substring, hex-encoded."""
+    pages = P.sql_pages_cte()
+    return f"""
+WITH pages AS ({pages}),
+media AS (
+  SELECT doc_id AS media_id, cast(coalesce(text, '') as blob) AS payload
+  FROM pages
+),
+sized AS (
+  SELECT media_id, payload,
+         least(9, greatest(1, octet_length(payload) // 256)) AS n_frames
+  FROM media
+),
+fi AS (SELECT * FROM (VALUES (0), (3), (6)) AS t(frame_index))
+SELECT s.media_id, 'video' AS kind, cast(f.frame_index as int) AS frame_index,
+       -- DuckDB substring has no BLOB overload: slice the hex string
+       -- instead (byte [a, b) == hex chars [2a, 2b))
+       substring(lower(hex(s.payload)), f.frame_index * 512 + 1, 512) AS frame_hex
+FROM sized s JOIN fi f ON f.frame_index < s.n_frames
+"""
 
 
 def q_score(sf_dir: str):
@@ -1848,4 +2053,8 @@ ORACLES = {
     "langid": sql_langid(),
     "hex_background": sql_hex_background(),
     "hex_detect": sql_hex_detect(),
+    "pip_biome": sql_pip_biome(),
+    "cells_hex_s2": sql_cells(),
+    "knn_hotspots": sql_knn_hotspots(),
+    "media_frames": sql_media_frames(),
 }
