@@ -45,15 +45,20 @@ class Estimator:
         """Vectorized grid argmin of (model - observed)^2 per row; with
         ``n_trace`` also the t values of the n_trace best grid points
         per row (the deterministic pseudo-posterior sample — the
-        likelihood-ranked analog of MCBEF's MCMC draws)."""
+        likelihood-ranked analog of MCBEF's MCMC draws).
+
+        Trace selection is DETERMINISTIC by (err, flat index) — a
+        stable argsort, not argpartition, whose boundary tie choice is
+        implementation-defined — so traces are reproducible and
+        SQL-oracle-comparable."""
         err = (self.model_mtl[None, :, :] - mtl[:, None, None]) ** 2
         flat = err.reshape(err.shape[0], -1)
         idx = np.argmin(flat, axis=1)
         pi, ti = np.unravel_index(idx, self.model_mtl.shape)
         trace = None
         if n_trace:
-            part = np.argpartition(flat, n_trace - 1, axis=1)[:, :n_trace]
-            trace = np.sort(self.T.ravel()[part], axis=1)
+            best = np.argsort(flat, axis=1, kind="stable")[:, :n_trace]
+            trace = np.sort(self.T.ravel()[best], axis=1)
         return self.p_grid[pi], self.t_grid[ti], flat[np.arange(len(idx)), idx], trace
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -1895,6 +1895,63 @@ SELECT doc_id, est_p, est_t, est_qa FROM est
 """
 
 
+def sql_estimate_posteriors() -> str:
+    """SQL mirror of the posterior-trace summaries: the trace is the
+    32 likelihood-best grid points by (err, flat index) — deterministic
+    since the engine's stable-argsort selection — and the 95% HDI /
+    half-sample mode are shortest-window scans over the sorted trace
+    (first window on width ties, matching kernels/stats.hdi_bounds)."""
+    return _sql_score_cte() + """,
+tr AS (
+  SELECT b.doc_id, g.t,
+         row_number() OVER (
+           PARTITION BY b.doc_id
+           ORDER BY (g.p * g.t + (1.0 - g.p) * 4.0 - b.mtl)
+                    * (g.p * g.t + (1.0 - g.p) * 4.0 - b.mtl) ASC,
+                    g.pi * 64 + g.ti ASC) AS rn
+  FROM bip b CROSS JOIN grid g
+),
+arr AS (
+  SELECT doc_id, list(t ORDER BY t) AS ts FROM tr WHERE rn <= 32 GROUP BY doc_id
+),
+w95 AS (
+  SELECT a.doc_id, i.i,
+         list_extract(a.ts, cast(i.i as int) + 30) - list_extract(a.ts, cast(i.i as int)) AS w
+  FROM arr a CROSS JOIN range(1, 3) i(i)
+),
+h95 AS (
+  SELECT doc_id, i FROM (
+    SELECT doc_id, i, row_number() OVER (PARTITION BY doc_id ORDER BY w ASC, i ASC) AS rn
+    FROM w95) WHERE rn = 1
+),
+w50 AS (
+  SELECT a.doc_id, i.i,
+         list_extract(a.ts, cast(i.i as int) + 15) - list_extract(a.ts, cast(i.i as int)) AS w
+  FROM arr a CROSS JOIN range(1, 18) i(i)
+),
+h50 AS (
+  SELECT doc_id, i FROM (
+    SELECT doc_id, i, row_number() OVER (PARTITION BY doc_id ORDER BY w ASC, i ASC) AS rn
+    FROM w50) WHERE rn = 1
+),
+post AS (
+  SELECT a.doc_id,
+         list_extract(a.ts, cast(h95.i as int)) AS g_lo,
+         list_extract(a.ts, cast(h95.i as int) + 30) AS g_hi,
+         (list_extract(a.ts, cast(h50.i as int))
+          + list_extract(a.ts, cast(h50.i as int) + 15)) / 2.0 AS g_mode
+  FROM arr a
+  JOIN h95 ON h95.doc_id = a.doc_id
+  JOIN h50 ON h50.doc_id = a.doc_id
+)
+SELECT e.doc_id, e.est_t, e.est_qa,
+       CASE WHEN e.est_qa = 0 THEN p.g_lo ELSE e.est_t END AS est_t_hdi_lo,
+       CASE WHEN e.est_qa = 0 THEN p.g_hi ELSE e.est_t END AS est_t_hdi_hi,
+       CASE WHEN e.est_qa = 0 THEN p.g_mode ELSE e.est_t END AS est_t_mode
+FROM est e LEFT JOIN post p ON p.doc_id = e.doc_id
+"""
+
+
 def sql_langid() -> str:
     """SQL mirror of the stopword-profile language heuristic
     (kernels/textkit.py lang_id): distinct ASCII-token set intersected
@@ -2057,4 +2114,5 @@ ORACLES = {
     "cells_hex_s2": sql_cells(),
     "knn_hotspots": sql_knn_hotspots(),
     "media_frames": sql_media_frames(),
+    "estimate_posteriors": sql_estimate_posteriors(),
 }
