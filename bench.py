@@ -8,7 +8,7 @@ default 32) and prints ONE JSON line:
      "queries": {...}, "sf": ..., "num_cpus": N, ...}
 
 --scaling: runs the headline flagship pipeline twice in FRESH
-processes (num_cpus=1, then 4 by default) on the same input and
+processes (num_cpus=2, then 8 by default) on the same input and
 reports both throughputs + scaling efficiency (the sandbox stand-in
 for the north_rule's N vs 4N node criterion).
 
