@@ -76,6 +76,19 @@ def run_bench() -> dict:
     t_flagship = min(runs)
     timings["flagship_detect"] = t_flagship
 
+    if not os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY"):
+        # production-shaped flagship: read a MATERIALIZED pages Parquet
+        # table (the BASELINE.json input_hint shape on disk) instead of
+        # synthesizing inline — synthesis happens once, untimed, cached
+        # across bench runs under /tmp
+        from filda_ray.sources.pages import write_pages_parquet
+
+        pdir = write_pages_parquet(SF_DIR, "/tmp/graft_pages_bench",
+                                   replicate=REPLICATE)
+        t0 = time.time()
+        flagship.detect_pipeline(None, pages_dir=pdir).count()
+        timings["flagship_from_parquet"] = round(time.time() - t0, 3)
+
     secondary = {} if os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY") else {
         "dedup_exact": Q.q_dedup,
         "pricing_summary": Q.q_pricing,

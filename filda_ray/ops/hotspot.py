@@ -37,9 +37,11 @@ def cell_counts_ds(ds, cell_col: str = "hex_r7"):
 
     from ray.data.aggregate import Sum
 
+    from .background import HIST_BATCH_ROWS
+
     return (
         ds.select_columns([cell_col])
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=HIST_BATCH_ROWS)
         .groupby(cell_col, num_partitions=shuffle_partitions())
         .aggregate(Sum("n", alias_name="n"))
     )
@@ -203,9 +205,11 @@ def knn_hotspots(ds, *, k_ring: int = 1, cell_col: str = "hex_r7",
 
     from ray.data.aggregate import Sum
 
+    from .background import HIST_BATCH_ROWS
+
     counts = (
         ds.select_columns([cell_col])
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=HIST_BATCH_ROWS)
         .groupby("cell", num_partitions=shuffle_partitions())
         .aggregate(Sum("n", alias_name="n"))
     )

@@ -160,10 +160,13 @@ def write_pages_parquet(sf_dir: str, out_dir: str, *, replicate: int = 1,
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return out_dir
     ds = read_pages(sf_dir, replicate=replicate)
-    try:
-        ds.write_parquet(out_dir, min_rows_per_file=min_rows_per_file)
-    except TypeError:  # older Ray releases
-        ds.write_parquet(out_dir)
+    # one file per block: repartition so the table lands as MANY
+    # mid-sized files — a single giant file reads as ONE Ray task
+    # (observed: 716 MB single file -> 1 read task serializing the
+    # whole scan) and breaks both read parallelism and resumability
+    n_files = max(16, ds.count() // max(min_rows_per_file, 1))
+    ds = ds.repartition(int(n_files))
+    ds.write_parquet(out_dir)
     with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
         f.write("ok")
     return out_dir
