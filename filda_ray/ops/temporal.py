@@ -225,7 +225,10 @@ def climatology(ds, *, key_cols: list[str], value_col: str, ts_col: str | None =
         agg = df.groupby(key_cols, as_index=False)[["__n", "__s", "__ss", "__slog", "__npos"]].sum()
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    from .background import HIST_BATCH_ROWS
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=HIST_BATCH_ROWS)
     from ray.data.aggregate import Sum
 
     merged = partials.groupby(key_cols, num_partitions=shuffle_partitions()).aggregate(

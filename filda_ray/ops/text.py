@@ -85,7 +85,10 @@ def vocab_count(ds, text_col: str = "text", *, top_k: int | None = None):
 
     from ray.data.aggregate import Sum
 
-    merged = ds.map_batches(partial, batch_format="pyarrow").groupby("token", num_partitions=shuffle_partitions()).aggregate(
+    from .background import HIST_BATCH_ROWS
+
+    merged = ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=HIST_BATCH_ROWS).groupby("token", num_partitions=shuffle_partitions()).aggregate(
         Sum("n", alias_name="n")
     )
 
