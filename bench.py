@@ -63,12 +63,12 @@ def run_bench() -> dict:
     # warm the page cache (untimed read) so we measure compute + shuffle
     read_pages(SF_DIR).count()
 
-    # best of 2 runs: this sandbox shares cores with neighbors, and
-    # run-to-run variance is ~20%; min-of-N is the standard estimator
-    # for the machine's actual capability (both runs recorded)
+    # best of 3 runs: this sandbox shares cores with bursty neighbors
+    # (load spikes of 10-30 lasting minutes); min-of-N is the standard
+    # estimator for the machine's actual capability (all runs recorded)
     runs = []
     n_pages = 0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         det = flagship.detect_pipeline(SF_DIR, replicate=REPLICATE)
         n_pages = det.count()

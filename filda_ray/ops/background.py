@@ -47,9 +47,11 @@ MAX_RING = 2
 # (distinct (tile, value) per batch vs rows) must not depend on the
 # upstream BLOCK structure — a parquet read that lands as 400 small
 # blocks would otherwise emit 5x the partial rows and swamp the merge
-# shuffle (measured: 15-20 s vs 1.0 s for the same background).  Rows
-# are 2 narrow columns, so 512k rows ~ 8 MB per batch.
-HIST_BATCH_ROWS = 512 * 1024
+# shuffle (measured: 15-20 s vs 1.0 s for the same background).  128k
+# balances compression (10x typical parquet mini-blocks) against
+# partial-stage parallelism (rows / 128k tasks); rows are 2 narrow
+# columns, so a batch is ~2 MB.
+HIST_BATCH_ROWS = 128 * 1024
 
 
 # ---------------------------------------------------------------------------
