@@ -1710,10 +1710,16 @@ def q_fingerprints(sf_dir: str):
 
 
 def q_estimate(sf_dir: str):
+    """Per-tile estimate summary.  Means are rounded half-up to 6
+    decimals: distributed vs single-threaded summation orders differ
+    at ~1 ulp, which would perturb the oracle compare's value-sorted
+    row order (the established rounded-column pattern)."""
     from .estimate import estimate_pipeline, summarize
 
-    scored = estimate_pipeline(sf_dir)
-    return summarize(scored)
+    df = summarize(estimate_pipeline(sf_dir)).to_pandas()
+    for c in ("mean_p", "mean_t"):
+        df[c] = _round_half_up(df[c].to_numpy() * 1e6) / 1e6
+    return df
 
 
 def q_media_features(sf_dir: str):
@@ -1952,6 +1958,20 @@ FROM est e LEFT JOIN post p ON p.doc_id = e.doc_id
 """
 
 
+def sql_estimate_summary() -> str:
+    """SQL mirror of the per-tile estimate summary: the mirrored
+    estimator joined back to the page tiles, grouped by (tile, QA)."""
+    return _sql_score_cte() + f""",
+tiled2 AS (
+  SELECT e.est_qa, e.est_p, e.est_t, {SQL_PC_TILE} AS pc_tile
+  FROM est e JOIN pages ON pages.doc_id = e.doc_id
+)
+SELECT pc_tile, est_qa, cast(count(*) as bigint) AS n,
+       round(avg(est_p), 6) AS mean_p, round(avg(est_t), 6) AS mean_t
+FROM tiled2 GROUP BY pc_tile, est_qa
+"""
+
+
 def sql_langid() -> str:
     """SQL mirror of the stopword-profile language heuristic
     (kernels/textkit.py lang_id): distinct ASCII-token set intersected
@@ -2115,4 +2135,5 @@ ORACLES = {
     "knn_hotspots": sql_knn_hotspots(),
     "media_frames": sql_media_frames(),
     "estimate_posteriors": sql_estimate_posteriors(),
+    "estimate_summary": sql_estimate_summary(),
 }
