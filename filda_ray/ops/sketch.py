@@ -250,3 +250,111 @@ def approx_distinct(ds, col: str, *, p: int = DEFAULT_P, seed: int = 0) -> float
         for blob in b.column("regs").to_pylist():
             merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
     return hll_estimate(merged)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: mergeable Misra–Gries summaries
+# ---------------------------------------------------------------------------
+
+# per-partial batch size: value_counts over this many rows per task
+HH_BATCH_ROWS = 131072
+
+
+def _mg_trim(keys: np.ndarray, counts: np.ndarray, capacity: int):
+    """Misra–Gries trim of an exact (keys, counts) summary to
+    ``capacity`` counters: subtract the (capacity+1)-th largest count
+    from every counter and drop the non-positive ones.  Returns
+    (keys, adjusted_counts, err) where ``err`` is the subtracted
+    amount — the summary's max undercount (Agarwal et al., "Mergeable
+    Summaries", PODS 2012: trims compose under summary addition)."""
+    if len(keys) <= capacity:
+        return keys, counts, 0
+    kth = np.partition(counts, len(counts) - capacity - 1)[len(counts) - capacity - 1]
+    adj = counts - kth
+    keep = adj > 0
+    return keys[keep], adj[keep], int(kth)
+
+
+def approx_heavy_hitters(ds, col: str, *, capacity: int = 4096,
+                         top_n: int | None = None):
+    """Approximate per-key counts (heavy hitters) with a mergeable
+    Misra–Gries sketch: exact ``value_counts`` per batch, trimmed to
+    ``capacity`` counters, summed in a small groupby, trimmed once
+    more.  Guarantees for every returned key:
+
+        est_count ≤ true_count ≤ est_count + err_upper
+
+    and every key with true_count > err_upper survives (err_upper ≤
+    total_rows / capacity).  Raw values never shuffle — only ≤
+    capacity rows per input batch (plus one error row each), so the
+    exchange is bounded by blocks x capacity regardless of input
+    size.  When ``capacity`` ≥ the true distinct count no trim ever
+    fires and the result is EXACT with err_upper = 0 — which is what
+    makes the operator SQL-oracle-checkable at test scale.
+
+    Returns a pandas DataFrame ``(key, est_count, err_upper)`` sorted
+    by est_count desc then key asc, limited to ``top_n`` if given.
+    The final summary is ≤ capacity rows: a driver-side frame is the
+    correct size, not a materialization compromise.
+    """
+    import pandas as pd
+
+    from filda_ray.ops import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = batch.column(col).value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        # null keys are excluded (the null slot is the error sentinel)
+        vc = vc.filter(pc.is_valid(vc.field("values")))
+        keys = vc.field("values")
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        k, c, err = _mg_trim(np.arange(len(keys)), counts, capacity)
+        out = pa.table({
+            "key": keys.take(pa.array(k)),
+            "cnt": pa.array(c, pa.int64()),
+            "err": pa.array(np.zeros(len(k), dtype=np.int64)),
+        })
+        if err:
+            erow = pa.table({
+                "key": pa.array([None], out.column("key").type),
+                "cnt": pa.array([0], pa.int64()),
+                "err": pa.array([err], pa.int64()),
+            })
+            out = pa.concat_tables([out, erow])
+        return out
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=HH_BATCH_ROWS
+    )
+    # the summed summary is ≤ blocks x (capacity + 1) rows of
+    # (key, int, int): sum it with one bounded groupby, then a single
+    # driver-side trim of ≤ distinct-surviving-keys rows
+    summed = parts.groupby("key", num_partitions=shuffle_partitions()).sum(["cnt", "err"])
+    # stay in Arrow so an integer key column is never null-coerced to
+    # float by a pandas round-trip
+    import pyarrow.compute as pc
+
+    batches = list(summed.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pd.DataFrame({"key": [], "est_count": np.array([], np.int64),
+                             "err_upper": np.array([], np.int64)})
+    t = pa.concat_tables(batches)
+    nulls = pc.is_null(t.column("key"))
+    err_total = pc.sum(pc.filter(t.column("sum(err)"), nulls)).as_py() or 0
+    valid = t.filter(pc.invert(nulls))
+    keys = valid.column("key").to_numpy(zero_copy_only=False)
+    counts = valid.column("sum(cnt)").to_numpy(zero_copy_only=False).astype(np.int64)
+    idx, adj, err2 = _mg_trim(np.arange(len(keys)), counts, capacity)
+    out = pd.DataFrame({
+        "key": keys[idx],
+        "est_count": adj,
+        "err_upper": np.int64(err_total + err2),
+    })
+    out = out.sort_values(["est_count", "key"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    if top_n is not None:
+        out = out.head(top_n).reset_index(drop=True)
+    return out

@@ -525,6 +525,86 @@ WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter pre-filtered semi/anti joins (exact; big side never
+# shuffles in the broadcast-verify path, only survivors in the join
+# path) — the 100 TB plan for the reference's background-set
+# exclusion joins (FILDA.py:637-652)
+# ---------------------------------------------------------------------------
+
+def _high_orders(sf_dir: str):
+    """HIGH-priority orders as a streaming Dataset (the Bloom build
+    side) — deliberately NOT a driver-side key collect."""
+    import pyarrow.compute as pc
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_orderpriority"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("o_orderpriority"), "2-HIGH")).select(
+            ["o_orderkey"]
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def q_bloom_semi(sf_dir: str):
+    from ..ops.bloom import bloom_semi_anti_join
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    return bloom_semi_anti_join(li, _high_orders(sf_dir), on="l_orderkey",
+                                right_on="o_orderkey")
+
+
+def sql_bloom_semi() -> str:
+    return """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '2-HIGH')
+"""
+
+
+def q_bloom_anti(sf_dir: str):
+    from ..ops.bloom import bloom_semi_anti_join
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    return bloom_semi_anti_join(li, _high_orders(sf_dir), on="l_orderkey",
+                                right_on="o_orderkey", anti=True)
+
+
+def sql_bloom_anti() -> str:
+    return """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '2-HIGH')
+"""
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters (mergeable Misra–Gries sketch; exact — err_upper 0 —
+# whenever capacity ≥ true distinct count, which holds for the events
+# user domain at every test scale, so the sketch is SQL-oracled)
+# ---------------------------------------------------------------------------
+
+def q_heavy_hitters(sf_dir: str):
+    from ..ops.sketch import approx_heavy_hitters
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return approx_heavy_hitters(ev, "user_id", capacity=8192, top_n=50)
+
+
+def sql_heavy_hitters() -> str:
+    return """
+SELECT user_id AS key,
+       cast(count(*) as bigint) AS est_count,
+       cast(0 as bigint) AS err_upper
+FROM events
+GROUP BY user_id
+ORDER BY est_count DESC, key
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
 # trimmed lowest-25% mean (A2 analog)
 # ---------------------------------------------------------------------------
 
@@ -2049,6 +2129,9 @@ QUERIES = {
     "join_revenue": q_join_revenue,
     "semi_lineitem": q_semi,
     "anti_lineitem": q_anti,
+    "bloom_semi_lineitem": q_bloom_semi,
+    "bloom_anti_lineitem": q_bloom_anti,
+    "heavy_hitter_users": q_heavy_hitters,
     "trimmed_mean_quantity": q_trimmed,
     "low_quantile_price": q_low_quantile,
     "pricing_summary": q_pricing,
@@ -2106,6 +2189,9 @@ ORACLES = {
     "join_revenue": sql_join_revenue(),
     "semi_lineitem": sql_semi(),
     "anti_lineitem": sql_anti(),
+    "bloom_semi_lineitem": sql_bloom_semi(),
+    "bloom_anti_lineitem": sql_bloom_anti(),
+    "heavy_hitter_users": sql_heavy_hitters(),
     "trimmed_mean_quantity": sql_trimmed(),
     "low_quantile_price": sql_low_quantile(),
     "pricing_summary": sql_pricing(),
