@@ -96,6 +96,8 @@ def run_bench() -> dict:
         "window_events": Q.q_window_events,
         "embedding_topk": Q.q_embed_topk,
         "minhash_neardup": Q.q_minhash,
+        "bloom_semi_join": Q.q_bloom_semi,
+        "heavy_hitters": Q.q_heavy_hitters,
     }
     for name, fn in secondary.items():
         t0 = time.time()
@@ -105,6 +107,21 @@ def run_bench() -> dict:
         timings[name] = round(time.time() - t0, 3)
 
     if not os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY"):
+        # control for bloom_semi_join: the SAME exact semi join as a
+        # native hash left_semi (big side fully shuffled) — the gap is
+        # the Bloom pre-filter's shuffle saving
+        from filda_ray.ops import shuffle_partitions
+        from filda_ray.ops.relational import distinct_rows
+        from filda_ray.sources import read_parquet_clean as _rpc
+
+        t0 = time.time()
+        li = _rpc(f"{SF_DIR}/lineitem.parquet",
+                  columns=["l_orderkey", "l_linenumber", "l_quantity"])
+        rk = distinct_rows(Q._high_orders(SF_DIR), ["o_orderkey"])
+        li.join(rk, join_type="left_semi", num_partitions=shuffle_partitions(),
+                on=("l_orderkey",), right_on=("o_orderkey",)).count()
+        timings["semi_join_hash_control"] = round(time.time() - t0, 3)
+
         # dedup worst case: every document unique (64x corpus with
         # distinct texts).  The bounded-bucket first-wins design must
         # stay within ~2x of distinct_rows on the same rows (both are

@@ -68,6 +68,24 @@ def derive_buckets(ds, *, bytes_per_bucket=256 << 20, lo=None, hi=65536,
     return int(min(hi, max(lo, -(-sz // bytes_per_bucket))))
 
 
+def pool_size(*, frac: float = 0.5, lo: int = 4, hi: int = 64) -> int:
+    """Default actor-pool width for a CPU-bound stateful stage: a
+    fraction of cluster CPUs (several pools coexist in a pipeline),
+    clamped.  A flat constant (the round-2 default of 4) starves a
+    32-CPU node; this scales with the cluster like every shuffle
+    knob."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+            if cpus:
+                return int(min(hi, max(lo, cpus * frac)))
+    except Exception:
+        pass
+    return lo
+
+
 def shuffle_partitions(n_groups_hint=None, *, per_cpu: int = 2, lo: int = 8,
                        hi: int = 256):
     """Hash-shuffle partition count for a ``groupby``: Ray Data's

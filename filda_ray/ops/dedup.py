@@ -183,7 +183,7 @@ def _dedup_pairs_ds(cand, n_buckets: int | None = None):
     )
 
 
-def minhash_lsh_pairs(ds, *, concurrency: int = 4, shingle_w: int = 3):
+def minhash_lsh_pairs(ds, *, concurrency: int | None = None, shingle_w: int = 3):
     """Dataset op: documents -> candidate near-dup pairs (a < b).
 
     Scale design: the only rows shuffled are (band, band_hash, doc_id)
@@ -195,12 +195,18 @@ def minhash_lsh_pairs(ds, *, concurrency: int = 4, shingle_w: int = 3):
     """
     from ..kernels.hashing import hash_combine
 
+    from . import pool_size
+
     nb = autoscale_buckets(ds)
     banded = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs={"shingle_w": shingle_w},
         batch_format="pyarrow",
-        concurrency=autoscale(concurrency),
+        # signature computation is the CPU-bound stage: pool scales
+        # with the cluster, and an explicit batch_size splits a
+        # few-block corpus across the whole pool
+        concurrency=autoscale(concurrency if concurrency is not None else pool_size()),
+        batch_size=256,
     )
 
     def bucket(b: pa.Table) -> pa.Table:

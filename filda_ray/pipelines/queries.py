@@ -449,24 +449,35 @@ def q_join_revenue(sf_dir: str):
     orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     cust = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
 
-    def cents(b: pa.Table) -> pa.Table:
+    def cents_preagg(b: pa.Table) -> pa.Table:
+        """Per-batch pre-aggregation BELOW the join: o_custkey
+        functionally determines the final group (nation), so partial
+        (sum, count) per custkey is exact — the join then moves ≤
+        distinct-custkeys rows per block instead of every order row
+        (aggregation pushdown; the 100 TB shuffle saver)."""
         v = b.column("o_totalprice").to_numpy()
-        return b.append_column(
-            "cents", pa.array(_round_half_up(v * 100.0).astype(np.int64))
-        ).drop_columns(["o_totalprice"])
+        t = pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "cents": pa.array(_round_half_up(v * 100.0).astype(np.int64)),
+        })
+        g = t.group_by("o_custkey").aggregate([("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["o_custkey", "cents", "cnt"])
 
-    orders = orders.map_batches(cents, batch_format="pyarrow")
-    j = rel.hash_join(orders, cust, on="o_custkey", right_on="c_custkey", how="inner",
+    pre = orders.map_batches(cents_preagg, batch_format="pyarrow", batch_size=65536)
+    from ray.data.aggregate import Sum as _Sum
+
+    pre = pre.groupby("o_custkey", num_partitions=shuffle_partitions()).aggregate(
+        _Sum("cents", alias_name="cents"), _Sum("cnt", alias_name="cnt")
+    )
+    j = rel.hash_join(pre, cust, on="o_custkey", right_on="c_custkey", how="inner",
                       num_partitions=8)
     import pyarrow.parquet as pq
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     j = rel.broadcast_join(j, nation.rename_columns(["c_nationkey", "n_name"]),
                            on="c_nationkey")
-    from ray.data.aggregate import Count, Sum
-
     out = j.groupby("n_name", num_partitions=shuffle_partitions()).aggregate(
-        Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents")
+        _Sum("cnt", alias_name="n_orders"), _Sum("cents", alias_name="total_cents")
     )
     return out
 
