@@ -358,3 +358,60 @@ def approx_heavy_hitters(ds, col: str, *, capacity: int = 4096,
     if top_n is not None:
         out = out.head(top_n).reset_index(drop=True)
     return out
+
+
+def approx_quantiles_per_key(ds, key_col: str, col: str,
+                             qs=(0.25, 0.5, 0.9), *, k: int = 256,
+                             seed: int = 0):
+    """Grouped approximate quantiles: one mergeable KLL sketch per
+    (key, batch), merged per key in a bounded groupby.  Raw values
+    never shuffle — only O(k log(n/k))-float sketch blobs, so the
+    exchange volume is keys x sketch size regardless of row count.
+
+    Estimator: nearest-rank (value at rank ceil(q*n)); EXACT whenever
+    a key's total count ≤ ``k`` (no compaction ever fires), which is
+    what makes the operator SQL-oracle-checkable on the events table;
+    beyond k it degrades to KLL rank error O(1/k).  NaNs are dropped
+    per sketch (SQL ``value IS NOT NULL`` semantics).
+
+    Output: one row per key with float columns ``q<percent>`` (e.g.
+    q25, q50, q90).
+    """
+    from filda_ray.ops import pd_table, shuffle_partitions
+
+    qcols = [f"q{int(round(q * 100))}" for q in qs]
+
+    def sk_partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        vals = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(keys, kind="stable")
+        ks, vs = keys[order], vals[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) if len(ks) else np.empty(0, np.int64)
+        bounds = np.r_[starts, len(ks)]
+        out_keys, blobs = [], []
+        for i in range(len(starts)):
+            s, e = bounds[i], bounds[i + 1]
+            out_keys.append(ks[s])
+            blobs.append(QuantileSketch(k=k, seed=seed).add(vs[s:e]).serialize())
+        return pa.table({
+            "key": pa.array(out_keys, batch.column(key_col).type),
+            "sk": pa.array(blobs, pa.binary()),
+        })
+
+    def merge_key(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        s = QuantileSketch(k=k, seed=seed + 1)
+        for blob in g["sk"]:
+            s.merge(QuantileSketch.deserialize(blob, k=k))
+        row = {key_col: [g["key"].iloc[0]]}
+        for q, c in zip(qs, qcols):
+            row[c] = [s.quantile(q)]
+        return pd_table(pd.DataFrame(row))
+
+    parts = ds.select_columns([key_col, col]).map_batches(
+        sk_partial, batch_format="pyarrow", batch_size=HH_BATCH_ROWS
+    )
+    return parts.groupby("key", num_partitions=shuffle_partitions()).map_groups(
+        merge_key, batch_format="pandas"
+    )

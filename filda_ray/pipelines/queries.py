@@ -616,6 +616,43 @@ LIMIT 50
 
 
 # ---------------------------------------------------------------------------
+# grouped approximate quantiles (mergeable per-key KLL; exact — no
+# compaction — while a key's count ≤ k, which holds for events/user at
+# every test scale, so the sketch is SQL-oracled with nearest-rank
+# semantics.  Literals are cast to DOUBLE on the SQL side so ceil()
+# sees the same float64 q*n as numpy, not exact DECIMAL.)
+# ---------------------------------------------------------------------------
+
+def q_user_value_quantiles(sf_dir: str):
+    from ..ops.sketch import approx_quantiles_per_key
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    return approx_quantiles_per_key(ev, "user_id", "value", qs=(0.25, 0.5, 0.9))
+
+
+def sql_user_value_quantiles() -> str:
+    def pick(q: str, name: str) -> str:
+        return (f"max(CASE WHEN rn = greatest(1, cast(ceil(cast({q} as double)*cnt) "
+                f"as bigint)) THEN value END) AS {name}")
+
+    return f"""
+WITH s AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+  WHERE value IS NOT NULL
+)
+SELECT user_id,
+       {pick('0.25', 'q25')},
+       {pick('0.5', 'q50')},
+       {pick('0.9', 'q90')}
+FROM s
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # trimmed lowest-25% mean (A2 analog)
 # ---------------------------------------------------------------------------
 
@@ -2143,6 +2180,7 @@ QUERIES = {
     "bloom_semi_lineitem": q_bloom_semi,
     "bloom_anti_lineitem": q_bloom_anti,
     "heavy_hitter_users": q_heavy_hitters,
+    "user_value_quantiles": q_user_value_quantiles,
     "trimmed_mean_quantity": q_trimmed,
     "low_quantile_price": q_low_quantile,
     "pricing_summary": q_pricing,
@@ -2203,6 +2241,7 @@ ORACLES = {
     "bloom_semi_lineitem": sql_bloom_semi(),
     "bloom_anti_lineitem": sql_bloom_anti(),
     "heavy_hitter_users": sql_heavy_hitters(),
+    "user_value_quantiles": sql_user_value_quantiles(),
     "trimmed_mean_quantity": sql_trimmed(),
     "low_quantile_price": sql_low_quantile(),
     "pricing_summary": sql_pricing(),

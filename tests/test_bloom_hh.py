@@ -132,3 +132,38 @@ def test_heavy_hitters_null_keys_excluded(ray_session):
     hh = approx_heavy_hitters(rd.from_arrow(t), "k", capacity=16)
     assert list(hh["key"]) == ["a", "b"]
     assert list(hh["est_count"]) == [3, 1]
+
+
+def test_grouped_quantiles_exact_when_small(ray_session):
+    rd = _rd()
+    rng = np.random.default_rng(5)
+    keys = np.repeat(np.arange(40), 60)
+    vals = rng.normal(keys * 10.0, 3.0)
+    order = rng.permutation(len(keys))
+    t = pa.table({"g": pa.array(keys[order]), "v": pa.array(vals[order])})
+    from filda_ray.ops.sketch import approx_quantiles_per_key
+
+    out = approx_quantiles_per_key(
+        rd.from_arrow(t).repartition(8), "g", "v", qs=(0.5,), k=256
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    # n=60 <= k=256: exact nearest-rank median per key
+    for g in range(40):
+        v = np.sort(vals[keys == g])
+        assert out.loc[g, "q50"] == v[int(np.ceil(0.5 * 60)) - 1]
+
+
+def test_grouped_quantiles_rank_error_when_large(ray_session):
+    rd = _rd()
+    rng = np.random.default_rng(9)
+    keys = np.repeat(np.arange(4), 20000)
+    vals = rng.uniform(0, 1, len(keys)) + keys  # key g uniform in [g, g+1]
+    t = pa.table({"g": pa.array(keys), "v": pa.array(vals)})
+    from filda_ray.ops.sketch import approx_quantiles_per_key
+
+    out = approx_quantiles_per_key(
+        rd.from_arrow(t).repartition(16), "g", "v", qs=(0.25, 0.9), k=256
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    # KLL rank error ~ O(1/k); allow 5% rank slack on uniform data
+    for g in range(4):
+        assert abs(out.loc[g, "q25"] - (g + 0.25)) < 0.05
+        assert abs(out.loc[g, "q90"] - (g + 0.9)) < 0.05
