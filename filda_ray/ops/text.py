@@ -126,3 +126,109 @@ def fingerprint_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def fingerprint_op(ds, text_col: str = "text"):
     return ds.map_batches(lambda b: fingerprint_stage(b, text_col), batch_format="pyarrow")
+
+
+def document_frequency(ds, doc_col: str = "doc_id", text_col: str = "text"):
+    """(token, df) over the corpus: per-batch partials count each
+    token once per document (set semantics), then one bounded groupby
+    sum — same pre-aggregate-before-shuffle shape as vocab_count.
+    Tokenization = single-space split (SQL mirror: string_split)."""
+    from ray.data.aggregate import Sum
+
+    from .background import HIST_BATCH_ROWS
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch.column(text_col).to_pylist():
+            if not t:
+                continue
+            for w in set(t.split(" ")):
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table({"token": pa.array(list(counts.keys()), pa.string()),
+                         "df": pa.array(np.fromiter(counts.values(), dtype=np.int64,
+                                                    count=len(counts)))})
+
+    merged = ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=HIST_BATCH_ROWS).groupby(
+        "token", num_partitions=shuffle_partitions()
+    ).aggregate(Sum("df", alias_name="df"))
+
+    def clean(b: pa.Table) -> pa.Table:
+        return pa.table({"token": b.column("token"),
+                         "df": b.column("df").cast(pa.int64())})
+
+    return merged.map_batches(clean, batch_format="pyarrow")
+
+
+def tfidf_top_terms(ds, doc_col: str = "doc_id", text_col: str = "text", *,
+                    vocab_size: int = 5000, per_doc: int = 3,
+                    round_decimals: int = 6):
+    """Per-document top TF-IDF terms over a bounded vocabulary.
+
+    Scale design: the vocabulary is capped at the ``vocab_size``
+    highest-DF tokens (the standard bounded-vocab trick — an
+    unbounded idf table cannot be broadcast at web scale), selected
+    with the same streaming block-local top-k merge as vocab_count so
+    the driver sees ≤ vocab_size rows per block.  The scoring pass is
+    a single broadcast-lookup map over the corpus: no shuffle of
+    doc-term pairs at all; each batch emits at most ``per_doc`` rows
+    per document.
+
+    score = tf * ln(N / df), rounded half-up to ``round_decimals`` so
+    the value AND the per-doc ranking are reproducible bit-for-bit
+    against a SQL oracle (ordering by the rounded score, then token).
+    """
+    import ray
+
+    from .workercache import worker_state
+
+    n_docs = ds.count()
+
+    # ---- bounded vocabulary: top-V by (df desc, token asc) ----
+    dfreq = document_frequency(ds, doc_col, text_col)
+
+    def partial_topv(b: pa.Table) -> pa.Table:
+        d = b.to_pandas().sort_values(["df", "token"], ascending=[False, True],
+                                      kind="mergesort").head(vocab_size)
+        return pa.Table.from_pandas(d, preserve_index=False).replace_schema_metadata(None)
+
+    vocab = dfreq.map_batches(partial_topv, batch_format="pyarrow").to_pandas()
+    vocab = vocab.sort_values(["df", "token"], ascending=[False, True],
+                              kind="mergesort").head(vocab_size)
+    tokens = vocab["token"].to_numpy(dtype=object)
+    order = np.argsort(tokens)
+    sorted_tokens = tokens[order]
+    idf = np.log(float(n_docs) / vocab["df"].to_numpy(dtype=np.float64))[order]
+    ref = ray.put((sorted_tokens, idf))
+    scale = 10.0 ** round_decimals
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks, idfs = worker_state(ref, lambda: ray.get(ref))
+        ids = batch.column(doc_col)
+        out_doc, out_tok, out_score = [], [], []
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            if not t:
+                continue
+            tf: dict[str, int] = {}
+            for w in t.split(" "):
+                tf[w] = tf.get(w, 0) + 1
+            wlist = np.array(list(tf.keys()), dtype=object)
+            pos = np.searchsorted(toks, wlist)
+            pos = np.clip(pos, 0, len(toks) - 1)
+            hit = toks[pos] == wlist
+            if not hit.any():
+                continue
+            wl, pz = wlist[hit], pos[hit]
+            tfs = np.fromiter((tf[w] for w in wl), dtype=np.float64, count=len(wl))
+            sc = np.floor(tfs * idfs[pz] * scale + 0.5) / scale  # half-up
+            top = np.lexsort((wl, -sc))[:per_doc]
+            out_doc.extend([ids[i].as_py()] * len(top))
+            out_tok.extend(wl[top])
+            out_score.extend(sc[top])
+        return pa.table({
+            doc_col: pa.array(out_doc, ids.type),
+            "token": pa.array(out_tok, pa.string()),
+            "tfidf": pa.array(np.array(out_score, dtype=np.float64)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -996,6 +996,39 @@ SELECT token, n FROM (
 """
 
 
+def q_tfidf(sf_dir: str):
+    """Per-doc top-3 TF-IDF terms over a bounded (top-DF) vocabulary.
+    Ranking uses the ROUNDED score on both sides so the per-doc
+    cutoff is reproducible against the SQL oracle."""
+    from ..ops.text import tfidf_top_terms
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, vocab_size=5000, per_doc=3)
+
+
+def sql_tfidf() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+vocab AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 5000),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         floor(cast(tf.tf as double)
+               * ln(cast((SELECT count(*) FROM documents) as double) / cast(v.df as double))
+               * cast(1000000 as double) + cast(0.5 as double)) / cast(1000000 as double)
+           AS tfidf
+  FROM tf JOIN vocab v USING (token)
+)
+SELECT doc_id, token, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
 def q_sessionize(sf_dir: str):
     rd = _rd()
     from ..ops.temporal import sessionize
@@ -2191,6 +2224,7 @@ QUERIES = {
     "vector_stats": q_vector_stats,
     "hash_sample_split": q_hash_sample,
     "vocab_top20": q_vocab,
+    "tfidf_top_terms": q_tfidf,
     "sessionize_events": q_sessionize,
     "candidate_union": q_candidate_union,
     "top_anomalies": q_top_anomalies,
@@ -2252,6 +2286,7 @@ ORACLES = {
     "vector_stats": sql_vector_stats(),
     "hash_sample_split": sql_hash_sample(),
     "vocab_top20": sql_vocab(),
+    "tfidf_top_terms": sql_tfidf(),
     "sessionize_events": sql_sessionize(),
     "candidate_union": sql_candidate_union(),
     "top_anomalies": sql_top_anomalies(),

@@ -679,3 +679,46 @@ def test_dedup_exact_null_texts_form_one_group(ray_session):
     out = dedup_exact(ds).to_pandas().sort_values("doc_id")
     assert out["doc_id"].tolist() == [1, 5]
     assert out["content_md5"].isna().sum() == 1
+
+
+def test_tfidf_top_terms_vs_bruteforce(ray_session):
+    """tfidf_top_terms matches a direct pandas computation of
+    tf * ln(N/df) with (rounded score desc, token asc) per-doc top-k,
+    and the bounded-vocab cap actually restricts scoring."""
+    import math
+
+    from filda_ray.ops.text import tfidf_top_terms
+
+    docs = {
+        1: "apple banana apple cherry",
+        2: "banana cherry date date date",
+        3: "apple elderberry fig fig",
+        4: "cherry cherry cherry grape",
+    }
+    ds = _ds({"doc_id": list(docs.keys()), "text": list(docs.values())})
+    out = tfidf_top_terms(ds, per_doc=2, round_decimals=6).to_pandas()
+
+    # brute force
+    n = len(docs)
+    df: dict[str, int] = {}
+    for t in docs.values():
+        for w in set(t.split(" ")):
+            df[w] = df.get(w, 0) + 1
+    want = {}
+    for d, t in docs.items():
+        tf: dict[str, int] = {}
+        for w in t.split(" "):
+            tf[w] = tf.get(w, 0) + 1
+        scored = sorted(
+            ((math.floor(c * math.log(n / df[w]) * 1e6 + 0.5) / 1e6, w)
+             for w, c in tf.items()),
+            key=lambda x: (-x[0], x[1]))[:2]
+        want[d] = scored
+    for d, rows in out.groupby("doc_id"):
+        got = sorted(zip(rows.tfidf, rows.token), key=lambda x: (-x[0], x[1]))
+        assert got == want[d], (d, got, want[d])
+
+    # vocab cap: with vocab_size=1 only the single highest-DF token
+    # (ties broken by token asc -> "cherry", df=3) can ever score
+    capped = tfidf_top_terms(ds, vocab_size=1, per_doc=2).to_pandas()
+    assert set(capped.token) <= {"cherry"}
