@@ -1,0 +1,181 @@
+"""Distributed connected components over a pair/edge table.
+
+Engine addition per the training-data-pipeline requirement: near-dup
+PAIRS (minhash/simhash/embedding LSH) are only half the dedup story —
+keeping one document per duplicate CLUSTER needs the transitive
+closure of the pair relation.  The reference's candidate merge
+(FILDA.py:395-398) only unions point sets; it has no graph stage, so
+this is a from-scratch design.
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii, "Connected Components in MapReduce
+and Beyond", SoCC 2014) — converges in O(log^2 n) rounds, each round
+two bounded-bucket shuffles of the EDGE table only (nodes/documents
+never shuffle).  Edges are canonicalized (u > v) so the fixpoint is a
+forest of stars (child -> component-min root).
+
+Scale notes: per-iteration volume never exceeds the input edge count
+(after dedup); buckets are bytes-proportional (``derive_buckets``);
+all per-bucket work is lexsort + ``np.minimum.reduceat`` — no per-key
+Python.  The driver holds only iteration counters and an 8-byte
+checksum per round.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from . import pd_table, shuffle_partitions
+
+logger = logging.getLogger(__name__)
+
+
+def _star(edges, *, large: bool, n_buckets: int):
+    """One star round: bucket by hash(group key), vectorized
+    min-neighbor emit per bucket.  Input/output columns (u, v) with
+    u > v (canonical child->parent orientation)."""
+    from ..kernels.hashing import splitmix64
+
+    nb = np.uint64(n_buckets)
+
+    def expand(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        if large:
+            # large-star groups on BOTH endpoints (full neighborhoods)
+            x = np.concatenate([u, v])
+            y = np.concatenate([v, u])
+        else:
+            # small-star groups on u; neighbors are all < u already
+            x, y = u, v
+        bk = (splitmix64(x.astype(np.uint64)) % nb).astype(np.int32)
+        return pa.table({"x": x, "y": y, "__bk": bk})
+
+    def star(g: pd.DataFrame) -> pa.Table:
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        order = np.lexsort((y, x))
+        x, y = x[order], y[order]
+        starts = np.flatnonzero(np.r_[True, x[1:] != x[:-1]])
+        xu = x[starts]
+        m = np.minimum(np.minimum.reduceat(y, starts), xu)
+        counts = np.diff(np.r_[starts, len(x)])
+        mrep = np.repeat(m, counts)
+        if large:
+            # emit (v, m) for v in N(x), v > x;  m <= x < v keeps u > v
+            mask = y > x
+            ou, ov = y[mask], mrep[mask]
+        else:
+            # emit (w, m) for w in N(x) u {x}, w != m
+            mask = y != mrep
+            ou = np.concatenate([y[mask], xu])
+            ov = np.concatenate([mrep[mask], m])
+            keep = ou != ov  # drop the root's self pair
+            ou, ov = ou[keep], ov[keep]
+        d = pd.DataFrame({"u": ou, "v": ov}).drop_duplicates()
+        return pd_table(d)
+
+    return edges.map_batches(expand, batch_format="pyarrow").groupby(
+        "__bk", num_partitions=shuffle_partitions()
+    ).map_groups(star, batch_format="pandas")
+
+
+def _edge_checksum(edges) -> tuple[int, int]:
+    """(count, xor-of-row-hashes) over a materialized edge set —
+    commutative, so block order is irrelevant.  Partials are computed
+    in the workers; the driver sees one row per block."""
+    from ..kernels.hashing import splitmix64
+
+    def part(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = b.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = splitmix64(u * np.uint64(0x9E3779B97F4A7C15) ^ splitmix64(v))
+        x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+        return pa.table({"n": pa.array([len(b)], pa.int64()),
+                         "h": pa.array([int(x)], pa.uint64())})
+
+    rows = edges.map_batches(part, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in rows)
+    h = 0
+    for r in rows:
+        h ^= int(r["h"])
+    return n, h
+
+
+def connected_components(edges, *, src: str = "doc_a", dst: str = "doc_b",
+                         out_node: str = "node", out_comp: str = "component",
+                         max_iter: int = 30):
+    """(node, component) for every endpoint of ``edges``; component =
+    the minimum node id in the connected component.
+
+    The edge table is assumed small relative to the corpus (it comes
+    from an LSH candidate stage); per-iteration materialization of the
+    edge set is therefore bounded, and documents themselves never
+    enter the loop.
+    """
+    import pyarrow.compute as pc
+
+    from . import derive_buckets
+    from .relational import distinct_rows
+
+    n_buckets = derive_buckets(edges)
+
+    def canon(b: pa.Table) -> pa.Table:
+        a = b.column(src).cast(pa.int64())
+        c = b.column(dst).cast(pa.int64())
+        u = pc.max_element_wise(a, c)
+        v = pc.min_element_wise(a, c)
+        t = pa.table({"u": u, "v": v})
+        return t.filter(pc.not_equal(u, v))  # self loops are no-ops
+
+    cur = distinct_rows(edges.map_batches(canon, batch_format="pyarrow"),
+                        ["u", "v"]).materialize()
+    if cur.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({out_node: pa.array([], pa.int64()),
+                                       out_comp: pa.array([], pa.int64())}))
+
+    # nodes = every endpoint of the ORIGINAL edges (as self pairs so
+    # the final min-aggregate covers roots and any isolated-after-
+    # canonicalization nodes uniformly)
+    def endpoints(b: pa.Table) -> pa.Table:
+        n = np.concatenate([b.column("u").to_numpy(zero_copy_only=False),
+                            b.column("v").to_numpy(zero_copy_only=False)])
+        return pa.table({"u": pa.array(n, pa.int64()),
+                         "v": pa.array(n, pa.int64())})
+
+    nodes_self = distinct_rows(cur.map_batches(endpoints, batch_format="pyarrow"),
+                               ["u"])
+
+    prev = _edge_checksum(cur)
+    for it in range(max_iter):
+        nxt = distinct_rows(_star(cur, large=True, n_buckets=n_buckets),
+                            ["u", "v"])
+        nxt = distinct_rows(_star(nxt, large=False, n_buckets=n_buckets),
+                            ["u", "v"]).materialize()
+        sig = _edge_checksum(nxt)
+        cur = nxt
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        logger.warning("connected_components: no fixpoint after %d rounds; "
+                       "labels may be one hop short", max_iter)
+
+    from ray.data.aggregate import Min
+
+    merged = cur.union(nodes_self)
+    out = merged.groupby("u", num_partitions=shuffle_partitions()).aggregate(
+        Min("v", alias_name=out_comp))
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({out_node: b.column("u"),
+                         out_comp: b.column(out_comp).cast(pa.int64())})
+
+    return out.map_batches(rename, batch_format="pyarrow")

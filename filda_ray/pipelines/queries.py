@@ -1029,6 +1029,68 @@ SELECT doc_id, token, tfidf FROM (
 """
 
 
+def q_graph_components(sf_dir: str):
+    """Connected components over a similarity graph (the transitive-
+    closure step of near-dup clustering).  The graph here is SQL-
+    expressible so the distributed alternating-star algorithm can be
+    hash-checked end-to-end: edges link doc_id -> doc_id+20 when both
+    share a source and sit within 100 chars of each other (sources are
+    striped by doc_id %% 20, so these are consecutive docs per source)."""
+    from ..ops.graph import connected_components
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "source", "n_chars"])
+
+    def aside(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"join_id": pa.array(did + 20),
+                         "doc_a": b.column("doc_id"),
+                         "src_a": b.column("source"),
+                         "nc_a": b.column("n_chars")})
+
+    def bside(b: pa.Table) -> pa.Table:
+        return pa.table({"join_id": b.column("doc_id"),
+                         "doc_b": b.column("doc_id"),
+                         "src_b": b.column("source"),
+                         "nc_b": b.column("n_chars")})
+
+    j = rel.hash_join(docs.map_batches(aside, batch_format="pyarrow"),
+                      docs.map_batches(bside, batch_format="pyarrow"),
+                      on="join_id", num_partitions=shuffle_partitions())
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = pc.and_(pc.equal(b.column("src_a"), b.column("src_b")),
+                     pc.less_equal(pc.abs(pc.subtract(b.column("nc_a"),
+                                                      b.column("nc_b"))), 100))
+        return b.filter(ok).select(["doc_a", "doc_b"])
+
+    edges = j.map_batches(keep, batch_format="pyarrow")
+    return connected_components(edges, out_node="doc_id", out_comp="component")
+
+
+def sql_graph_components() -> str:
+    return """
+WITH RECURSIVE
+e AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM documents a JOIN documents b
+    ON b.doc_id = a.doc_id + 20 AND b.source = a.source
+   AND abs(b.n_chars - a.n_chars) <= 100
+),
+edges AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+nodes AS (SELECT DISTINCT u AS n FROM edges),
+reach(src, node) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.src, e2.v FROM reach r JOIN edges e2 ON e2.u = r.node
+)
+SELECT src AS doc_id, cast(min(node) AS bigint) AS component
+FROM reach GROUP BY src
+"""
+
+
 def q_sessionize(sf_dir: str):
     rd = _rd()
     from ..ops.temporal import sessionize
@@ -1305,6 +1367,24 @@ def q_neardup_verified(sf_dir: str):
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     pairs = minhash_lsh_pairs(docs)
     return verify_jaccard_op(pairs, docs, threshold=0.5)
+
+
+def q_neardup_clusters(sf_dir: str):
+    """Full near-dup CLUSTERING: LSH candidates -> exact-Jaccard
+    verify -> transitive closure (alternating-star connected
+    components) -> (doc_id, cluster_id).  cluster_id = min doc_id in
+    the component, so `keep rows where doc_id == cluster_id` is the
+    canonical one-per-cluster dedup policy.  Rows-only at the driver
+    (MinHash uses wrapping uint64 arithmetic DuckDB cannot express);
+    pytest oracle = planted chain a~b~c with a !~ c."""
+    from ..ops.dedup import minhash_lsh_pairs, verify_jaccard_op
+    from ..ops.graph import connected_components
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs)
+    verified = verify_jaccard_op(pairs, docs, threshold=0.5)
+    return connected_components(verified, out_node="doc_id",
+                                out_comp="cluster_id")
 
 
 def q_simhash(sf_dir: str):
@@ -2225,6 +2305,7 @@ QUERIES = {
     "hash_sample_split": q_hash_sample,
     "vocab_top20": q_vocab,
     "tfidf_top_terms": q_tfidf,
+    "graph_components": q_graph_components,
     "sessionize_events": q_sessionize,
     "candidate_union": q_candidate_union,
     "top_anomalies": q_top_anomalies,
@@ -2239,6 +2320,7 @@ QUERIES = {
     "pip_biome": q_pip_biome,
     "minhash_neardup_pairs": q_minhash,
     "neardup_verified": q_neardup_verified,
+    "neardup_clusters": q_neardup_clusters,
     "simhash_neardup_pairs": q_simhash,
     "knn_hotspots": q_knn_hotspots,
     "ann_lsh_topk": q_ann_lsh,
@@ -2287,6 +2369,7 @@ ORACLES = {
     "hash_sample_split": sql_hash_sample(),
     "vocab_top20": sql_vocab(),
     "tfidf_top_terms": sql_tfidf(),
+    "graph_components": sql_graph_components(),
     "sessionize_events": sql_sessionize(),
     "candidate_union": sql_candidate_union(),
     "top_anomalies": sql_top_anomalies(),

@@ -722,3 +722,69 @@ def test_tfidf_top_terms_vs_bruteforce(ray_session):
     # (ties broken by token asc -> "cherry", df=3) can ever score
     capped = tfidf_top_terms(ds, vocab_size=1, per_doc=2).to_pandas()
     assert set(capped.token) <= {"cherry"}
+
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(comp[find(n)]) for n in nodes}
+
+
+def test_connected_components_vs_union_find(ray_session):
+    """Alternating-star CC matches brute-force union-find on a random
+    graph + an 81-node chain (worst-case diameter) + self loops +
+    duplicate/reversed edges; empty input yields an empty mapping."""
+    import ray.data as rd
+
+    from filda_ray.ops.graph import connected_components
+
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 300, size=(400, 2)) if a != b]
+    edges += [(i, i + 1) for i in range(1000, 1080)]
+    edges += [(5000, 5001), (7, 7), (3, 4), (4, 3), (3, 4)]
+    nodes = sorted({x for e in edges for x in e if e[0] != e[1]})
+    want = _uf_components([e for e in edges if e[0] != e[1]], nodes)
+
+    ds = _ds({"doc_a": [e[0] for e in edges], "doc_b": [e[1] for e in edges]})
+    got = connected_components(ds).to_pandas()
+    assert len(got) == len(nodes)
+    gm = dict(zip(got.node, got.component))
+    assert all(gm[n] == want[n] for n in nodes)
+
+    empty = rd.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()),
+                                    "doc_b": pa.array([], pa.int64())}))
+    assert connected_components(empty).count() == 0
+
+
+def test_neardup_clusters_transitive(ray_session):
+    """a~b and b~c (but a !~ c directly) land in ONE cluster labeled
+    by the min doc_id; unrelated docs get no row (not in any pair)."""
+    from filda_ray.ops.dedup import minhash_lsh_pairs, verify_jaccard_op
+    from filda_ray.ops.graph import connected_components
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "through fields of golden wheat under a bright summer sky " * 6)
+    b = base.replace("runs", "sprints").replace("golden", "amber")
+    c = b.replace("quick", "swift").replace("bright", "pale")
+    far = "completely unrelated content about database engines and queries " * 12
+    ds = _ds({"doc_id": [10, 4, 8, 99], "text": [base, b, c, far]})
+    pairs = minhash_lsh_pairs(ds)
+    ver = verify_jaccard_op(pairs, ds, threshold=0.5)
+    out = connected_components(ver, out_node="doc_id",
+                               out_comp="cluster_id").to_pandas()
+    m = dict(zip(out.doc_id, out.cluster_id))
+    assert m.get(10) == 4 and m.get(4) == 4 and m.get(8) == 4
+    assert 99 not in m
