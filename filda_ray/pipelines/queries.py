@@ -1029,6 +1029,58 @@ SELECT doc_id, token, tfidf FROM (
 """
 
 
+def q_custdist(sf_dir: str):
+    """TPC-H Q13 shape: order-count distribution per customer through
+    a LEFT OUTER hash join, so zero-order customers survive with
+    count 0.  Scale: orders pre-aggregate to <= #customers rows BEFORE
+    the join (aggregation pushdown); the outer join and both groupbys
+    are cluster-bounded shuffles."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_orderpriority"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b.column("o_orderpriority"), "1-URGENT"))
+        g = pa.table({"o_custkey": t.column("o_custkey")}).group_by(
+            "o_custkey").aggregate([("o_custkey", "count")])
+        return g.rename_columns(["o_custkey", "n"])
+
+    per_cust = orders.map_batches(pre, batch_format="pyarrow", batch_size=65536)
+    per_cust = per_cust.groupby("o_custkey", num_partitions=shuffle_partitions()).aggregate(
+        Sum("n", alias_name="n"))
+    j = rel.hash_join(cust, per_cust, on="c_custkey", right_on="o_custkey",
+                      how="left_outer", num_partitions=shuffle_partitions())
+
+    def ccount(b: pa.Table) -> pa.Table:
+        return pa.table({"c_count": pc.fill_null(b.column("n"), 0).cast(pa.int64())})
+
+    out = j.map_batches(ccount, batch_format="pyarrow").groupby(
+        "c_count", num_partitions=shuffle_partitions()).aggregate(
+        Count(alias_name="custdist"))
+
+    def clean(b: pa.Table) -> pa.Table:
+        return pa.table({"c_count": b.column("c_count"),
+                         "custdist": b.column("custdist").cast(pa.int64())})
+
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+def sql_custdist() -> str:
+    return """
+SELECT c_count, cast(count(*) AS bigint) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_custkey) AS c_count
+  FROM customer c LEFT OUTER JOIN (
+    SELECT o_custkey FROM orders WHERE o_orderpriority <> '1-URGENT') o
+    ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey)
+GROUP BY c_count
+"""
+
+
 def q_graph_components(sf_dir: str):
     """Connected components over a similarity graph (the transitive-
     closure step of near-dup clustering).  The graph here is SQL-
@@ -2306,6 +2358,7 @@ QUERIES = {
     "vocab_top20": q_vocab,
     "tfidf_top_terms": q_tfidf,
     "graph_components": q_graph_components,
+    "custdist_left_join": q_custdist,
     "sessionize_events": q_sessionize,
     "candidate_union": q_candidate_union,
     "top_anomalies": q_top_anomalies,
@@ -2370,6 +2423,7 @@ ORACLES = {
     "vocab_top20": sql_vocab(),
     "tfidf_top_terms": sql_tfidf(),
     "graph_components": sql_graph_components(),
+    "custdist_left_join": sql_custdist(),
     "sessionize_events": sql_sessionize(),
     "candidate_union": sql_candidate_union(),
     "top_anomalies": sql_top_anomalies(),

@@ -788,3 +788,23 @@ def test_neardup_clusters_transitive(ray_session):
     m = dict(zip(out.doc_id, out.cluster_id))
     assert m.get(10) == 4 and m.get(4) == 4 and m.get(8) == 4
     assert 99 not in m
+
+
+def test_outer_join_modes(ray_session):
+    """left/right/full outer hash joins keep unmatched rows from the
+    correct side(s) with nulls on the other."""
+    from filda_ray.ops.relational import hash_join
+
+    left = _ds({"k": [1, 2, 3], "lv": [10, 20, 30]})
+    right = _ds({"k": [2, 3, 4], "rv": [200, 300, 400]})
+
+    lo = hash_join(left, right, on="k", how="left_outer").to_pandas().sort_values("k")
+    assert lo.k.tolist() == [1, 2, 3] and lo.rv.isna().tolist() == [True, False, False]
+
+    ro = hash_join(left, right, on="k", how="right_outer").to_pandas().sort_values("k")
+    assert ro.k.tolist() == [2, 3, 4] and ro.lv.isna().tolist() == [False, False, True]
+
+    fo = hash_join(left, right, on="k", how="full_outer").to_pandas().sort_values("k")
+    assert fo.k.tolist() == [1, 2, 3, 4]
+    assert fo.lv.isna().tolist() == [False, False, False, True]
+    assert fo.rv.isna().tolist() == [True, False, False, False]
