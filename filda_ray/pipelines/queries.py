@@ -1029,6 +1029,40 @@ SELECT doc_id, token, tfidf FROM (
 """
 
 
+def q_rank_orders(sf_dir: str):
+    """Global window-function family (rank / dense_rank / row_number
+    / ntile / percent_rank) over order totalprice WITHOUT a global
+    sort: KLL boundaries -> one range shuffle with local sorts ->
+    driver cumsum of per-range counts (n_ranges ints) -> narrow
+    offset map.  All five methods share the single shuffle."""
+    from ..ops.rank import global_rank
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_totalprice"])
+    out = global_rank(ds, "o_totalprice",
+                      methods=("rank", "dense_rank", "row_number",
+                               "ntile", "percent_rank"),
+                      tie_cols=["o_orderkey"], k_tiles=7)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return b.select(["o_orderkey", "rank", "dense_rank", "row_number",
+                         "ntile", "percent_rank"])
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+def sql_rank_orders() -> str:
+    return """
+SELECT o_orderkey,
+       rank() OVER (ORDER BY o_totalprice) AS rank,
+       dense_rank() OVER (ORDER BY o_totalprice) AS dense_rank,
+       row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS row_number,
+       ntile(7) OVER (ORDER BY o_totalprice, o_orderkey) AS ntile,
+       percent_rank() OVER (ORDER BY o_totalprice) AS percent_rank
+FROM orders
+"""
+
+
 def q_custdist(sf_dir: str):
     """TPC-H Q13 shape: order-count distribution per customer through
     a LEFT OUTER hash join, so zero-order customers survive with
@@ -2359,6 +2393,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf,
     "graph_components": q_graph_components,
     "custdist_left_join": q_custdist,
+    "rank_orders": q_rank_orders,
     "sessionize_events": q_sessionize,
     "candidate_union": q_candidate_union,
     "top_anomalies": q_top_anomalies,
@@ -2424,6 +2459,7 @@ ORACLES = {
     "tfidf_top_terms": sql_tfidf(),
     "graph_components": sql_graph_components(),
     "custdist_left_join": sql_custdist(),
+    "rank_orders": sql_rank_orders(),
     "sessionize_events": sql_sessionize(),
     "candidate_union": sql_candidate_union(),
     "top_anomalies": sql_top_anomalies(),

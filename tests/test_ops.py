@@ -808,3 +808,48 @@ def test_outer_join_modes(ray_session):
     assert fo.k.tolist() == [1, 2, 3, 4]
     assert fo.lv.isna().tolist() == [False, False, False, True]
     assert fo.rv.isna().tolist() == [True, False, False, False]
+
+
+def test_global_rank_vs_duckdb_windows(ray_session):
+    """Range-partitioned global ranking matches DuckDB window
+    functions exactly — ties, nulls (NULLS LAST, all tied), ntile
+    remainder distribution, and descending order."""
+    import duckdb
+
+    from filda_ray.ops.rank import global_rank
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    v = np.round(rng.normal(100, 20, n), 1)
+    v[rng.integers(0, n, 50)] = np.nan
+    ids = np.arange(n)
+    rng.shuffle(ids)
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"id": ids, "v": v}))
+    want = con.execute("""
+      SELECT id, rank() OVER (ORDER BY v) AS rank,
+             dense_rank() OVER (ORDER BY v) AS dense_rank,
+             row_number() OVER (ORDER BY v, id) AS row_number,
+             ntile(7) OVER (ORDER BY v, id) AS ntile,
+             percent_rank() OVER (ORDER BY v) AS percent_rank
+      FROM t""").df().sort_values("id").reset_index(drop=True)
+
+    ds = _ds({"id": ids, "v": v})
+    got = global_rank(
+        ds, "v", methods=("rank", "dense_rank", "row_number", "ntile",
+                          "percent_rank"),
+        tie_cols=["id"], k_tiles=7).to_pandas().sort_values("id").reset_index(drop=True)
+    for c in ["rank", "dense_rank", "row_number", "ntile"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert np.allclose(got["percent_rank"], want["percent_rank"])
+
+    want_d = con.execute(
+        "SELECT id, rank() OVER (ORDER BY v DESC) AS rank FROM t"
+    ).df().sort_values("id").reset_index(drop=True)
+    got_d = global_rank(ds, "v", methods=("rank",), ascending=False
+                        ).to_pandas().sort_values("id").reset_index(drop=True)
+    assert (got_d["rank"].to_numpy() == want_d["rank"].to_numpy()).all()
+
+    with pytest.raises(ValueError):
+        global_rank(ds, "v", methods=("row_number",))  # no tie_cols
