@@ -67,3 +67,38 @@ def sql_split_assign(key: str, splits=SPLITS, seed: int = 1) -> str:
         acc += frac
         cases.append(f"WHEN {u} < {acc!r} THEN '{name}'")
     return "CASE " + " ".join(cases) + f" ELSE '{splits[-1][0]}' END"
+
+
+def stratified_sample(ds, strata_col: str, key_col: str, n: int, *, seed: int = 2):
+    """Exactly min(n, |stratum|) rows per stratum — the balanced
+    per-language/per-source sample a training-data pipeline draws.
+
+    Selection = the n smallest ``hash_uniform(key)`` per stratum
+    (ties by key), so the sample is deterministic, repartition- and
+    resume-stable, and exactly SQL-mirrorable:
+    ``row_number() OVER (PARTITION BY strata ORDER BY u, key) <= n``.
+
+    Scale: a per-batch prune keeps at most n rows per stratum per
+    block BEFORE the shuffle, so the grouped top-n moves
+    <= n x strata rows per block, never the corpus.
+    """
+    import pandas as pd
+
+    from . import pd_table
+    from .relational import top_k_per_group
+
+    def prune(df: "pd.DataFrame") -> pa.Table:
+        df = df.copy()
+        df["__u"] = hash_uniform(df[key_col].to_numpy(), seed)
+        df = df.sort_values(["__u", key_col], kind="mergesort")
+        df = df.groupby(strata_col, sort=False).head(n)
+        return pd_table(df.reset_index(drop=True))
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+    out = top_k_per_group(pruned, group_col=strata_col, value_col="__u",
+                          k=n, ascending=True, tie_col=key_col)
+
+    def drop_u(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["__u"])
+
+    return out.map_batches(drop_u, batch_format="pyarrow")

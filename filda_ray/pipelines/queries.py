@@ -977,6 +977,29 @@ WHERE {sql_hash_uniform('doc_id', 0)} < 0.5
 """
 
 
+def q_stratified(sf_dir: str):
+    """Balanced per-language sample: exactly 10 docs per lang, chosen
+    by smallest hash-uniform(doc_id) — deterministic and repartition-
+    stable; per-batch prune bounds the shuffle at n x strata rows."""
+    from ..ops.sample import stratified_sample
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+    return stratified_sample(ds, "lang", "doc_id", 10, seed=2)
+
+
+def sql_stratified() -> str:
+    from ..ops.sample import sql_hash_uniform
+
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {sql_hash_uniform('doc_id', 2)}, doc_id) AS rn
+  FROM documents) WHERE rn <= 10
+"""
+
+
 def q_vocab(sf_dir: str):
     rd = _rd()
     from ..ops.text import vocab_count
@@ -2389,6 +2412,7 @@ QUERIES = {
     "resample_hosts": q_resample_hosts,
     "vector_stats": q_vector_stats,
     "hash_sample_split": q_hash_sample,
+    "stratified_sample_lang": q_stratified,
     "vocab_top20": q_vocab,
     "tfidf_top_terms": q_tfidf,
     "graph_components": q_graph_components,
@@ -2455,6 +2479,7 @@ ORACLES = {
     "resample_hosts": sql_resample_hosts(),
     "vector_stats": sql_vector_stats(),
     "hash_sample_split": sql_hash_sample(),
+    "stratified_sample_lang": sql_stratified(),
     "vocab_top20": sql_vocab(),
     "tfidf_top_terms": sql_tfidf(),
     "graph_components": sql_graph_components(),

@@ -853,3 +853,21 @@ def test_global_rank_vs_duckdb_windows(ray_session):
 
     with pytest.raises(ValueError):
         global_rank(ds, "v", methods=("row_number",))  # no tie_cols
+
+
+def test_stratified_sample_exact_n_and_stable(ray_session):
+    """Exactly min(n, stratum size) per stratum; identical selection
+    under repartitioning (hash-deterministic, no RNG state)."""
+    from filda_ray.ops.sample import stratified_sample
+
+    keys = list(range(100))
+    strata = ["a"] * 60 + ["b"] * 37 + ["c"] * 3
+    ds = _ds({"doc_id": keys, "lang": strata})
+    out = stratified_sample(ds, "lang", "doc_id", 5).to_pandas()
+    sizes = out.groupby("lang").size().to_dict()
+    assert sizes == {"a": 5, "b": 5, "c": 3}
+
+    re_ds = _ds({"doc_id": keys, "lang": strata}).repartition(7)
+    out2 = stratified_sample(re_ds, "lang", "doc_id", 5).to_pandas()
+    assert (set(map(tuple, out[["doc_id", "lang"]].values))
+            == set(map(tuple, out2[["doc_id", "lang"]].values)))
