@@ -162,3 +162,51 @@ def weighted_resample(values_tbl: pa.Table, edges, *, value_col: str = "v",
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def pivot_agg(ds, group_col: str, pivot_col: str, value_col: str,
+              categories: list, *, prefix: str = ""):
+    """Wide conditional aggregation (SQL PIVOT): one output row per
+    group with ``<cat>_sum`` / ``<cat>_n`` columns per category.
+
+    The category list is explicit (as in SQL PIVOT ... IN (...)) so
+    the output schema is static.  Per-batch pandas pivot_table
+    partials combine BEFORE the shuffle — the groupby moves one wide
+    row per (block, group), never the event rows.  Use an integer
+    value column (e.g. pre-converted cents) for bit-exact sums.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from . import pd_table
+
+    cats = list(categories)
+    sum_cols = [f"{prefix}{c}_sum" for c in cats]
+    n_cols = [f"{prefix}{c}_n" for c in cats]
+
+    def partial(df: "pd.DataFrame") -> "pa.Table":
+        pt = df.pivot_table(index=group_col, columns=pivot_col,
+                            values=value_col, aggfunc=["sum", "count"],
+                            fill_value=0)
+        out = pd.DataFrame({group_col: pt.index.to_numpy()})
+        zero = np.zeros(len(pt), dtype=np.int64)
+        for c, sc, nc in zip(cats, sum_cols, n_cols):
+            out[sc] = (pt[("sum", c)].to_numpy().astype(np.int64)
+                       if ("sum", c) in pt.columns else zero)
+            out[nc] = (pt[("count", c)].to_numpy().astype(np.int64)
+                       if ("count", c) in pt.columns else zero)
+        return pd_table(out)
+
+    aggs = [Sum(c, alias_name=c) for c in sum_cols + n_cols]
+    merged = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536).groupby(
+        group_col, num_partitions=shuffle_partitions()).aggregate(*aggs)
+
+    def clean(b: pa.Table) -> pa.Table:
+        cols = {group_col: b.column(group_col)}
+        for c in sum_cols + n_cols:
+            cols[c] = b.column(c).cast(pa.int64())
+        return pa.table(cols)
+
+    return merged.map_batches(clean, batch_format="pyarrow")

@@ -1052,6 +1052,44 @@ SELECT doc_id, token, tfidf FROM (
 """
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_events(sf_dir: str):
+    """SQL PIVOT shape: one wide row per user with per-event-type
+    (sum, count) columns.  Values convert to integer cents BEFORE
+    aggregation so sums are bit-exact regardless of summation order;
+    per-batch pivot_table partials combine below the shuffle."""
+    from ..ops.rollup import pivot_agg
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b.column("user_id"),
+                         "event_type": b.column("event_type"),
+                         "cents": pa.array(_round_half_up(v * 100.0).astype(np.int64))})
+
+    return pivot_agg(ds.map_batches(cents, batch_format="pyarrow"),
+                     "user_id", "event_type", "cents", list(EVENT_TYPES))
+
+
+def sql_pivot_events() -> str:
+    pieces = []
+    for c in EVENT_TYPES:
+        pieces.append(f"cast(sum(CASE WHEN event_type = '{c}' THEN "
+                      f"cast(floor(value * 100.0 + 0.5) AS bigint) ELSE 0 END) AS bigint) AS {c}_sum")
+    for c in EVENT_TYPES:
+        pieces.append(f"cast(sum(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) AS bigint) AS {c}_n")
+    cols = ",\n       ".join(pieces)
+    return f"""
+SELECT user_id,
+       {cols}
+FROM events GROUP BY user_id
+"""
+
+
 def q_rank_orders(sf_dir: str):
     """Global window-function family (rank / dense_rank / row_number
     / ntile / percent_rank) over order totalprice WITHOUT a global
@@ -2418,6 +2456,7 @@ QUERIES = {
     "graph_components": q_graph_components,
     "custdist_left_join": q_custdist,
     "rank_orders": q_rank_orders,
+    "pivot_events": q_pivot_events,
     "sessionize_events": q_sessionize,
     "candidate_union": q_candidate_union,
     "top_anomalies": q_top_anomalies,
@@ -2485,6 +2524,7 @@ ORACLES = {
     "graph_components": sql_graph_components(),
     "custdist_left_join": sql_custdist(),
     "rank_orders": sql_rank_orders(),
+    "pivot_events": sql_pivot_events(),
     "sessionize_events": sql_sessionize(),
     "candidate_union": sql_candidate_union(),
     "top_anomalies": sql_top_anomalies(),

@@ -871,3 +871,18 @@ def test_stratified_sample_exact_n_and_stable(ray_session):
     out2 = stratified_sample(re_ds, "lang", "doc_id", 5).to_pandas()
     assert (set(map(tuple, out[["doc_id", "lang"]].values))
             == set(map(tuple, out2[["doc_id", "lang"]].values)))
+
+
+def test_pivot_agg_wide_and_missing_category(ray_session):
+    """pivot_agg: wide (sum, count) per category; categories absent
+    from the data come back as zero columns; partials from separate
+    blocks combine exactly."""
+    from filda_ray.ops.rollup import pivot_agg
+
+    ds = _ds({"k": [1, 1, 2, 2, 2], "t": ["a", "b", "a", "a", "b"],
+              "v": [10, 20, 1, 2, 40]}).repartition(3)
+    out = pivot_agg(ds, "k", "t", "v", ["a", "b", "zzz"]).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert out.a_sum.tolist() == [10, 3] and out.b_sum.tolist() == [20, 40]
+    assert out.a_n.tolist() == [1, 2] and out.b_n.tolist() == [1, 1]
+    assert out.zzz_sum.tolist() == [0, 0] and out.zzz_n.tolist() == [0, 0]
