@@ -383,3 +383,86 @@ def window_aggregate(ds, *, key_col: str, ts_col: str, value_col: str, bucket_s:
         Count(alias_name="n"),
         Mean(value_col, alias_name="mean_value"),
     )
+
+
+def running_aggregate(ds, *, key_col: str, ts_col: str, tie_col: str,
+                      value_col: str, time_chunk_us: int = 7 * 86400 * 10**6):
+    """Per-key running sum/count ordered by (ts, tie) — SQL
+    ``sum(v) OVER (PARTITION BY key ORDER BY ts, tie)`` with a unique
+    (ts, tie) order (peers are single rows, so RANGE == ROWS).
+
+    Scale design (same co-partitioning as the chunked as-of join): a
+    group is ONE (key, time-chunk) — bounded even for a mega-key with
+    years of history.  Per-(key, chunk) totals are a narrow partial
+    aggregate; their per-key exclusive cumsum (one tiny groupby over
+    keys x chunks rows) becomes OFFSET rows that ride the SAME main
+    shuffle via a tagged union, so the event data moves exactly once.
+    Output: (key, tie, ts, running_sum, running_n).
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from . import pd_table
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ts = b.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({
+            "k": b.column(key_col).cast(pa.int64()),
+            "c": pc.divide(ts, time_chunk_us),
+            "ts_us": ts,
+            "tie": b.column(tie_col).cast(pa.int64()),
+            "v": b.column(value_col).cast(pa.int64()),
+        })
+
+    base = ds.map_batches(narrow, batch_format="pyarrow")
+
+    def tot_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["k", "c", "v"]).group_by(["k", "c"]).aggregate(
+            [("v", "sum"), ("v", "count")])
+        return g.rename_columns(["k", "c", "s", "n"])
+
+    totals = base.map_batches(tot_partial, batch_format="pyarrow",
+                              batch_size=65536).groupby(
+        ["k", "c"], num_partitions=shuffle_partitions()).aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+
+    def excl_cumsum(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("c", kind="mergesort")
+        off_s = np.r_[0, np.cumsum(g["s"].to_numpy())[:-1]]
+        off_n = np.r_[0, np.cumsum(g["n"].to_numpy())[:-1]]
+        return pd_table(pd.DataFrame({
+            "k": g["k"].to_numpy(), "c": g["c"].to_numpy(),
+            "ts_us": np.int64(0), "tie": np.int64(0), "v": np.int64(0),
+            "off_s": off_s.astype(np.int64), "off_n": off_n.astype(np.int64),
+            "is_off": np.int8(1)}))
+
+    offsets = totals.groupby("k", num_partitions=shuffle_partitions()).map_groups(
+        excl_cumsum, batch_format="pandas")
+
+    def widen(b: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(len(b), dtype=np.int64))
+        return (b.append_column("off_s", z).append_column("off_n", z)
+                 .append_column("is_off", pa.array(np.zeros(len(b), dtype=np.int8))))
+
+    tagged = base.map_batches(widen, batch_format="pyarrow").union(offsets)
+
+    def emit(g: pd.DataFrame) -> pa.Table:
+        off = g[g["is_off"] == 1]
+        os_ = int(off["off_s"].sum())
+        on_ = int(off["off_n"].sum())
+        d = g[g["is_off"] == 0].sort_values(["ts_us", "tie"], kind="mergesort")
+        if not len(d):
+            return pd_table(pd.DataFrame({
+                "k": [], "tie": [], "ts_us": [],
+                "running_sum": [], "running_n": []}).astype(np.int64))
+        return pd_table(pd.DataFrame({
+            "k": d["k"].to_numpy(),
+            "tie": d["tie"].to_numpy(),
+            "ts_us": d["ts_us"].to_numpy(),
+            "running_sum": np.cumsum(d["v"].to_numpy()) + os_,
+            "running_n": np.arange(1, len(d) + 1, dtype=np.int64) + on_,
+        }))
+
+    return tagged.groupby(["k", "c"], num_partitions=shuffle_partitions()).map_groups(
+        emit, batch_format="pandas")

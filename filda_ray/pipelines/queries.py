@@ -1052,6 +1052,45 @@ SELECT doc_id, token, tfidf FROM (
 """
 
 
+def q_running_totals(sf_dir: str):
+    """Per-user running sum/count ordered by (ts, event_id) — the
+    chunked design: a shuffle group is one (user, 7-day chunk); chunk
+    offsets ride the same shuffle as tagged rows, so event data moves
+    exactly once even for a mega-user."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy()
+        return pa.table({"user_id": b.column("user_id"),
+                         "event_id": b.column("event_id"),
+                         "ts": b.column("ts"),
+                         "cents": pa.array(_round_half_up(v * 100.0).astype(np.int64))})
+
+    out = temporal.running_aggregate(ds.map_batches(cents, batch_format="pyarrow"),
+                                     key_col="user_id", ts_col="ts",
+                                     tie_col="event_id", value_col="cents")
+
+    def clean(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b.column("k"),
+                         "event_id": b.column("tie"),
+                         "running_sum": b.column("running_sum").cast(pa.int64()),
+                         "running_n": b.column("running_n").cast(pa.int64())})
+
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+def sql_running_totals() -> str:
+    return """
+SELECT user_id, event_id,
+       sum(cents) OVER w AS running_sum,
+       cast(count(*) OVER w AS bigint) AS running_n
+FROM (SELECT user_id, event_id, ts,
+             cast(floor(value * 100.0 + 0.5) AS bigint) AS cents FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -2457,6 +2496,7 @@ QUERIES = {
     "custdist_left_join": q_custdist,
     "rank_orders": q_rank_orders,
     "pivot_events": q_pivot_events,
+    "running_totals": q_running_totals,
     "sessionize_events": q_sessionize,
     "candidate_union": q_candidate_union,
     "top_anomalies": q_top_anomalies,
@@ -2525,6 +2565,7 @@ ORACLES = {
     "custdist_left_join": sql_custdist(),
     "rank_orders": sql_rank_orders(),
     "pivot_events": sql_pivot_events(),
+    "running_totals": sql_running_totals(),
     "sessionize_events": sql_sessionize(),
     "candidate_union": sql_candidate_union(),
     "top_anomalies": sql_top_anomalies(),

@@ -886,3 +886,37 @@ def test_pivot_agg_wide_and_missing_category(ray_session):
     assert out.a_sum.tolist() == [10, 3] and out.b_sum.tolist() == [20, 40]
     assert out.a_n.tolist() == [1, 2] and out.b_n.tolist() == [1, 1]
     assert out.zzz_sum.tolist() == [0, 0] and out.zzz_n.tolist() == [0, 0]
+
+
+def test_running_aggregate_chunk_invariant(ray_session):
+    """Running totals match a pandas cumsum and are invariant to the
+    time-chunk size (offsets ride the same shuffle as the data)."""
+    from filda_ray.ops.temporal import running_aggregate
+
+    rng = np.random.default_rng(11)
+    n = 400
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 30 * 86400, n), unit="s")
+    df = pd.DataFrame({"user_id": rng.integers(0, 7, n), "event_id": np.arange(n),
+                       "ts": ts, "v": rng.integers(1, 100, n)})
+    want = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    want["running_sum"] = want.groupby("user_id")["v"].cumsum()
+    want["running_n"] = want.groupby("user_id").cumcount() + 1
+    wm = want.set_index("event_id")[["running_sum", "running_n"]]
+
+    import ray.data as rd
+
+    outs = []
+    for chunk_us in (86400 * 10**6, 3650 * 86400 * 10**6):  # daily vs one-chunk
+        ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)
+                           .replace_schema_metadata(None))
+        got = running_aggregate(ds, key_col="user_id", ts_col="ts",
+                                tie_col="event_id", value_col="v",
+                                time_chunk_us=chunk_us).to_pandas()
+        gm = got.set_index("tie")[["running_sum", "running_n"]]
+        assert (gm.loc[wm.index, "running_sum"].to_numpy()
+                == wm["running_sum"].to_numpy()).all()
+        assert (gm.loc[wm.index, "running_n"].to_numpy()
+                == wm["running_n"].to_numpy()).all()
+        outs.append(gm.sort_index())
+    assert outs[0].equals(outs[1])
