@@ -466,3 +466,105 @@ def running_aggregate(ds, *, key_col: str, ts_col: str, tie_col: str,
 
     return tagged.groupby(["k", "c"], num_partitions=shuffle_partitions()).map_groups(
         emit, batch_format="pandas")
+
+
+def lag_lead(ds, *, key_col: str, ts_col: str, tie_col: str, value_col: str,
+             shift: str = "lag", time_chunk_us: int = 7 * 86400 * 10**6):
+    """SQL ``lag(v) / lead(v) OVER (PARTITION BY key ORDER BY ts,
+    tie)`` with unique (ts, tie) order.  Output: (key, tie, ts_us,
+    value, <lag_value|lead_value>; null at the partition edge).
+
+    Same (key, time-chunk) co-partitioning as ``running_aggregate``;
+    the cross-chunk boundary row (last row of the previous present
+    chunk for lag, first of the next for lead) is computed by a
+    narrow per-(key, chunk) edge-row pass — <= keys x chunks rows —
+    and rides the main shuffle as a tagged carry, so event data moves
+    exactly once.
+    """
+    import pyarrow.compute as pc
+
+    from . import pd_table
+
+    assert shift in ("lag", "lead")
+    out_val = f"{shift}_value"
+    sgn = 1 if shift == "lag" else -1
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ts = b.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({
+            "k": b.column(key_col).cast(pa.int64()),
+            "c": pc.divide(ts, time_chunk_us),
+            "ts_us": ts,
+            "tie": b.column(tie_col).cast(pa.int64()),
+            "v": b.column(value_col).cast(pa.int64()),
+        })
+
+    base = ds.map_batches(narrow, batch_format="pyarrow")
+
+    def edge_partial(b: pa.Table) -> pa.Table:
+        """Per-batch edge row (last for lag / first for lead) per
+        (key, chunk) — shrinks the carry shuffle."""
+        d = b.to_pandas().sort_values(["ts_us", "tie"], kind="mergesort")
+        g = d.groupby(["k", "c"], sort=False)
+        e = (g.tail(1) if shift == "lag" else g.head(1)).reset_index(drop=True)
+        return pd_table(e)
+
+    def edge_reduce(g: pd.DataFrame) -> pa.Table:
+        d = g.sort_values(["ts_us", "tie"], kind="mergesort")
+        return pd_table((d.tail(1) if shift == "lag" else d.head(1))
+                        .reset_index(drop=True))
+
+    edges = base.map_batches(edge_partial, batch_format="pyarrow",
+                             batch_size=65536).groupby(
+        ["k", "c"], num_partitions=shuffle_partitions()).map_groups(
+        edge_reduce, batch_format="pandas")
+
+    def carry_emit(g: pd.DataFrame) -> pa.Table:
+        """Per key: route each edge row to the NEXT (lag) / PREVIOUS
+        (lead) present chunk as a carry."""
+        d = g.sort_values("c", kind="mergesort").reset_index(drop=True)
+        if len(d) < 2:
+            return pd_table(d.iloc[0:0].assign(is_carry=np.int8(0)))
+        if shift == "lag":
+            src, dst = d.iloc[:-1].copy(), d["c"].to_numpy()[1:]
+        else:
+            src, dst = d.iloc[1:].copy(), d["c"].to_numpy()[:-1]
+        src["c"] = dst
+        src["is_carry"] = np.int8(1)
+        return pd_table(src.reset_index(drop=True))
+
+    carries = edges.groupby("k", num_partitions=shuffle_partitions()).map_groups(
+        carry_emit, batch_format="pandas")
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("is_carry",
+                               pa.array(np.zeros(len(b), dtype=np.int8)))
+
+    tagged = base.map_batches(tag, batch_format="pyarrow").union(carries)
+
+    def emit(g: pd.DataFrame) -> pa.Table:
+        data = g[g["is_carry"] == 0].sort_values(["ts_us", "tie"],
+                                                 kind="mergesort")
+        if not len(data):
+            return pd_table(pd.DataFrame({
+                "k": pd.Series([], dtype=np.int64),
+                "tie": pd.Series([], dtype=np.int64),
+                "ts_us": pd.Series([], dtype=np.int64),
+                "v": pd.Series([], dtype=np.int64),
+                out_val: pd.Series([], dtype="float64")}))
+        carry = g[g["is_carry"] == 1]
+        vals = data["v"].to_numpy()
+        shifted = np.empty(len(vals), dtype=np.float64)
+        if shift == "lag":
+            shifted[1:] = vals[:-1]
+            shifted[0] = carry["v"].iloc[0] if len(carry) else np.nan
+        else:
+            shifted[:-1] = vals[1:]
+            shifted[-1] = carry["v"].iloc[0] if len(carry) else np.nan
+        return pd_table(pd.DataFrame({
+            "k": data["k"].to_numpy(), "tie": data["tie"].to_numpy(),
+            "ts_us": data["ts_us"].to_numpy(), "v": vals,
+            out_val: shifted}))
+
+    return tagged.groupby(["k", "c"], num_partitions=shuffle_partitions()).map_groups(
+        emit, batch_format="pandas")

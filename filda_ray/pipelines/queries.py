@@ -1091,6 +1091,43 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_lag_events(sf_dir: str):
+    """SQL lag()/lead() over (user, ts) without per-key full histories
+    in one worker: (key, 7-day chunk) groups + boundary-row carries
+    that ride the main shuffle."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy()
+        return pa.table({"user_id": b.column("user_id"),
+                         "event_id": b.column("event_id"),
+                         "ts": b.column("ts"),
+                         "cents": pa.array(_round_half_up(v * 100.0).astype(np.int64))})
+
+    cds = ds.map_batches(cents, batch_format="pyarrow")
+    lag = temporal.lag_lead(cds, key_col="user_id", ts_col="ts",
+                            tie_col="event_id", value_col="cents", shift="lag")
+
+    def clean(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b.column("k"),
+                         "event_id": b.column("tie"),
+                         "cents": b.column("v").cast(pa.int64()),
+                         "lag_value": b.column("lag_value")})
+
+    return lag.map_batches(clean, batch_format="pyarrow")
+
+
+def sql_lag_events() -> str:
+    return """
+SELECT user_id, event_id, cents,
+       cast(lag(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS double) AS lag_value
+FROM (SELECT user_id, event_id, ts,
+             cast(floor(value * 100.0 + 0.5) AS bigint) AS cents FROM events)
+"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -2497,6 +2534,7 @@ QUERIES = {
     "rank_orders": q_rank_orders,
     "pivot_events": q_pivot_events,
     "running_totals": q_running_totals,
+    "lag_events": q_lag_events,
     "sessionize_events": q_sessionize,
     "candidate_union": q_candidate_union,
     "top_anomalies": q_top_anomalies,
@@ -2566,6 +2604,7 @@ ORACLES = {
     "rank_orders": sql_rank_orders(),
     "pivot_events": sql_pivot_events(),
     "running_totals": sql_running_totals(),
+    "lag_events": sql_lag_events(),
     "sessionize_events": sql_sessionize(),
     "candidate_union": sql_candidate_union(),
     "top_anomalies": sql_top_anomalies(),

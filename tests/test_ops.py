@@ -920,3 +920,36 @@ def test_running_aggregate_chunk_invariant(ray_session):
                 == wm["running_n"].to_numpy()).all()
         outs.append(gm.sort_index())
     assert outs[0].equals(outs[1])
+
+
+def test_lag_lead_chunk_boundaries(ray_session):
+    """lag/lead match pandas shift under both tiny chunks (boundary
+    carries exercised on nearly every row) and one huge chunk."""
+    import ray.data as rd
+
+    from filda_ray.ops.temporal import lag_lead
+
+    rng = np.random.default_rng(5)
+    n = 300
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 20 * 86400, n), unit="s")
+    df = pd.DataFrame({"u": rng.integers(0, 5, n), "eid": np.arange(n),
+                       "ts": ts, "v": rng.integers(1, 50, n)})
+    s = df.sort_values(["u", "ts", "eid"])
+    want_lag = s.groupby("u")["v"].shift(1)
+    want_lead = s.groupby("u")["v"].shift(-1)
+    wl = dict(zip(s.eid, want_lag))
+    wd = dict(zip(s.eid, want_lead))
+
+    for chunk_us in (6 * 3600 * 10**6, 3650 * 86400 * 10**6):
+        ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)
+                           .replace_schema_metadata(None))
+        for shift, want in (("lag", wl), ("lead", wd)):
+            got = lag_lead(ds, key_col="u", ts_col="ts", tie_col="eid",
+                           value_col="v", shift=shift,
+                           time_chunk_us=chunk_us).to_pandas()
+            col = got.set_index("tie")[f"{shift}_value"]
+            for eid in df.eid:
+                w = want[eid]
+                g = col.loc[eid]
+                assert (np.isnan(g) and np.isnan(w)) or g == w, (shift, eid, g, w)
