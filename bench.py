@@ -98,6 +98,8 @@ def run_bench() -> dict:
         "minhash_neardup": Q.q_minhash,
         "bloom_semi_join": Q.q_bloom_semi,
         "heavy_hitters": Q.q_heavy_hitters,
+        "rank_orders": Q.q_rank_orders,
+        "running_totals": Q.q_running_totals,
     }
     for name, fn in secondary.items():
         t0 = time.time()

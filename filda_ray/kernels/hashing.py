@@ -56,6 +56,35 @@ def content_hash64(values, *, seed: int = 0) -> np.ndarray:
     return out
 
 
+def col_hash64(col) -> np.ndarray:
+    """uint64 hash of an Arrow column of ANY type, for shuffle-bucket
+    assignment (equal values -> equal hash; distribution via a final
+    splitmix64 at the call site).  Numeric/temporal columns hash their
+    64-bit value bits zero-copy-ish; strings/binary/other go through
+    pandas' C string hasher (``pd.util.hash_array``, fixed key —
+    deterministic across processes, unlike Python ``hash``)."""
+    import pyarrow as pa
+
+    t = col.type
+    if pa.types.is_temporal(t):
+        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    elif (pa.types.is_integer(t) or pa.types.is_floating(t)
+          or pa.types.is_boolean(t)):
+        v = col.to_numpy(zero_copy_only=False)
+    else:
+        import pandas as pd
+
+        arr = np.asarray(col.to_pandas(), dtype=object)
+        return pd.util.hash_array(arr, categorize=False).astype(np.uint64)
+    if v.dtype.kind == "f":  # nullable ints surface as float64 + NaN
+        v = v.astype(np.float64)
+        v = np.where(v == 0.0, 0.0, v)  # -0.0 == 0.0 must co-bucket
+        return v.view(np.uint64)
+    if v.dtype.kind == "b":
+        return v.astype(np.uint64)
+    return v.astype(np.int64).view(np.uint64)
+
+
 def md5_hex(values) -> np.ndarray:
     """Per-element md5 hex digest (matches DuckDB ``md5()``)."""
     out = np.empty(len(values), dtype=object)

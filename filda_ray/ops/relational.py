@@ -95,7 +95,7 @@ def distinct_rows(ds, key_cols: list[str], *, n_buckets: int | None = None):
     analog, FILDA.py:395-398/491-497): bounded hash buckets + one
     vectorized drop_duplicates per bucket — never a per-key UDF.
     Bucket count defaults to bytes-proportional (``derive_buckets``)."""
-    from ..kernels.hashing import splitmix64
+    from ..kernels.hashing import col_hash64, splitmix64
 
     if n_buckets is None:
         from . import derive_buckets
@@ -105,7 +105,7 @@ def distinct_rows(ds, key_cols: list[str], *, n_buckets: int | None = None):
     def bucket(b: pa.Table) -> pa.Table:
         h = np.zeros(len(b), dtype=np.uint64)
         for c in key_cols:
-            h = splitmix64(h ^ b.column(c).to_numpy(zero_copy_only=False).astype(np.uint64))
+            h = splitmix64(h ^ col_hash64(b.column(c)))
         return b.append_column("__bk", pa.array((h % np.uint64(n_buckets)).astype(np.int32)))
 
     def uniq(g: pd.DataFrame) -> pd.DataFrame:

@@ -1091,6 +1091,33 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_count_distinct(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT ...): bounded-bucket distinct on
+    (group, value) pairs first — the only stage that sees raw rows —
+    then a small groupby count.  The exact sibling of the HLL
+    `approx_distinct_per_key` (same two-stage shape, sketch-free)."""
+    from ray.data.aggregate import Count
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+    d = rel.distinct_rows(ds, ["event_type", "user_id"])
+    out = d.groupby("event_type", num_partitions=shuffle_partitions(5)).aggregate(
+        Count(alias_name="n_users"))
+
+    def clean(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b.column("event_type"),
+                         "n_users": b.column("n_users").cast(pa.int64())})
+
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+def sql_count_distinct() -> str:
+    return """
+SELECT event_type, cast(count(DISTINCT user_id) AS bigint) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def q_lag_events(sf_dir: str):
     """SQL lag()/lead() over (user, ts) without per-key full histories
     in one worker: (key, 7-day chunk) groups + boundary-row carries
@@ -2535,6 +2562,7 @@ QUERIES = {
     "pivot_events": q_pivot_events,
     "running_totals": q_running_totals,
     "lag_events": q_lag_events,
+    "count_distinct_users": q_count_distinct,
     "sessionize_events": q_sessionize,
     "candidate_union": q_candidate_union,
     "top_anomalies": q_top_anomalies,
@@ -2605,6 +2633,7 @@ ORACLES = {
     "pivot_events": sql_pivot_events(),
     "running_totals": sql_running_totals(),
     "lag_events": sql_lag_events(),
+    "count_distinct_users": sql_count_distinct(),
     "sessionize_events": sql_sessionize(),
     "candidate_union": sql_candidate_union(),
     "top_anomalies": sql_top_anomalies(),

@@ -399,6 +399,32 @@ def test_estimator_routing_and_fallback(ray_session):
     assert p[1] == 1.0
 
 
+def test_distinct_rows_mixed_key_types(ray_session):
+    """distinct_rows must bucket string / float / timestamp keys, not
+    just integer ids (regression: astype(uint64) on a string column)."""
+    import duckdb
+    import ray.data as rd
+
+    from filda_ray.ops import relational as rel
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["event_type", "user_id", "ts"])
+    got = rel.distinct_rows(ds, ["event_type", "user_id"]).to_pandas()
+    exact = duckdb.sql(
+        "select count(*) from (select distinct event_type, user_id "
+        "from '/root/testdata/sf0.001/events.parquet')"
+    ).fetchone()[0]
+    assert len(got) == exact
+    assert not got.duplicated(["event_type", "user_id"]).any()
+    # timestamp-typed key column also buckets fine
+    got_ts = rel.distinct_rows(ds, ["ts", "user_id"], n_buckets=4).count()
+    exact_ts = duckdb.sql(
+        "select count(*) from (select distinct ts, user_id "
+        "from '/root/testdata/sf0.001/events.parquet')"
+    ).fetchone()[0]
+    assert got_ts == exact_ts
+
+
 def test_hll_approx_distinct(ray_session):
     from filda_ray.ops.sketch import approx_distinct, hll_estimate, hll_update
 
