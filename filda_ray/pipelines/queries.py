@@ -1118,6 +1118,123 @@ FROM events GROUP BY event_type
 """
 
 
+def q_corr_qty_discount(sf_dir: str):
+    """Grouped corr/covar/regression via one-pass integer co-moment
+    partials (ops.stats_agg): the shuffle moves 6 int64 sums per
+    (block, group), never rows.  Quantity and discount*100 are
+    integer-valued, so partial-sum order cannot perturb the result and
+    the finalize expression is bit-identical to the SQL oracle's."""
+    from ..ops import stats_agg as SA
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").to_numpy().astype(np.int64)
+        d = _round_half_up(b.column("l_discount").to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"l_returnflag": b.column("l_returnflag"),
+                         "qty": pa.array(q), "disc100": pa.array(d)})
+
+    mo = SA.grouped_comoments(ds.map_batches(prep, batch_format="pyarrow"),
+                              group_cols=["l_returnflag"], x_col="qty", y_col="disc100")
+    out = mo.map_batches(SA.comoment_finalize, batch_format="pyarrow")
+
+    def clean(b: pa.Table) -> pa.Table:
+        return pa.table({"l_returnflag": b.column("l_returnflag"),
+                         "n": b.column("n").cast(pa.int64()),
+                         "corr": b.column("corr"),
+                         "covar_samp": b.column("covar_samp"),
+                         "slope": b.column("slope"),
+                         "intercept": b.column("intercept")})
+
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+def sql_corr_qty_discount() -> str:
+    # same bigint sums, same finalize expression shape (see
+    # stats_agg.comoment_finalize contract) => bit-identical doubles
+    return """
+WITH g AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(cast(l_quantity as bigint)) AS sx,
+         sum(cast(round(l_discount*100) as bigint)) AS sy,
+         sum(cast(l_quantity as bigint) * cast(l_quantity as bigint)) AS sxx,
+         sum(cast(round(l_discount*100) as bigint) * cast(round(l_discount*100) as bigint)) AS syy,
+         sum(cast(l_quantity as bigint) * cast(round(l_discount*100) as bigint)) AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, cast(n as bigint) AS n,
+       (sxy - sx*sy/n) / (sqrt(sxx - sx*sx/n) * sqrt(syy - sy*sy/n)) AS corr,
+       (sxy - sx*sy/n) / (n - 1) AS covar_samp,
+       (sxy - sx*sy/n) / (sxx - sx*sx/n) AS slope,
+       (sy - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * sx) / n AS intercept
+FROM g
+"""
+
+
+def q_argmax_events(sf_dir: str):
+    """SQL max_by with a deterministic tie-break (min event_id among
+    equals), as a two-level distributed argmax: per-block winners
+    before the shuffle, so the groupby sees ≤ groups×blocks rows."""
+    from ..ops import stats_agg as SA
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "event_id", "user_id", "value"])
+    return SA.arg_extreme_per_group(ds, group_col="event_type",
+                                    value_col="value", tie_col="event_id")
+
+
+def sql_argmax_events() -> str:
+    return """
+SELECT event_type, event_id, user_id, value FROM (
+  SELECT event_type, event_id, user_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(priority, year) from ONE full shuffle: coarser
+    levels re-aggregate the finest level's tiny output (ops.stats_agg
+    .rollup_sums).  Money quantized to int64 cents for order-proof
+    sums."""
+    import pyarrow.compute as pc
+
+    from ..ops import stats_agg as SA
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = _round_half_up(b.column("o_totalprice").to_numpy() * 100.0).astype(np.int64)
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "o_year": pc.year(b.column("o_orderdate")).cast(pa.int64()),
+            "cents": pa.array(cents)})
+
+    return SA.rollup_sums(ds.map_batches(prep, batch_format="pyarrow"),
+                          key_cols=["o_orderpriority", "o_year"],
+                          key_types={"o_orderpriority": pa.string(),
+                                     "o_year": pa.int64()},
+                          value_col="cents", count_col="n_orders",
+                          sum_col="revenue_cents")
+
+
+def sql_rollup_revenue() -> str:
+    return """
+WITH o AS (
+  SELECT o_orderpriority, cast(year(o_orderdate) as bigint) AS o_year,
+         cast(round(o_totalprice*100) as bigint) AS cents
+  FROM orders)
+SELECT o_orderpriority, o_year,
+       cast(count(*) as bigint) AS n_orders,
+       cast(sum(cents) as bigint) AS revenue_cents
+FROM o GROUP BY ROLLUP(o_orderpriority, o_year)
+"""
+
+
 def q_lag_events(sf_dir: str):
     """SQL lag()/lead() over (user, ts) without per-key full histories
     in one worker: (key, 7-day chunk) groups + boundary-row carries
@@ -2563,6 +2680,9 @@ QUERIES = {
     "running_totals": q_running_totals,
     "lag_events": q_lag_events,
     "count_distinct_users": q_count_distinct,
+    "corr_qty_discount": q_corr_qty_discount,
+    "argmax_events": q_argmax_events,
+    "rollup_revenue": q_rollup_revenue,
     "sessionize_events": q_sessionize,
     "candidate_union": q_candidate_union,
     "top_anomalies": q_top_anomalies,
@@ -2634,6 +2754,9 @@ ORACLES = {
     "running_totals": sql_running_totals(),
     "lag_events": sql_lag_events(),
     "count_distinct_users": sql_count_distinct(),
+    "corr_qty_discount": sql_corr_qty_discount(),
+    "argmax_events": sql_argmax_events(),
+    "rollup_revenue": sql_rollup_revenue(),
     "sessionize_events": sql_sessionize(),
     "candidate_union": sql_candidate_union(),
     "top_anomalies": sql_top_anomalies(),

@@ -425,6 +425,55 @@ def test_distinct_rows_mixed_key_types(ray_session):
     assert got_ts == exact_ts
 
 
+def test_stats_agg_edge_cases(ray_session):
+    """Degenerate comoment groups null out; argmin tie-breaks
+    deterministically; rollup levels add up."""
+    import ray.data as rd
+
+    from filda_ray.ops import stats_agg as SA
+
+    # comoments: group 'a' normal, 'b' single row, 'c' zero x-variance
+    t = pa.table({
+        "g": ["a", "a", "a", "b", "c", "c"],
+        "x": pa.array([1, 2, 3, 5, 4, 4], pa.int64()),
+        "y": pa.array([2, 4, 6, 1, 1, 9], pa.int64()),
+    })
+    mo = SA.grouped_comoments(rd.from_arrow(t), group_cols=["g"], x_col="x", y_col="y")
+    out = mo.map_batches(SA.comoment_finalize, batch_format="pyarrow").to_pandas()
+    out = out.set_index("g")
+    assert abs(out.loc["a", "corr"] - 1.0) < 1e-12      # perfectly linear
+    assert abs(out.loc["a", "slope"] - 2.0) < 1e-12
+    assert np.isnan(out.loc["b", "corr"])               # n=1
+    assert np.isnan(out.loc["c", "slope"])              # zero x-variance
+
+    # argmin: smallest value wins, min tie_col among equals
+    ev = pa.table({
+        "g": ["x", "x", "x", "y"],
+        "v": pa.array([5.0, 1.0, 1.0, 7.0]),
+        "id": pa.array([3, 2, 1, 9], pa.int64()),
+    })
+    w = SA.arg_extreme_per_group(rd.from_arrow(ev), group_col="g",
+                                 value_col="v", tie_col="id",
+                                 ascending=True).to_pandas().set_index("g")
+    assert w.loc["x", "id"] == 1 and w.loc["x", "v"] == 1.0
+    assert w.loc["y", "id"] == 9
+
+    # rollup: finest rows + per-k1 rows + one grand total; sums agree
+    r = pa.table({
+        "k1": ["p", "p", "q"],
+        "k2": pa.array([1, 2, 1], pa.int64()),
+        "v": pa.array([10, 20, 5], pa.int64()),
+    })
+    ru = SA.rollup_sums(rd.from_arrow(r), key_cols=["k1", "k2"],
+                        key_types={"k1": pa.string(), "k2": pa.int64()},
+                        value_col="v").to_pandas()
+    assert len(ru) == 3 + 2 + 1
+    total = ru[ru["k1"].isna() & ru["k2"].isna()]
+    assert total["total"].iloc[0] == 35 and total["n"].iloc[0] == 3
+    p_level = ru[(ru["k1"] == "p") & (ru["k2"].isna())]
+    assert p_level["total"].iloc[0] == 30
+
+
 def test_hll_approx_distinct(ray_session):
     from filda_ray.ops.sketch import approx_distinct, hll_estimate, hll_update
 
