@@ -179,6 +179,46 @@ def quality_features(texts):
     }
 
 
+def line_stats(texts):
+    """Per-document line-repetition metrics (boilerplate detector for
+    training-data curation; no reference analog — engine addition):
+    (n_lines, n_distinct_lines, max_line_occurrences) per text.
+
+    Vectorized: ONE Arrow split over the whole batch, then pandas
+    C-hashtable groupbys over the flattened (row, line) pairs — exact
+    string equality, no hash-collision caveat.  Null texts yield
+    (-1, -1, -1) sentinels (callers filter or null them out).
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts, pa.string()) if not isinstance(
+        texts, (pa.Array, pa.ChunkedArray)) else texts
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    lists = pc.split_pattern(arr, "\n")
+    valid = arr.is_valid().to_numpy(zero_copy_only=False)
+    cnt = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), cnt)
+    flat = lists.flatten().to_pandas().to_numpy()
+    df = pd.DataFrame({"row": row_ids, "line": flat})
+    per_pair = df.groupby(["row", "line"], sort=False).size()
+    per_row = per_pair.groupby(level=0)
+    nun = per_row.size()
+    mx = per_row.max()
+    n_lines = np.full(n, -1, dtype=np.int64)
+    n_distinct = np.full(n, -1, dtype=np.int64)
+    max_occ = np.full(n, -1, dtype=np.int64)
+    n_lines[valid] = cnt[valid]
+    if len(nun):
+        n_distinct[nun.index.to_numpy()] = nun.to_numpy()
+        max_occ[mx.index.to_numpy()] = mx.to_numpy()
+    return n_lines, n_distinct, max_occ
+
+
 def lang_id(texts) -> np.ndarray:
     """Stopword-profile language guess ('und' when no evidence).
 

@@ -49,6 +49,24 @@ def quality_op(ds, text_col: str = "text"):
     return ds.map_batches(lambda b: quality_stage(b, text_col), batch_format="pyarrow")
 
 
+def repetition_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Line-repetition metrics per document (duplicate-line fraction
+    is the classic boilerplate signal in web-corpus curation)."""
+    n_lines, n_distinct, max_occ = textkit.line_stats(batch.column(text_col))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        frac = np.where(n_lines > 0,
+                        1.0 - n_distinct / n_lines.astype(np.float64), np.nan)
+    return (batch.append_column("n_lines", pa.array(n_lines))
+                 .append_column("n_distinct_lines", pa.array(n_distinct))
+                 .append_column("max_line_occ", pa.array(max_occ))
+                 .append_column("dup_line_frac", pa.array(frac)))
+
+
+def repetition_op(ds, text_col: str = "text"):
+    return ds.map_batches(lambda b: repetition_stage(b, text_col),
+                          batch_format="pyarrow")
+
+
 def langid_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
     guess = textkit.lang_id(batch.column(text_col).to_pylist())
     return batch.append_column("lang_guess", pa.array(guess, pa.string()))

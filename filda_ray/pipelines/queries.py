@@ -1235,6 +1235,42 @@ FROM o GROUP BY ROLLUP(o_orderpriority, o_year)
 """
 
 
+def q_line_repetition(sf_dir: str):
+    """Duplicate-line boilerplate metrics per document: one Arrow
+    split per batch + C-hashtable groupby over (row, line) pairs —
+    exact string equality, no per-row Python loop (kernels.textkit
+    .line_stats)."""
+    from ..ops import text as T
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = T.repetition_op(ds)
+
+    def clean(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.greater(b.column("n_lines"), 0))  # null texts out
+        return b.drop_columns(["text"])
+
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+def sql_line_repetition() -> str:
+    return """
+WITH l AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM documents WHERE text IS NOT NULL
+),
+p AS (SELECT doc_id, line, count(*) AS c FROM l GROUP BY 1, 2)
+SELECT doc_id,
+       cast(sum(c) as bigint) AS n_lines,
+       cast(count(*) as bigint) AS n_distinct_lines,
+       cast(max(c) as bigint) AS max_line_occ,
+       1.0 - count(*) / cast(sum(c) as double) AS dup_line_frac
+FROM p GROUP BY doc_id
+"""
+
+
 def q_lag_events(sf_dir: str):
     """SQL lag()/lead() over (user, ts) without per-key full histories
     in one worker: (key, 7-day chunk) groups + boundary-row carries
@@ -2683,6 +2719,7 @@ QUERIES = {
     "corr_qty_discount": q_corr_qty_discount,
     "argmax_events": q_argmax_events,
     "rollup_revenue": q_rollup_revenue,
+    "line_repetition": q_line_repetition,
     "sessionize_events": q_sessionize,
     "candidate_union": q_candidate_union,
     "top_anomalies": q_top_anomalies,
@@ -2757,6 +2794,7 @@ ORACLES = {
     "corr_qty_discount": sql_corr_qty_discount(),
     "argmax_events": sql_argmax_events(),
     "rollup_revenue": sql_rollup_revenue(),
+    "line_repetition": sql_line_repetition(),
     "sessionize_events": sql_sessionize(),
     "candidate_union": sql_candidate_union(),
     "top_anomalies": sql_top_anomalies(),

@@ -182,3 +182,29 @@ def test_grouped_weighted_low_mean_vs_bruteforce():
             else:
                 m, kk = trimmed_low_mean(exp, 0.25)
                 assert mean[g] == m and k[g] == kk
+
+
+def test_line_stats_edge_cases():
+    from filda_ray.kernels.textkit import line_stats
+
+    texts = [
+        "a\nb\na\na",        # 4 lines, 2 distinct, 'a' x3
+        "",                  # one empty line
+        None,                # sentinel
+        "x",                 # single line
+        "\n",                # two empty lines (dup)
+    ]
+    n, d, mx = line_stats(texts)
+    assert list(n) == [4, 1, -1, 1, 2]
+    assert list(d) == [2, 1, -1, 1, 1]
+    assert list(mx) == [3, 1, -1, 1, 2]
+    # matches a brute-force python oracle on random junk
+    rng = np.random.RandomState(3)
+    docs = ["\n".join(rng.choice(["p", "q", "rr", ""], size=rng.randint(1, 9)))
+            for _ in range(50)]
+    n, d, mx = line_stats(docs)
+    for i, t in enumerate(docs):
+        lines = t.split("\n")
+        assert n[i] == len(lines)
+        assert d[i] == len(set(lines))
+        assert mx[i] == max(lines.count(l) for l in set(lines))
