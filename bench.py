@@ -100,6 +100,8 @@ def run_bench() -> dict:
         "heavy_hitters": Q.q_heavy_hitters,
         "rank_orders": Q.q_rank_orders,
         "running_totals": Q.q_running_totals,
+        "corr_comoments": Q.q_corr_qty_discount,
+        "line_repetition": Q.q_line_repetition,
     }
     for name, fn in secondary.items():
         t0 = time.time()

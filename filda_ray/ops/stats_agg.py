@@ -119,6 +119,30 @@ def arg_extreme_per_group(ds, *, group_col: str, value_col: str,
         winners, batch_format="pandas")
 
 
+def mode_per_group(ds, *, group_col: str, value_col: str,
+                   count_col: str = "n_occ"):
+    """Most frequent value per group (SQL mode with a deterministic
+    tie-break: smallest value among equally frequent).  Two shuffles,
+    both tiny past the first partial: per-block (group, value) counts
+    -> merged counts -> distributed argmax on the count."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({group_col: b.column(group_col),
+                      value_col: b.column(value_col),
+                      "one": pa.array(np.ones(len(b), dtype=np.int64))})
+        g = t.group_by([group_col, value_col]).aggregate([("one", "sum")])
+        return g.rename_columns([group_col, value_col, count_col])
+
+    counts = ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=PARTIAL_BATCH_ROWS)
+    merged = counts.groupby([group_col, value_col],
+                            num_partitions=shuffle_partitions()).aggregate(
+        Sum(count_col, alias_name=count_col))
+    return arg_extreme_per_group(merged, group_col=group_col,
+                                 value_col=count_col, tie_col=value_col)
+
+
 def rollup_sums(ds, *, key_cols: list[str], key_types: dict, value_col: str,
                 count_col: str = "n", sum_col: str = "total"):
     """GROUP BY ROLLUP(*key_cols) over an int64 value: finest level is

@@ -1271,6 +1271,34 @@ FROM p GROUP BY doc_id
 """
 
 
+def q_mode_event_type(sf_dir: str):
+    """Per-user modal event type (deterministic tie-break: smallest
+    value among equally frequent), via per-block count partials then a
+    distributed argmax over the counts (ops.stats_agg.mode_per_group)."""
+    from ..ops import stats_agg as SA
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    out = SA.mode_per_group(ds, group_col="user_id", value_col="event_type")
+
+    def clean(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b.column("user_id"),
+                         "event_type": b.column("event_type"),
+                         "n_occ": b.column("n_occ").cast(pa.int64())})
+
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+def sql_mode_event_type() -> str:
+    return """
+SELECT user_id, event_type, n_occ FROM (
+  SELECT user_id, event_type, cast(count(*) as bigint) AS n_occ,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type) WHERE rn = 1
+"""
+
+
 def q_lag_events(sf_dir: str):
     """SQL lag()/lead() over (user, ts) without per-key full histories
     in one worker: (key, 7-day chunk) groups + boundary-row carries
@@ -2720,6 +2748,7 @@ QUERIES = {
     "argmax_events": q_argmax_events,
     "rollup_revenue": q_rollup_revenue,
     "line_repetition": q_line_repetition,
+    "mode_event_type": q_mode_event_type,
     "sessionize_events": q_sessionize,
     "candidate_union": q_candidate_union,
     "top_anomalies": q_top_anomalies,
@@ -2795,6 +2824,7 @@ ORACLES = {
     "argmax_events": sql_argmax_events(),
     "rollup_revenue": sql_rollup_revenue(),
     "line_repetition": sql_line_repetition(),
+    "mode_event_type": sql_mode_event_type(),
     "sessionize_events": sql_sessionize(),
     "candidate_union": sql_candidate_union(),
     "top_anomalies": sql_top_anomalies(),
