@@ -70,6 +70,48 @@ def hash_join(left, right, *, on: str | tuple, how: str = "inner",
     )
 
 
+def salted_join(left, right, *, on: str, n_salts: int = 8,
+                num_partitions: int | None = None, salt_src: str | None = None):
+    """Inner hash join that survives a HOT join key (the join twin of
+    ``rollup.salted_aggregate_count``; mega-cell salting per the north
+    rule): left rows get a deterministic salt in [0, n_salts), the
+    right side is replicated once per salt, and the join key becomes
+    (key, salt) — one hot key spreads over ``n_salts`` partitions
+    instead of landing on one joiner.
+
+    Right-side replication costs n_salts × right bytes in the shuffle,
+    so this is for a MID-SIZED right side (too big to broadcast, small
+    next to the skewed left).  ``salt_src``: left column whose hash
+    picks the salt (default: row position — cheapest; any column works
+    since the salt only balances, never routes semantics).
+    """
+    from ..kernels.hashing import splitmix64
+
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        if salt_src is not None:
+            from ..kernels.hashing import col_hash64
+
+            h = splitmix64(col_hash64(b.column(salt_src)))
+        else:
+            h = splitmix64(np.arange(len(b), dtype=np.uint64))
+        return b.append_column("__salt", pa.array(
+            (h % np.uint64(n_salts)).astype(np.int32)))
+
+    def replicate(b: pa.Table) -> pa.Table:
+        reps = [b.append_column("__salt", pa.array(
+            np.full(len(b), s, dtype=np.int32))) for s in range(n_salts)]
+        return pa.concat_tables(reps)
+
+    l = left.map_batches(add_salt, batch_format="pyarrow")
+    r = right.map_batches(replicate, batch_format="pyarrow")
+    j = hash_join(l, r, on=(on, "__salt"), how="inner",
+                  num_partitions=num_partitions)
+    return j.drop_columns(["__salt"])
+
+
 def semi_anti_filter(ds, keys: np.ndarray, *, on: str, anti: bool = False):
     """Semi/anti join by broadcast key set (reference anti-join analog:
     background sets excluding fire/cloud cells, FILDA.py:637-652)."""

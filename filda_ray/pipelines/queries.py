@@ -1299,6 +1299,49 @@ SELECT user_id, event_type, n_occ FROM (
 """
 
 
+def q_salted_join_events(sf_dir: str):
+    """Skew-proof inner join: events.user_id is a 150-key hot
+    distribution over ~5k rows/key, so the join key is salted and the
+    customer side replicated per salt (relational.salted_join) — one
+    hot key spreads over n_salts joiners instead of one.  Money
+    quantized to cents below the join (aggregation-friendly int64)."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = _round_half_up(b.column("value").to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"user_id": b.column("user_id"),
+                         "cents": pa.array(cents)})
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda b: b.rename_columns(["user_id", "c_nationkey"]),
+        batch_format="pyarrow")
+    j = rel.salted_join(ev.map_batches(prep, batch_format="pyarrow"), cust,
+                        on="user_id", n_salts=4, num_partitions=8)
+    out = j.groupby("c_nationkey", num_partitions=shuffle_partitions(25)).aggregate(
+        Count(alias_name="n_events"), Sum("cents", alias_name="value_cents"))
+
+    def clean(b: pa.Table) -> pa.Table:
+        return pa.table({"c_nationkey": b.column("c_nationkey"),
+                         "n_events": b.column("n_events").cast(pa.int64()),
+                         "value_cents": b.column("value_cents").cast(pa.int64())})
+
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+def sql_salted_join_events() -> str:
+    return """
+SELECT c_nationkey, cast(count(*) as bigint) AS n_events,
+       cast(sum(cast(round(value*100) as bigint)) as bigint) AS value_cents
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_nationkey
+"""
+
+
 def q_lag_events(sf_dir: str):
     """SQL lag()/lead() over (user, ts) without per-key full histories
     in one worker: (key, 7-day chunk) groups + boundary-row carries
@@ -2749,6 +2792,7 @@ QUERIES = {
     "rollup_revenue": q_rollup_revenue,
     "line_repetition": q_line_repetition,
     "mode_event_type": q_mode_event_type,
+    "salted_join_events": q_salted_join_events,
     "sessionize_events": q_sessionize,
     "candidate_union": q_candidate_union,
     "top_anomalies": q_top_anomalies,
@@ -2825,6 +2869,7 @@ ORACLES = {
     "rollup_revenue": sql_rollup_revenue(),
     "line_repetition": sql_line_repetition(),
     "mode_event_type": sql_mode_event_type(),
+    "salted_join_events": sql_salted_join_events(),
     "sessionize_events": sql_sessionize(),
     "candidate_union": sql_candidate_union(),
     "top_anomalies": sql_top_anomalies(),

@@ -425,6 +425,33 @@ def test_distinct_rows_mixed_key_types(ray_session):
     assert got_ts == exact_ts
 
 
+def test_salted_join_equals_plain_join(ray_session):
+    """salted_join must return exactly the plain inner join's rows on
+    a zipf-skewed key (one key holds ~half the rows)."""
+    import ray.data as rd
+
+    from filda_ray.ops import relational as rel
+
+    rng = np.random.RandomState(5)
+    keys = np.where(rng.rand(5000) < 0.5, 7,
+                    rng.randint(0, 40, 5000)).astype(np.int64)
+    left = pa.table({"k": keys, "v": np.arange(5000, dtype=np.int64)})
+    right = pa.table({"k": pa.array(np.arange(0, 35, dtype=np.int64)),
+                      "tag": pa.array([f"t{i}" for i in range(35)])})
+    l = rd.from_arrow(left).repartition(8)
+    r = rd.from_arrow(right)
+    got = rel.salted_join(l, r, on="k", n_salts=4,
+                          num_partitions=8).to_pandas()
+    want = rel.hash_join(rd.from_arrow(left).repartition(8),
+                         rd.from_arrow(right), on="k",
+                         num_partitions=8).to_pandas()
+    key = ["k", "v", "tag"]
+    got_s = got[key].sort_values(key).reset_index(drop=True)
+    want_s = want[key].sort_values(key).reset_index(drop=True)
+    assert got_s.equals(want_s)
+    assert (got["k"] == 7).sum() == (keys == 7).sum()  # hot key intact
+
+
 def test_stats_agg_edge_cases(ray_session):
     """Degenerate comoment groups null out; argmin tie-breaks
     deterministically; rollup levels add up."""
