@@ -67,6 +67,48 @@ def repetition_op(ds, text_col: str = "text"):
                           batch_format="pyarrow")
 
 
+def normalize_stage(batch: pa.Table, text_col: str = "text",
+                    out_col: str = "norm_text") -> pa.Table:
+    """Curation-grade text normalization, fully on Arrow kernels:
+    Unicode NFC, lowercase, whitespace runs collapsed to one space,
+    ends trimmed.  The regex engine is RE2 — same engine DuckDB uses —
+    so `regexp_replace(.., '\\s+', ' ', 'g')` is semantics-identical
+    and the stage is SQL-oracle-checkable."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    t = batch.column(text_col)
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    # NFC: pyarrow's utf8_normalize(form="NFC") does NOT compose
+    # (utf8proc leaves e+COMBINING ACUTE decomposed, 16.1.0), so true
+    # NFC comes from Python — but ONLY for rows containing non-ASCII
+    # (NFC is identity on ASCII); the common rows never leave Arrow.
+    # Same selective-repair shape as textkit.extract_text_arrow.
+    m = pc.match_substring_regex(t, r"[^\x00-\x7F]")
+    if pc.any(m).as_py():
+        vals = t.to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(m.to_numpy(zero_copy_only=False))
+        for i in idx:
+            if vals[i] is not None:
+                vals[i] = unicodedata.normalize("NFC", vals[i])
+        t = pa.array(vals, pa.string())
+    t = pc.utf8_lower(t)
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    # trim ' ' only (all ASCII whitespace is now ' '): DuckDB's trim()
+    # is space-only, utf8_trim_whitespace would also strip NBSP etc.
+    t = pc.utf8_trim(t, " ")
+    out = batch.append_column(out_col, t)
+    return out.append_column(
+        "n_chars_norm", pc.utf8_length(t).cast(pa.int64()))
+
+
+def normalize_op(ds, text_col: str = "text"):
+    return ds.map_batches(lambda b: normalize_stage(b, text_col),
+                          batch_format="pyarrow")
+
+
 def langid_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
     guess = textkit.lang_id(batch.column(text_col).to_pylist())
     return batch.append_column("lang_guess", pa.array(guess, pa.string()))

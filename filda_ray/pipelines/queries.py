@@ -1342,6 +1342,28 @@ GROUP BY c_nationkey
 """
 
 
+def q_normalize_text(sf_dir: str):
+    """Curation text normalization (NFC, lowercase, whitespace
+    collapse, trim) on pure Arrow kernels; RE2 on both sides makes the
+    regex semantics identical to DuckDB's regexp_replace."""
+    from ..ops import text as T
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = T.normalize_op(ds)
+    return out.map_batches(lambda b: b.drop_columns(["text"]),
+                           batch_format="pyarrow")
+
+
+def sql_normalize_text() -> str:
+    return r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'), ' ') AS norm_text,
+       cast(length(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'), ' ')) as bigint) AS n_chars_norm
+FROM documents
+"""
+
+
 def q_lag_events(sf_dir: str):
     """SQL lag()/lead() over (user, ts) without per-key full histories
     in one worker: (key, 7-day chunk) groups + boundary-row carries
@@ -2793,6 +2815,7 @@ QUERIES = {
     "line_repetition": q_line_repetition,
     "mode_event_type": q_mode_event_type,
     "salted_join_events": q_salted_join_events,
+    "normalize_text": q_normalize_text,
     "sessionize_events": q_sessionize,
     "candidate_union": q_candidate_union,
     "top_anomalies": q_top_anomalies,
@@ -2870,6 +2893,7 @@ ORACLES = {
     "line_repetition": sql_line_repetition(),
     "mode_event_type": sql_mode_event_type(),
     "salted_join_events": sql_salted_join_events(),
+    "normalize_text": sql_normalize_text(),
     "sessionize_events": sql_sessionize(),
     "candidate_union": sql_candidate_union(),
     "top_anomalies": sql_top_anomalies(),

@@ -425,6 +425,31 @@ def test_distinct_rows_mixed_key_types(ray_session):
     assert got_ts == exact_ts
 
 
+def test_normalize_stage_matches_duckdb_on_nonascii(ray_session):
+    """Arrow NFC/lower/RE2/trim must agree with DuckDB's
+    nfc_normalize/lower/regexp_replace/trim beyond ASCII: combining
+    accents, uppercase Greek, NBSP (NOT \\s in RE2 — must survive),
+    tabs/newlines, leading/trailing runs."""
+    import duckdb
+
+    from filda_ray.ops.text import normalize_stage
+
+    texts = [
+        "Café  du   Monde",      # combining accent -> NFC é
+        "ΚΌΣΜΟΣ\tkosmos\n\nx",         # Greek upper, tab, newlines
+        "a\u00a0b",           # NBSP stays
+        "  leading and trailing  ",
+        "",
+        "MIXED Case\r\nCRLF",
+    ]
+    b = pa.table({"text": pa.array(texts, pa.string())})
+    got = normalize_stage(b).column("norm_text").to_pylist()
+    want = [duckdb.execute(
+        r"select trim(regexp_replace(lower(nfc_normalize(?)), '\s+', ' ', 'g'), ' ')",
+        [t]).fetchone()[0] for t in texts]
+    assert got == want
+
+
 def test_salted_join_equals_plain_join(ray_session):
     """salted_join must return exactly the plain inner join's rows on
     a zipf-skewed key (one key holds ~half the rows)."""
