@@ -158,6 +158,55 @@ def distinct_rows(ds, key_cols: list[str], *, n_buckets: int | None = None):
     )
 
 
+def explode_list(ds, list_col: str, *, value_col: str = "val",
+                 index_col: str | None = "pos"):
+    """Flatten a list column into one row per element (SQL unnest),
+    carrying every other column along via offset-based repeats — no
+    per-row Python.  ``index_col`` adds the 1-based position within
+    the list (SQL WITH ORDINALITY); null/empty lists emit no rows.
+    Purely row-local: no shuffle, output streams block by block.
+    """
+    def f(b: pa.Table) -> pa.Table:
+        col = b.column(list_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        import pyarrow.compute as pc
+
+        counts = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        reps = np.repeat(np.arange(len(b), dtype=np.int64), counts)
+        out = {c: b.column(c).take(pa.array(reps))
+               for c in b.column_names if c != list_col}
+        if index_col is not None:
+            pos = np.arange(len(reps), dtype=np.int64)
+            starts = np.r_[0, np.cumsum(counts)[:-1]]
+            out[index_col] = pa.array(pos - np.repeat(starts, counts) + 1)
+        out[value_col] = col.flatten()
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def collect_sorted(ds, *, group_col: str, value_col: str, order_col: str,
+                   sep: str = ",", out_col: str = "seq"):
+    """Per-group ordered concatenation (SQL string_agg(x, sep ORDER BY
+    o)): the group's full value sequence must co-locate, so this is
+    one shuffle of the three narrow columns + a vectorized sort and
+    one join per group."""
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([order_col, value_col], kind="mergesort")
+        from . import pd_table
+
+        return pd_table(pd.DataFrame({
+            group_col: [g[group_col].iloc[0]],
+            out_col: [sep.join(map(str, g[value_col]))],
+            "n": [len(g)]}))
+
+    narrow = ds.select_columns([group_col, value_col, order_col])
+    return narrow.groupby(group_col, num_partitions=shuffle_partitions()).map_groups(
+        agg, batch_format="pandas")
+
+
 def top_k_per_group(ds, *, group_col, value_col: str, k: int, ascending: bool = False,
                     tie_col: str | None = None):
     """Grouped top-k (bottom-k with ascending=True): the reference's

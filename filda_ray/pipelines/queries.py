@@ -1364,6 +1364,60 @@ FROM documents
 """
 
 
+def q_explode_embeddings(sf_dir: str):
+    """SQL unnest WITH ORDINALITY over a list<float> column: offset-
+    based repeats + zero-copy flatten (relational.explode_list), no
+    shuffle, streams block by block.  Bounded to 50 vectors so the
+    oracle compare stays small."""
+    import pyarrow.compute as pc
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.less(b.column("vec_id"), 50)),
+        batch_format="pyarrow")
+    out = rel.explode_list(ds, "embedding", value_col="v", index_col="pos")
+    return out.map_batches(
+        lambda b: pa.table({"vec_id": b.column("vec_id"),
+                            "pos": b.column("pos"),
+                            "v": b.column("v").cast(pa.float64())}),
+        batch_format="pyarrow")
+
+
+def sql_explode_embeddings() -> str:
+    return """
+SELECT vec_id,
+       cast(generate_subscripts(embedding, 1) as bigint) AS pos,
+       cast(unnest(embedding) as double) AS v
+FROM embeddings WHERE vec_id < 50
+"""
+
+
+def q_user_journeys(sf_dir: str):
+    """Per-user ordered event sequence (SQL string_agg ORDER BY):
+    narrow 3-column shuffle, vectorized per-group sort + one join
+    (relational.collect_sorted); deterministic under ts ties via the
+    value tie-break mirrored in the oracle's ORDER BY."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "ts"])
+    out = rel.collect_sorted(ds, group_col="user_id", value_col="event_type",
+                             order_col="ts")
+    return out.map_batches(
+        lambda b: pa.table({"user_id": b.column("user_id"),
+                            "seq": b.column("seq"),
+                            "n": b.column("n").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def sql_user_journeys() -> str:
+    return """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_type) AS seq,
+       cast(count(*) as bigint) AS n
+FROM events GROUP BY user_id
+"""
+
+
 def q_lag_events(sf_dir: str):
     """SQL lag()/lead() over (user, ts) without per-key full histories
     in one worker: (key, 7-day chunk) groups + boundary-row carries
@@ -2816,6 +2870,8 @@ QUERIES = {
     "mode_event_type": q_mode_event_type,
     "salted_join_events": q_salted_join_events,
     "normalize_text": q_normalize_text,
+    "explode_embeddings": q_explode_embeddings,
+    "user_journeys": q_user_journeys,
     "sessionize_events": q_sessionize,
     "candidate_union": q_candidate_union,
     "top_anomalies": q_top_anomalies,
@@ -2894,6 +2950,8 @@ ORACLES = {
     "mode_event_type": sql_mode_event_type(),
     "salted_join_events": sql_salted_join_events(),
     "normalize_text": sql_normalize_text(),
+    "explode_embeddings": sql_explode_embeddings(),
+    "user_journeys": sql_user_journeys(),
     "sessionize_events": sql_sessionize(),
     "candidate_union": sql_candidate_union(),
     "top_anomalies": sql_top_anomalies(),

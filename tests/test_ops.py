@@ -425,6 +425,42 @@ def test_distinct_rows_mixed_key_types(ray_session):
     assert got_ts == exact_ts
 
 
+def test_explode_list_edges(ray_session):
+    """Null and empty lists emit no rows; positions are 1-based;
+    carried columns repeat correctly."""
+    import ray.data as rd
+
+    from filda_ray.ops import relational as rel
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "xs": pa.array([[10, 20], None, [], [30]],
+                       pa.list_(pa.int64())),
+    })
+    out = rel.explode_list(rd.from_arrow(t), "xs").to_pandas().sort_values(
+        ["id", "pos"]).reset_index(drop=True)
+    assert out["id"].tolist() == [1, 1, 4]
+    assert out["pos"].tolist() == [1, 2, 1]
+    assert out["val"].tolist() == [10, 20, 30]
+
+
+def test_collect_sorted_orders_and_ties(ray_session):
+    import ray.data as rd
+
+    from filda_ray.ops import relational as rel
+
+    t = pa.table({
+        "g": ["a", "a", "a", "b"],
+        "v": ["z", "m", "k", "q"],
+        "o": pa.array([2, 1, 1, 5], pa.int64()),  # tie at o=1 -> k,m
+    })
+    out = rel.collect_sorted(rd.from_arrow(t).repartition(3), group_col="g",
+                             value_col="v", order_col="o").to_pandas()
+    out = out.set_index("g")
+    assert out.loc["a", "seq"] == "k,m,z" and out.loc["a", "n"] == 3
+    assert out.loc["b", "seq"] == "q"
+
+
 def test_normalize_stage_matches_duckdb_on_nonascii(ray_session):
     """Arrow NFC/lower/RE2/trim must agree with DuckDB's
     nfc_normalize/lower/regexp_replace/trim beyond ASCII: combining
