@@ -219,6 +219,52 @@ def line_stats(texts):
     return n_lines, n_distinct, max_occ
 
 
+def json_extract_int(col, key: str):
+    """Integer field extraction from a JSON-string column (web-event
+    props payloads).  Fast path: ONE RE2 ``"key"\\s*:\\s*(-?\\d+)``
+    extract over the batch — correct for flat objects with scalar
+    values.  Rows the regex misses but that still mention the key
+    (nested/escaped/spacey JSON) take a per-row ``json.loads``
+    fallback — the selective-repair shape again, so well-formed flat
+    rows (the web norm) never leave Arrow.  Returns int64 with nulls
+    for absent/non-integer/invalid rows.
+    """
+    import json
+    import re as _re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+        col = pa.array(col, pa.string())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    pat = rf'"{_re.escape(key)}"\s*:\s*(?P<v>-?\d+)[,}}\s]'
+    hit = pc.extract_regex(col, pattern=pat)
+    vals = pc.struct_field(hit, "v").cast(pa.int64())
+    mention = pc.fill_null(pc.match_substring(col, f'"{key}"'), False)
+    # nested objects would let the regex match a non-top-level key:
+    # any row with >1 '{' goes to the exact parser
+    nested = pc.greater(pc.count_substring(col, "{"), 1)
+    need_fix = pc.and_(mention, pc.or_(
+        pc.is_null(vals), pc.fill_null(nested, False)))
+    if pc.any(need_fix).as_py():
+        out = vals.to_numpy(zero_copy_only=False).astype(object)
+        idx = np.flatnonzero(need_fix.to_numpy(zero_copy_only=False)
+                             .astype(bool))
+        raw = col.take(pa.array(idx)).to_pylist()
+        for j, s in zip(idx, raw):
+            try:
+                v = json.loads(s).get(key)
+                out[j] = int(v) if isinstance(v, (int, np.integer)) and not isinstance(v, bool) else None
+            except (ValueError, TypeError, AttributeError):
+                out[j] = None
+        clean = [None if (x is None or (isinstance(x, float) and np.isnan(x)))
+                 else int(x) for x in out]
+        return pa.array(clean, pa.int64())
+    return vals
+
+
 def lang_id(texts) -> np.ndarray:
     """Stopword-profile language guess ('und' when no evidence).
 

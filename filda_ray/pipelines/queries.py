@@ -1418,6 +1418,32 @@ FROM events GROUP BY user_id
 """
 
 
+def q_json_props(sf_dir: str):
+    """JSON field extraction from the event props payload: one RE2
+    extract per batch for flat scalar keys, per-row json.loads only
+    for rows the regex misses (kernels.textkit.json_extract_int)."""
+    import pyarrow.compute as pc
+
+    from ..kernels.textkit import json_extract_int
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "props"])
+
+    def f(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("event_id"), 2000))
+        return pa.table({"event_id": b.column("event_id"),
+                         "k": json_extract_int(b.column("props"), "k")})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def sql_json_props() -> str:
+    return """
+SELECT event_id, try_cast(json_extract_string(props, '$.k') as bigint) AS k
+FROM events WHERE event_id < 2000
+"""
+
+
 def q_lag_events(sf_dir: str):
     """SQL lag()/lead() over (user, ts) without per-key full histories
     in one worker: (key, 7-day chunk) groups + boundary-row carries
@@ -2872,6 +2898,7 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "explode_embeddings": q_explode_embeddings,
     "user_journeys": q_user_journeys,
+    "json_props": q_json_props,
     "sessionize_events": q_sessionize,
     "candidate_union": q_candidate_union,
     "top_anomalies": q_top_anomalies,
@@ -2952,6 +2979,7 @@ ORACLES = {
     "normalize_text": sql_normalize_text(),
     "explode_embeddings": sql_explode_embeddings(),
     "user_journeys": sql_user_journeys(),
+    "json_props": sql_json_props(),
     "sessionize_events": sql_sessionize(),
     "candidate_union": sql_candidate_union(),
     "top_anomalies": sql_top_anomalies(),

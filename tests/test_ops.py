@@ -425,6 +425,25 @@ def test_distinct_rows_mixed_key_types(ray_session):
     assert got_ts == exact_ts
 
 
+def test_json_extract_int_fallback_paths():
+    """Regex fast path for flat JSON; json.loads fallback for nested /
+    spacey rows; nulls for absent keys, non-ints, invalid JSON."""
+    from filda_ray.kernels.textkit import json_extract_int
+
+    vals = [
+        '{"k": 69}',                   # fast path
+        '{"k":-7,"x":1}',              # negative, no space
+        '{"a": {"k": 5}, "k" : 9}',    # space before colon -> fallback; top-level k
+        '{"x": 1}',                    # key absent
+        '{"k": "str"}',                # non-int -> null
+        '{"k": true}',                 # bool is not an int (json bool)
+        'not json "k"',                # mentions key, invalid -> null
+        None,
+    ]
+    out = json_extract_int(vals, "k").to_pylist()
+    assert out == [69, -7, 9, None, None, None, None, None]
+
+
 def test_explode_list_edges(ray_session):
     """Null and empty lists emit no rows; positions are 1-based;
     carried columns repeat correctly."""
