@@ -73,7 +73,12 @@ def normalize_stage(batch: pa.Table, text_col: str = "text",
     Unicode NFC, lowercase, whitespace runs collapsed to one space,
     ends trimmed.  The regex engine is RE2 — same engine DuckDB uses —
     so `regexp_replace(.., '\\s+', ' ', 'g')` is semantics-identical
-    and the stage is SQL-oracle-checkable."""
+    and the stage is SQL-oracle-checkable.
+
+    Scale note: the Python-NFC repair costs ~1 row/µs ONLY on rows
+    containing non-ASCII; a mostly-CJK corpus pays it on every row
+    (inherent — no vectorized composing NFC exists in-sandbox), but
+    the stage stays embarrassingly parallel either way."""
     import unicodedata
 
     import pyarrow.compute as pc

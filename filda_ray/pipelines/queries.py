@@ -1444,6 +1444,63 @@ FROM events WHERE event_id < 2000
 """
 
 
+def q_curation_pipeline(sf_dir: str):
+    """End-to-end corpus curation CHAIN, the composition a real
+    training-data run uses — normalize -> quality gate -> exact dedup
+    (min doc_id wins) -> train/val/test split — every stage the
+    engine's own operator, the whole chain one streaming plan with a
+    single shuffle (the dedup buckets), and the ENTIRE composition
+    SQL-oracled end-to-end."""
+    import pyarrow.compute as pc
+
+    from ..ops import text as T
+    from ..ops.dedup import dedup_exact
+    from ..ops.sample import split_assign
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang"])
+    ds = T.normalize_op(ds)
+
+    def gate(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("n_chars_norm"), 50))
+        return b.drop_columns(["text"])
+
+    ds = ds.map_batches(gate, batch_format="pyarrow")
+    ds = dedup_exact(ds, text_col="norm_text", id_col="doc_id")
+    ds = split_assign(ds, "doc_id", seed=1)
+
+    def clean(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "lang": b.column("lang"),
+                         "n_chars_norm": b.column("n_chars_norm").cast(pa.int64()),
+                         "content_md5": b.column("content_md5"),
+                         "split": b.column("split")})
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def sql_curation_pipeline() -> str:
+    from ..ops.sample import sql_split_assign
+
+    return rf"""
+WITH n AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'), ' ') AS norm_text
+  FROM documents),
+q AS (
+  SELECT doc_id, lang, norm_text,
+         cast(length(norm_text) as bigint) AS n_chars_norm
+  FROM n WHERE length(norm_text) >= 50),
+d AS (
+  SELECT *, md5(norm_text) AS content_md5,
+         row_number() OVER (PARTITION BY norm_text ORDER BY doc_id) AS rn
+  FROM q)
+SELECT doc_id, lang, n_chars_norm, content_md5,
+       {sql_split_assign('doc_id', seed=1)} AS split
+FROM d WHERE rn = 1
+"""
+
+
 def q_lag_events(sf_dir: str):
     """SQL lag()/lead() over (user, ts) without per-key full histories
     in one worker: (key, 7-day chunk) groups + boundary-row carries
@@ -2899,6 +2956,7 @@ QUERIES = {
     "explode_embeddings": q_explode_embeddings,
     "user_journeys": q_user_journeys,
     "json_props": q_json_props,
+    "curation_pipeline": q_curation_pipeline,
     "sessionize_events": q_sessionize,
     "candidate_union": q_candidate_union,
     "top_anomalies": q_top_anomalies,
@@ -2980,6 +3038,7 @@ ORACLES = {
     "explode_embeddings": sql_explode_embeddings(),
     "user_journeys": sql_user_journeys(),
     "json_props": sql_json_props(),
+    "curation_pipeline": sql_curation_pipeline(),
     "sessionize_events": sql_sessionize(),
     "candidate_union": sql_candidate_union(),
     "top_anomalies": sql_top_anomalies(),
