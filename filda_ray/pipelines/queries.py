@@ -2020,6 +2020,35 @@ def q_neardup_clusters(sf_dir: str):
                                 out_comp="cluster_id")
 
 
+def q_neardup_filtered(sf_dir: str):
+    """The user-facing ENDPOINT of the near-dup machinery: the corpus
+    with non-representative cluster members REMOVED (cluster_id = min
+    doc_id stays).  Losers come from the clustering chain; the corpus
+    is filtered by an exact Bloom ANTI join, so document rows never
+    shuffle and the loser set never lands on the driver.  Rows-only
+    (MinHash upstream); pytest oracle = planted duplicate chain."""
+    import pyarrow.compute as pc
+
+    from ..ops.bloom import bloom_semi_anti_join
+    from ..ops.dedup import minhash_lsh_pairs, verify_jaccard_op
+    from ..ops.graph import connected_components
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs)
+    verified = verify_jaccard_op(pairs, docs, threshold=0.5)
+    clusters = connected_components(verified, out_node="doc_id",
+                                    out_comp="cluster_id")
+    losers = clusters.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("doc_id"),
+                                        b.column("cluster_id")))
+                   .select(["doc_id"]),
+        batch_format="pyarrow")
+    narrow = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "n_chars"])
+    return bloom_semi_anti_join(narrow, losers, on="doc_id", anti=True)
+
+
 def q_simhash(sf_dir: str):
     rd = _rd()
     from ..ops.dedup import simhash_pairs
@@ -2972,6 +3001,7 @@ QUERIES = {
     "minhash_neardup_pairs": q_minhash,
     "neardup_verified": q_neardup_verified,
     "neardup_clusters": q_neardup_clusters,
+    "neardup_filtered": q_neardup_filtered,
     "simhash_neardup_pairs": q_simhash,
     "knn_hotspots": q_knn_hotspots,
     "ann_lsh_topk": q_ann_lsh,

@@ -616,6 +616,25 @@ def test_empty_input_hardening(ray_session):
     assert background_stats(empty, "n_chars").count() == 0
     assert count_in_cell(empty).count() == 0
 
+    from filda_ray.ops import relational as rel
+    from filda_ray.ops import stats_agg as SA
+
+    e2 = _ds({"g": pa.array([], pa.string()),
+              "x": pa.array([], pa.int64()),
+              "y": pa.array([], pa.int64()),
+              "xs": pa.array([], pa.list_(pa.int64()))})
+    assert rel.explode_list(e2.select_columns(["g", "xs"]), "xs").count() == 0
+    assert rel.collect_sorted(e2.select_columns(["g", "x", "y"]), group_col="g",
+                              value_col="x", order_col="y").count() == 0
+    assert SA.arg_extreme_per_group(e2.select_columns(["g", "x", "y"]),
+                                    group_col="g", value_col="x",
+                                    tie_col="y").count() == 0
+    assert SA.grouped_comoments(e2.select_columns(["g", "x", "y"]),
+                                group_cols=["g"], x_col="x",
+                                y_col="y").count() == 0
+    assert SA.mode_per_group(e2.select_columns(["g", "x"]), group_col="g",
+                             value_col="x").count() == 0
+
 
 def test_multimodal_decode_plumbing(ray_session, sf_dir):
     from filda_ray.ops.multimodal import (DeterministicFakeDecoder, decode_media,
@@ -970,6 +989,31 @@ def test_neardup_clusters_transitive(ray_session):
     m = dict(zip(out.doc_id, out.cluster_id))
     assert m.get(10) == 4 and m.get(4) == 4 and m.get(8) == 4
     assert 99 not in m
+
+
+def test_neardup_filtered_corpus_keeps_representatives(ray_session, tmp_path):
+    """The filtered-corpus endpoint drops exactly the non-representative
+    cluster members: of the chain {10, 4, 8} only min-id 4 survives,
+    the unrelated doc survives untouched."""
+    import pyarrow.parquet as pq
+
+    from filda_ray.pipelines.queries import q_neardup_filtered
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "through fields of golden wheat under a bright summer sky " * 6)
+    b = base.replace("runs", "sprints").replace("golden", "amber")
+    c = b.replace("quick", "swift").replace("bright", "pale")
+    far = "completely unrelated content about database engines and queries " * 12
+    tbl = pa.table({"doc_id": pa.array([10, 4, 8, 99], pa.int64()),
+                    "text": [base, b, c, far],
+                    "lang": ["en"] * 4, "source": ["t"] * 4,
+                    "n_chars": pa.array([len(t) for t in [base, b, c, far]],
+                                        pa.int64())})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, str(sf / "documents.parquet"))
+    kept = q_neardup_filtered(str(sf)).to_pandas()
+    assert sorted(kept["doc_id"].tolist()) == [4, 99]
 
 
 def test_outer_join_modes(ray_session):
