@@ -1501,6 +1501,42 @@ FROM d WHERE rn = 1
 """
 
 
+def q_asof_forward(sf_dir: str):
+    """FORWARD as-of join (pandas merge_asof direction parity): for
+    each order, the first shipment date on/after the order date within
+    the order — the temporal.asof_join co-partitioned path with
+    direction='forward'."""
+    o = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_orderdate"])
+    o = o.map_batches(lambda b: b.rename_columns(["o_orderkey", "ts"]),
+                      batch_format="pyarrow")
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate"])
+    li = li.map_batches(
+        lambda b: pa.table({"o_orderkey": b.column("l_orderkey"),
+                            "ts": b.column("l_shipdate"),
+                            "next_ship": b.column("l_shipdate")}),
+        batch_format="pyarrow")
+    out = temporal.asof_join(o, li, on="ts", by="o_orderkey",
+                             direction="forward", right_cols=["next_ship"])
+
+    def clean(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "ts": b.column("ts"),
+                         "next_ship": b.column("next_ship").cast(pa.timestamp("us"))})
+
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+def sql_asof_forward() -> str:
+    return """
+SELECT o_orderkey, o_orderdate AS ts, min(l_shipdate) AS next_ship
+FROM orders LEFT JOIN lineitem
+  ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate
+GROUP BY 1, 2
+"""
+
+
 def q_lag_events(sf_dir: str):
     """SQL lag()/lead() over (user, ts) without per-key full histories
     in one worker: (key, 7-day chunk) groups + boundary-row carries
@@ -2986,6 +3022,7 @@ QUERIES = {
     "user_journeys": q_user_journeys,
     "json_props": q_json_props,
     "curation_pipeline": q_curation_pipeline,
+    "asof_forward": q_asof_forward,
     "sessionize_events": q_sessionize,
     "candidate_union": q_candidate_union,
     "top_anomalies": q_top_anomalies,
@@ -3069,6 +3106,7 @@ ORACLES = {
     "user_journeys": sql_user_journeys(),
     "json_props": sql_json_props(),
     "curation_pipeline": sql_curation_pipeline(),
+    "asof_forward": sql_asof_forward(),
     "sessionize_events": sql_sessionize(),
     "candidate_union": sql_candidate_union(),
     "top_anomalies": sql_top_anomalies(),

@@ -112,6 +112,22 @@ def test_asof_join_no_match_gives_null(ray_session):
     assert out.iloc[1]["prev"] == 99.0    # ts=30 matches ts=20
 
 
+def test_asof_join_forward_and_nearest(ray_session):
+    """direction='forward' takes the first right row at/after each
+    left ts; 'nearest' takes the closest either way."""
+    from filda_ray.ops.temporal import asof_join
+
+    left = _ds({"k": [1, 1, 1], "ts": [10, 25, 50], "x": [1.0, 2.0, 3.0]})
+    right = _ds({"k": [1, 1], "ts": [20, 40], "v": [200.0, 400.0]})
+    fwd = asof_join(left, right, on="ts", by="k", direction="forward",
+                    right_cols=["v"]).to_pandas().sort_values("ts")
+    assert fwd["v"].tolist()[:2] == [200.0, 400.0]
+    assert np.isnan(fwd["v"].iloc[2])     # nothing at/after ts=50
+    near = asof_join(left, right, on="ts", by="k", direction="nearest",
+                     right_cols=["v"]).to_pandas().sort_values("ts")
+    assert near["v"].tolist() == [200.0, 200.0, 400.0]
+
+
 def test_ivf_index_full_probe_equals_bruteforce(ray_session, tmp_path):
     """IVF with nprobe = n_centroids reads every partition and must
     reproduce the brute-force top-k exactly; with few probes it reads
