@@ -142,3 +142,59 @@ def test_quantile_sketch_merge_bounds(vals, split_seed):
     if len(v) <= 256:
         # no compaction happened -> exact rank semantics
         assert a.quantile(0.5) in v
+
+
+@given(st.lists(st.one_of(st.integers(min_value=-2**31, max_value=2**31),
+                          st.floats(allow_nan=False, allow_infinity=False,
+                                    width=32),
+                          st.text(max_size=12), st.none()),
+                min_size=1, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_col_hash64_consistency(vals):
+    """Equal values hash equal regardless of position or chunk layout;
+    -0.0 co-buckets with 0.0; nulls are stable."""
+    import pyarrow as pa
+
+    from filda_ray.kernels.hashing import col_hash64
+
+    # columns must be single-type: split by kind
+    groups = {
+        "int": [v for v in vals if isinstance(v, int)],
+        "float": [float(v) for v in vals if isinstance(v, float)],
+        "str": [v for v in vals if isinstance(v, str)],
+    }
+    for kind, g in groups.items():
+        if not g:
+            continue
+        arr = pa.array(g + g)  # duplicated tail must hash identically
+        h = col_hash64(arr)
+        assert (h[: len(g)] == h[len(g):]).all()
+        # chunked layout must not change hashes
+        ch = pa.chunked_array([pa.array(g), pa.array(g)])
+        h2 = col_hash64(ch)
+        assert (h2[: len(g)] == h[: len(g)]).all()
+    from filda_ray.kernels.hashing import col_hash64 as f
+
+    z = f(pa.array([0.0, -0.0]))
+    assert z[0] == z[1]
+
+
+@given(st.dictionaries(st.text(alphabet="abcxyz", min_size=1, max_size=4),
+                       st.one_of(st.integers(min_value=-10**9, max_value=10**9),
+                                 st.text(max_size=6), st.booleans(),
+                                 st.none()),
+                       max_size=5))
+@settings(max_examples=60, deadline=None)
+def test_json_extract_int_matches_json_loads(d):
+    """On arbitrary flat JSON objects the kernel equals the exact
+    parser's answer for every key."""
+    import json
+
+    from filda_ray.kernels.textkit import json_extract_int
+
+    s = json.dumps(d)
+    for key in list(d) + ["absent"]:
+        got = json_extract_int([s], key).to_pylist()[0]
+        v = d.get(key)
+        want = v if isinstance(v, int) and not isinstance(v, bool) else None
+        assert got == want, (s, key, got, want)
