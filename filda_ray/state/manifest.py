@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -69,24 +70,35 @@ def resume_filter(ds, out_dir: str, partition_col: str):
         return ds, done
     from ..ops.relational import semi_anti_filter
 
-    keys = np.array(sorted(done), dtype=np.int64)
+    ks = sorted(done)
+    if all(isinstance(k, (int, np.integer)) for k in ks):
+        keys = np.array(ks, dtype=np.int64)
+    else:  # string partitions (e.g. split=train/val/test)
+        keys = np.array([str(k) for k in ks])
     return semi_anti_filter(ds, keys, on=partition_col, anti=True), done
 
 
-def _check_int_partition(ds, partition_col: str):
+_SAFE_PART = re.compile(r"^[A-Za-z0-9_.-]+$")
+
+
+def _check_int_partition(ds, partition_col: str, allow_string: bool = False):
     """The manifest protocol keys partitions by int (marker JSON,
-    resume_filter's int64 key set, part=<v> dir parsing) — fail fast
-    on a non-integer partition column instead of erroring after data
-    was already written."""
+    resume_filter's key set, part=<v> dir parsing) — fail fast on an
+    unsupported partition column instead of erroring after data was
+    already written.  ``write_product`` also accepts STRING partitions
+    (e.g. split=train/val/test); the streaming writer stays int-only
+    (its dir-rename protocol parses the value back with int())."""
     try:
         sch = ds.schema()
         t = dict(zip(sch.names, sch.types))[partition_col]
     except Exception:
         return
-    if not pa.types.is_integer(t):
+    ok = pa.types.is_integer(t) or (allow_string and pa.types.is_string(t))
+    if not ok:
+        kinds = "integer- or string-typed" if allow_string else "integer-typed"
         raise ValueError(
-            f"partition_col {partition_col!r} must be integer-typed for the "
-            f"manifest protocol (got {t}); markers and resume keys are ints"
+            f"partition_col {partition_col!r} must be {kinds} for the "
+            f"manifest protocol (got {t})"
         )
 
 
@@ -102,14 +114,21 @@ def write_product(ds, out_dir: str, *, partition_col: str, lineage: dict | None 
     Returns the manifest dict after the run.
     """
     os.makedirs(out_dir, exist_ok=True)
-    _check_int_partition(ds, partition_col)
+    _check_int_partition(ds, partition_col, allow_string=True)
     lineage = dict(lineage or {})
     from ..kernels.textkit import EXTRACTOR_VERSION
 
     lineage.setdefault("extractor_version", EXTRACTOR_VERSION)
 
     def write_group(g: pd.DataFrame) -> pd.DataFrame:
-        part = int(g[partition_col].iloc[0])
+        part = g[partition_col].iloc[0]
+        if isinstance(part, str):
+            if not _SAFE_PART.match(part):
+                raise ValueError(
+                    f"string partition value {part!r} is not filesystem-safe "
+                    f"([A-Za-z0-9_.-]+ required)")
+        else:
+            part = int(part)
         if sort_cols:
             g = g.sort_values(sort_cols, kind="mergesort")
         final_dir = os.path.join(out_dir, f"part={part}")

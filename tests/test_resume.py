@@ -160,3 +160,42 @@ def test_write_partitioned_by_hex_prefix(ray_session, sf_dir, tmp_path):
     shutil.rmtree(os.path.join(out, f"part={p}"))
     write_detections(sf_dir, out, config=cfg)
     assert len(_read_all(out)) == 500
+
+
+def test_curation_output_partitioned_by_split(ray_session, tmp_path):
+    """The curation chain writes a product partitioned by its STRING
+    split column (train/val/test dirs), with per-partition manifest
+    rows, and the product reads back equal to the direct result."""
+    from filda_ray.pipelines.queries import q_curation_pipeline
+    from filda_ray.state.manifest import load_done, read_product
+
+    sf = "/root/testdata/sf0.001"
+    direct = q_curation_pipeline(sf).to_pandas()
+    out = str(tmp_path / "curated")
+    from filda_ray.state.manifest import write_product
+
+    write_product(q_curation_pipeline(sf), out, partition_col="split",
+                  lineage={"pipeline": "curation"})
+    done = load_done(out)
+    assert set(done) == set(direct["split"].unique())
+    assert sum(r["rows"] for r in done.values()) == len(direct)
+    back = read_product(out).to_pandas()
+    key = sorted(direct.columns)
+    a = direct[key].sort_values(key).reset_index(drop=True)
+    b = back[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # resume over string partitions: everything done -> nothing left
+    from filda_ray.state.manifest import resume_filter
+
+    rest, done2 = resume_filter(q_curation_pipeline(sf), out, "split")
+    assert set(done2) == set(done)
+    assert rest.count() == 0
+    # one partition missing -> only its rows remain
+    import shutil as _sh
+
+    victim = sorted(done)[0]
+    _sh.rmtree(os.path.join(out, f"part={victim}"))
+    rest2, _ = resume_filter(q_curation_pipeline(sf), out, "split")
+    rdf = rest2.to_pandas()
+    assert set(rdf["split"].unique()) == {victim}
+    assert len(rdf) == done[victim]["rows"]
