@@ -468,6 +468,110 @@ def running_aggregate(ds, *, key_col: str, ts_col: str, tie_col: str,
         emit, batch_format="pandas")
 
 
+def moving_aggregate(ds, *, key_col: str, ts_col: str, tie_col: str,
+                     value_col: str, window: int,
+                     time_chunk_us: int = 7 * 86400 * 10**6):
+    """SQL ROWS-frame moving sum/count: ``sum(v) OVER (PARTITION BY
+    key ORDER BY ts, tie ROWS BETWEEN window-1 PRECEDING AND CURRENT
+    ROW)`` with unique (ts, tie) order.  Output: (key, tie, ts_us, v,
+    moving_sum, moving_n); partition-leading rows get the SQL partial
+    window (fewer than ``window`` rows).
+
+    Same (key, time-chunk) co-partitioning as ``lag_lead``; the carry
+    into each chunk is the key's CUMULATIVE last ``window`` rows over
+    all earlier chunks (per-chunk tails folded left-to-right in a tiny
+    per-key pass), so the result is exact even when a chunk holds
+    fewer than ``window`` rows.  Carry volume <= keys x chunks x
+    window narrow rows; event data moves once.
+    """
+    import pyarrow.compute as pc
+
+    from . import pd_table
+
+    W = int(window)
+    assert W >= 1
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ts = b.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({
+            "k": b.column(key_col).cast(pa.int64()),
+            "c": pc.divide(ts, time_chunk_us),
+            "ts_us": ts,
+            "tie": b.column(tie_col).cast(pa.int64()),
+            "v": b.column(value_col).cast(pa.int64()),
+        })
+
+    base = ds.map_batches(narrow, batch_format="pyarrow")
+
+    def tail_partial(b: pa.Table) -> pa.Table:
+        d = b.to_pandas().sort_values(["ts_us", "tie"], kind="mergesort")
+        return pd_table(d.groupby(["k", "c"], sort=False).tail(W)
+                        .reset_index(drop=True))
+
+    def tail_reduce(g: pd.DataFrame) -> pa.Table:
+        d = g.sort_values(["ts_us", "tie"], kind="mergesort")
+        return pd_table(d.tail(W).reset_index(drop=True))
+
+    edges = base.map_batches(tail_partial, batch_format="pyarrow",
+                             batch_size=65536).groupby(
+        ["k", "c"], num_partitions=shuffle_partitions()).map_groups(
+        tail_reduce, batch_format="pandas")
+
+    def carry_emit(g: pd.DataFrame) -> pa.Table:
+        """Per key: fold chunk tails left-to-right, keeping the
+        cumulative last-W rows; route that history into each later
+        present chunk."""
+        d = g.sort_values(["c", "ts_us", "tie"], kind="mergesort")
+        outs = []
+        hist = d.iloc[0:0]
+        for c, cur in d.groupby("c", sort=True):
+            if len(hist):
+                h = hist.copy()
+                h["c"] = c
+                outs.append(h)
+            hist = pd.concat([hist, cur]).tail(W)
+        if not outs:
+            return pd_table(d.iloc[0:0].assign(is_carry=np.int8(0)))
+        out = pd.concat(outs).reset_index(drop=True)
+        out["is_carry"] = np.int8(1)
+        return pd_table(out)
+
+    carries = edges.groupby("k", num_partitions=shuffle_partitions()).map_groups(
+        carry_emit, batch_format="pandas")
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("is_carry",
+                               pa.array(np.zeros(len(b), dtype=np.int8)))
+
+    tagged = base.map_batches(tag, batch_format="pyarrow").union(carries)
+
+    def emit(g: pd.DataFrame) -> pa.Table:
+        data = g[g["is_carry"] == 0].sort_values(["ts_us", "tie"],
+                                                 kind="mergesort")
+        if not len(data):
+            return pd_table(pd.DataFrame({
+                "k": [], "tie": [], "ts_us": [], "v": [],
+                "moving_sum": [], "moving_n": []}).astype(np.int64))
+        carry = g[g["is_carry"] == 1].sort_values(["ts_us", "tie"],
+                                                  kind="mergesort")
+        nc = len(carry)
+        allv = np.concatenate([carry["v"].to_numpy(dtype=np.int64),
+                               data["v"].to_numpy(dtype=np.int64)])
+        cs = np.cumsum(allv)
+        q = np.arange(len(allv), dtype=np.int64)
+        lo = q - W  # exclusive start index into cs
+        msum = cs - np.where(lo >= 0, cs[np.maximum(lo, 0)], 0)
+        mn = np.minimum(q + 1, W)
+        return pd_table(pd.DataFrame({
+            "k": data["k"].to_numpy(), "tie": data["tie"].to_numpy(),
+            "ts_us": data["ts_us"].to_numpy(),
+            "v": data["v"].to_numpy(),
+            "moving_sum": msum[nc:], "moving_n": mn[nc:]}))
+
+    return tagged.groupby(["k", "c"], num_partitions=shuffle_partitions()).map_groups(
+        emit, batch_format="pandas")
+
+
 def lag_lead(ds, *, key_col: str, ts_col: str, tie_col: str, value_col: str,
              shift: str = "lag", time_chunk_us: int = 7 * 86400 * 10**6):
     """SQL ``lag(v) / lead(v) OVER (PARTITION BY key ORDER BY ts,

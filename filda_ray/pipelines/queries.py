@@ -1091,6 +1091,50 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_moving_avg(sf_dir: str):
+    """Per-user 4-row moving sum/avg (SQL ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW): the chunked co-partitioning with cumulative tail-W
+    carries, exact across sparse chunks (temporal.moving_aggregate)."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy()
+        return pa.table({"user_id": b.column("user_id"),
+                         "event_id": b.column("event_id"),
+                         "ts": b.column("ts"),
+                         "cents": pa.array(_round_half_up(v * 100.0).astype(np.int64))})
+
+    out = temporal.moving_aggregate(ds.map_batches(cents, batch_format="pyarrow"),
+                                    key_col="user_id", ts_col="ts",
+                                    tie_col="event_id", value_col="cents",
+                                    window=4)
+
+    def clean(b: pa.Table) -> pa.Table:
+        ms = b.column("moving_sum").cast(pa.int64())
+        mn = b.column("moving_n").cast(pa.int64())
+        avg = ms.to_numpy() / mn.to_numpy().astype(np.float64)
+        return pa.table({"user_id": b.column("k"),
+                         "event_id": b.column("tie"),
+                         "moving_sum": ms, "moving_n": mn,
+                         "moving_avg": pa.array(avg)})
+
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+def sql_moving_avg() -> str:
+    return """
+SELECT user_id, event_id,
+       sum(cents) OVER w AS moving_sum,
+       cast(count(*) OVER w AS bigint) AS moving_n,
+       sum(cents) OVER w / cast(count(*) OVER w AS double) AS moving_avg
+FROM (SELECT user_id, event_id, ts,
+             cast(floor(value * 100.0 + 0.5) AS bigint) AS cents FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_count_distinct(sf_dir: str):
     """Exact grouped COUNT(DISTINCT ...): bounded-bucket distinct on
     (group, value) pairs first — the only stage that sees raw rows —
@@ -3009,6 +3053,7 @@ QUERIES = {
     "rank_orders": q_rank_orders,
     "pivot_events": q_pivot_events,
     "running_totals": q_running_totals,
+    "moving_avg_events": q_moving_avg,
     "lag_events": q_lag_events,
     "count_distinct_users": q_count_distinct,
     "corr_qty_discount": q_corr_qty_discount,
@@ -3093,6 +3138,7 @@ ORACLES = {
     "rank_orders": sql_rank_orders(),
     "pivot_events": sql_pivot_events(),
     "running_totals": sql_running_totals(),
+    "moving_avg_events": sql_moving_avg(),
     "lag_events": sql_lag_events(),
     "count_distinct_users": sql_count_distinct(),
     "corr_qty_discount": sql_corr_qty_discount(),

@@ -1164,6 +1164,46 @@ def test_running_aggregate_chunk_invariant(ray_session):
     assert outs[0].equals(outs[1])
 
 
+def test_moving_aggregate_chunk_invariant(ray_session):
+    """Moving window sums match pandas rolling(min_periods=1) under
+    HOURLY chunks (most windows span several chunks, so cumulative
+    tail-W carries are exercised hard) and one huge chunk."""
+    from filda_ray.ops.temporal import moving_aggregate
+
+    rng = np.random.default_rng(13)
+    n = 400
+    W = 5
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 3 * 86400, n), unit="s")
+    df = pd.DataFrame({"user_id": rng.integers(0, 5, n), "event_id": np.arange(n),
+                       "ts": ts, "v": rng.integers(1, 100, n)})
+    want = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    want["moving_sum"] = (want.groupby("user_id")["v"]
+                          .rolling(W, min_periods=1).sum()
+                          .reset_index(level=0, drop=True))
+    want["moving_n"] = (want.groupby("user_id")["v"]
+                        .rolling(W, min_periods=1).count()
+                        .reset_index(level=0, drop=True))
+    wm = want.set_index("event_id")[["moving_sum", "moving_n"]]
+
+    import ray.data as rd
+
+    outs = []
+    for chunk_us in (3600 * 10**6, 3650 * 86400 * 10**6):
+        ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)
+                           .replace_schema_metadata(None))
+        got = moving_aggregate(ds, key_col="user_id", ts_col="ts",
+                               tie_col="event_id", value_col="v", window=W,
+                               time_chunk_us=chunk_us).to_pandas()
+        gm = got.set_index("tie")[["moving_sum", "moving_n"]]
+        assert (gm.loc[wm.index, "moving_sum"].to_numpy()
+                == wm["moving_sum"].to_numpy()).all()
+        assert (gm.loc[wm.index, "moving_n"].to_numpy()
+                == wm["moving_n"].to_numpy()).all()
+        outs.append(gm.sort_index())
+    assert outs[0].equals(outs[1])
+
+
 def test_lag_lead_chunk_boundaries(ray_session):
     """lag/lead match pandas shift under both tiny chunks (boundary
     carries exercised on nearly every row) and one huge chunk."""
