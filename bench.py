@@ -45,6 +45,28 @@ SCALING_HI = int(os.environ.get("GRAFT_SCALING_HI", "8"))
 SCALING_REPLICATE = int(os.environ.get("GRAFT_SCALING_REPLICATE", "1024"))
 
 
+def _cpu_stat():
+    """Aggregate cpu jiffies from /proc/stat (user..guest_nice)."""
+    try:
+        with open("/proc/stat") as f:
+            return list(map(int, f.readline().split()[1:]))
+    except Exception:
+        return None
+
+
+def _steal_pct(a, b):
+    """Hypervisor steal % between two _cpu_stat snapshots — the ONLY
+    guest-visible signal of neighbor bursts on this box (they do not
+    show in guest loadavg).  Runs with steal above ~2-3% are
+    contaminated; recorded so every bench JSON carries its own
+    contamination evidence."""
+    if not a or not b or len(a) < 8:
+        return None
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d) or 1
+    return round(100.0 * d[7] / tot, 2)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -59,6 +81,7 @@ def run_bench() -> dict:
     from filda_ray.sources.pages import read_pages
 
     timings: dict[str, float] = {}
+    stat0 = _cpu_stat()
 
     # warm the page cache (untimed read) so we measure compute + shuffle
     read_pages(SF_DIR).count()
@@ -200,6 +223,7 @@ def run_bench() -> dict:
         "pages": int(n_pages),
         "pages_per_sec": round(n_pages / max(timings["flagship_detect"], 1e-9), 1),
         "flagship_runs": runs,
+        "steal_pct": _steal_pct(stat0, _cpu_stat()),
     }
     ray.shutdown()
     return out
@@ -285,6 +309,8 @@ def run_scaling() -> dict:
         "pages": r_hi["pages"],
         "pages_per_sec_lo": r_lo["pages_per_sec"],
         "pages_per_sec_hi": r_hi["pages_per_sec"],
+        "steal_pct_lo": r_lo.get("steal_pct"),
+        "steal_pct_hi": r_hi.get("steal_pct"),
         "sf": SF_DIR,
     }
 
