@@ -1581,6 +1581,43 @@ GROUP BY 1, 2
 """
 
 
+def q_cube_revenue(sf_dir: str):
+    """GROUP BY CUBE(status, priority): all four grouping sets from
+    ONE full shuffle; every coarser set re-aggregates the finest
+    level's tiny output (ops.stats_agg.cube_sums)."""
+    from ..ops import stats_agg as SA
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderstatus", "o_orderpriority",
+                                     "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = _round_half_up(b.column("o_totalprice").to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"o_orderstatus": b.column("o_orderstatus"),
+                         "o_orderpriority": b.column("o_orderpriority"),
+                         "cents": pa.array(cents)})
+
+    return SA.cube_sums(ds.map_batches(prep, batch_format="pyarrow"),
+                        key_cols=["o_orderstatus", "o_orderpriority"],
+                        key_types={"o_orderstatus": pa.string(),
+                                   "o_orderpriority": pa.string()},
+                        value_col="cents", count_col="n_orders",
+                        sum_col="revenue_cents")
+
+
+def sql_cube_revenue() -> str:
+    return """
+WITH o AS (
+  SELECT o_orderstatus, o_orderpriority,
+         cast(round(o_totalprice*100) as bigint) AS cents
+  FROM orders)
+SELECT o_orderstatus, o_orderpriority,
+       cast(count(*) as bigint) AS n_orders,
+       cast(sum(cents) as bigint) AS revenue_cents
+FROM o GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
 def q_lag_events(sf_dir: str):
     """SQL lag()/lead() over (user, ts) without per-key full histories
     in one worker: (key, 7-day chunk) groups + boundary-row carries
@@ -3059,6 +3096,7 @@ QUERIES = {
     "corr_qty_discount": q_corr_qty_discount,
     "argmax_events": q_argmax_events,
     "rollup_revenue": q_rollup_revenue,
+    "cube_revenue": q_cube_revenue,
     "line_repetition": q_line_repetition,
     "mode_event_type": q_mode_event_type,
     "salted_join_events": q_salted_join_events,
@@ -3144,6 +3182,7 @@ ORACLES = {
     "corr_qty_discount": sql_corr_qty_discount(),
     "argmax_events": sql_argmax_events(),
     "rollup_revenue": sql_rollup_revenue(),
+    "cube_revenue": sql_cube_revenue(),
     "line_repetition": sql_line_repetition(),
     "mode_event_type": sql_mode_event_type(),
     "salted_join_events": sql_salted_join_events(),
