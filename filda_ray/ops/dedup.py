@@ -37,8 +37,14 @@ def add_content_hash(ds, text_col: str = "text", out_col: str = "content_md5"):
 
 
 def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id",
-                n_buckets: int | None = None):
-    """Keep the min-id row per distinct content (deterministic winner).
+                n_buckets: int | None = None, *, keep: str = "first",
+                priority_col: str | None = None):
+    """Keep one row per distinct content (deterministic winner).
+
+    Winner policy: ``keep='first'`` (default) takes the min ``id_col``
+    row; ``keep='last'`` the max.  ``priority_col`` ranks BEFORE the
+    id tie-break — e.g. ``priority_col='warc_ts', keep='last'`` is the
+    keep-newest-crawl curation policy (max ts, max id among ts ties).
 
     Scale design: at web scale ~every document is unique, so a
     per-distinct-hash UDF (groupby(md5).map_groups) degrades to one
@@ -52,6 +58,9 @@ def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id",
     """
     if n_buckets is None:
         n_buckets = autoscale_buckets(ds)
+    assert keep in ("first", "last")
+    rank_cols = ([priority_col] if priority_col else []) + [id_col]
+    asc = keep == "first"
 
     def hash_and_bucket(batch: pa.Table) -> pa.Table:
         from ..kernels.hashing import md5_hex64
@@ -65,7 +74,9 @@ def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id",
                     .append_column("__bk", pa.array(bk)).replace_schema_metadata(None)
 
     def first_wins(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["content_md5", id_col], kind="mergesort")
+        g = g.sort_values(["content_md5"] + rank_cols,
+                          ascending=[True] + [asc] * len(rank_cols),
+                          kind="mergesort")
         cm = g["content_md5"]
         # null texts form ONE group (SQL GROUP BY semantics: md5(NULL)
         # is NULL and nulls group together) — plain ne() would treat

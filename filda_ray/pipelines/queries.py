@@ -1618,6 +1618,32 @@ FROM o GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
 
+def q_dedup_keep_newest(sf_dir: str):
+    """Keep-newest dedup policy: one row per distinct props payload,
+    the winner being max ts (max event_id among ts ties) — the
+    keep-latest-crawl curation policy on dedup_exact's bounded-bucket
+    machinery (keep='last', priority_col)."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "props"])
+    out = dedup_exact(ds, text_col="props", id_col="event_id",
+                      keep="last", priority_col="ts")
+    return out.map_batches(
+        lambda b: pa.table({"event_id": b.column("event_id"),
+                            "ts": b.column("ts"),
+                            "props": b.column("props")}),
+        batch_format="pyarrow")
+
+
+def sql_dedup_keep_newest() -> str:
+    return """
+SELECT event_id, ts, props FROM (
+  SELECT event_id, ts, props,
+         row_number() OVER (PARTITION BY props
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
 def q_lag_events(sf_dir: str):
     """SQL lag()/lead() over (user, ts) without per-key full histories
     in one worker: (key, 7-day chunk) groups + boundary-row carries
@@ -3097,6 +3123,7 @@ QUERIES = {
     "argmax_events": q_argmax_events,
     "rollup_revenue": q_rollup_revenue,
     "cube_revenue": q_cube_revenue,
+    "dedup_keep_newest": q_dedup_keep_newest,
     "line_repetition": q_line_repetition,
     "mode_event_type": q_mode_event_type,
     "salted_join_events": q_salted_join_events,
@@ -3183,6 +3210,7 @@ ORACLES = {
     "argmax_events": sql_argmax_events(),
     "rollup_revenue": sql_rollup_revenue(),
     "cube_revenue": sql_cube_revenue(),
+    "dedup_keep_newest": sql_dedup_keep_newest(),
     "line_repetition": sql_line_repetition(),
     "mode_event_type": sql_mode_event_type(),
     "salted_join_events": sql_salted_join_events(),
