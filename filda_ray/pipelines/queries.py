@@ -1644,6 +1644,48 @@ SELECT event_id, ts, props FROM (
 """
 
 
+def q_intersect_users(sf_dir: str):
+    """SQL INTERSECT: distinct event users that are also customer
+    keys — bounded-bucket distinct composed with the Bloom-prefiltered
+    exact semi join (neither raw table fully shuffles)."""
+    from ..ops.bloom import bloom_semi_anti_join
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey"])
+    d = rel.distinct_rows(ev, ["user_id"])
+    return bloom_semi_anti_join(d, cust, on="user_id", right_on="c_custkey")
+
+
+def sql_intersect_users() -> str:
+    return """
+SELECT user_id FROM events
+INTERSECT
+SELECT c_custkey FROM customer
+"""
+
+
+def q_except_custkeys(sf_dir: str):
+    """SQL EXCEPT: customer keys with no events — the same composition
+    with the anti side."""
+    from ..ops.bloom import bloom_semi_anti_join
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey"])
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
+    d = rel.distinct_rows(cust, ["c_custkey"])
+    return bloom_semi_anti_join(d, ev, on="c_custkey", right_on="user_id",
+                                anti=True)
+
+
+def sql_except_custkeys() -> str:
+    return """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT user_id FROM events
+"""
+
+
 def q_lag_events(sf_dir: str):
     """SQL lag()/lead() over (user, ts) without per-key full histories
     in one worker: (key, 7-day chunk) groups + boundary-row carries
@@ -3124,6 +3166,8 @@ QUERIES = {
     "rollup_revenue": q_rollup_revenue,
     "cube_revenue": q_cube_revenue,
     "dedup_keep_newest": q_dedup_keep_newest,
+    "intersect_users": q_intersect_users,
+    "except_custkeys": q_except_custkeys,
     "line_repetition": q_line_repetition,
     "mode_event_type": q_mode_event_type,
     "salted_join_events": q_salted_join_events,
@@ -3211,6 +3255,8 @@ ORACLES = {
     "rollup_revenue": sql_rollup_revenue(),
     "cube_revenue": sql_cube_revenue(),
     "dedup_keep_newest": sql_dedup_keep_newest(),
+    "intersect_users": sql_intersect_users(),
+    "except_custkeys": sql_except_custkeys(),
     "line_repetition": sql_line_repetition(),
     "mode_event_type": sql_mode_event_type(),
     "salted_join_events": sql_salted_join_events(),
