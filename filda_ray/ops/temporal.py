@@ -24,6 +24,41 @@ import pyarrow as pa
 from ..kernels.stats import moment_finalize
 
 
+def _seg_bounds(*cols):
+    """Segment structure of equal consecutive tuples over pre-sorted
+    parallel arrays: (boundary mask, per-row segment id, segment start
+    indices).  The vectorized spine of every bucketed window op."""
+    n = len(cols[0])
+    new = np.zeros(n, np.bool_)
+    new[0] = True
+    for a in cols:
+        new[1:] |= a[1:] != a[:-1]
+    seg_id = np.cumsum(new) - 1
+    return new, seg_id, np.flatnonzero(new)
+
+
+def _window_buckets(ds):
+    """Bucket count for the bounded-bucket window shuffles.
+
+    Oversample vs the partition count (16x) so no hash partition ends
+    up empty: Ray's hash partitioner is ``hash(key_tuple) %
+    num_partitions``, and an empty partition emits an empty-schema
+    block that trips the executor's schema-divergence warning."""
+    from . import derive_buckets
+
+    return max(derive_buckets(ds), 16 * shuffle_partitions())
+
+
+def _hash_mod(nb: int, *cols) -> np.ndarray:
+    """splitmix64-combined bucket id over parallel int64 arrays."""
+    from ..kernels.hashing import hash_combine, splitmix64
+
+    h = splitmix64(cols[0].astype(np.uint64))
+    for a in cols[1:]:
+        h = hash_combine(h, a.astype(np.uint64))
+    return (h % np.uint64(nb)).astype(np.int32)
+
+
 def time_bucket(ts_us: np.ndarray, bucket_s: int) -> np.ndarray:
     """Floor-quantize microsecond timestamps to bucket starts (us).
 
@@ -391,12 +426,17 @@ def running_aggregate(ds, *, key_col: str, ts_col: str, tie_col: str,
     ``sum(v) OVER (PARTITION BY key ORDER BY ts, tie)`` with a unique
     (ts, tie) order (peers are single rows, so RANGE == ROWS).
 
-    Scale design (same co-partitioning as the chunked as-of join): a
-    group is ONE (key, time-chunk) — bounded even for a mega-key with
-    years of history.  Per-(key, chunk) totals are a narrow partial
-    aggregate; their per-key exclusive cumsum (one tiny groupby over
-    keys x chunks rows) becomes OFFSET rows that ride the SAME main
-    shuffle via a tagged union, so the event data moves exactly once.
+    Scale design (same co-partitioning as the chunked as-of join): the
+    unit of locality is a (key, time-chunk) — bounded even for a
+    mega-key with years of history.  Per-(key, chunk) totals are a
+    narrow partial aggregate; their per-key exclusive cumsum (one tiny
+    groupby over keys x chunks rows) becomes OFFSET rows that ride the
+    SAME main shuffle via a tagged union, so the event data moves
+    exactly once.  The final shuffle groups by a BOUNDED hash bucket
+    of (key, chunk) — not by (key, chunk) itself — and each bucket is
+    ONE vectorized lexsort + segmented-cumsum pass (a per-(key, chunk)
+    ``map_groups`` measured 29 cpu-s over ~8k tiny pandas groups at
+    sf0.1; the bucketed pass removes the per-group Python overhead).
     Output: (key, tie, ts, running_sum, running_n).
     """
     import pyarrow.compute as pc
@@ -427,45 +467,84 @@ def running_aggregate(ds, *, key_col: str, ts_col: str, tie_col: str,
         ["k", "c"], num_partitions=shuffle_partitions()).aggregate(
         Sum("s", alias_name="s"), Sum("n", alias_name="n"))
 
-    def excl_cumsum(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values("c", kind="mergesort")
-        off_s = np.r_[0, np.cumsum(g["s"].to_numpy())[:-1]]
-        off_n = np.r_[0, np.cumsum(g["n"].to_numpy())[:-1]]
-        return pd_table(pd.DataFrame({
-            "k": g["k"].to_numpy(), "c": g["c"].to_numpy(),
-            "ts_us": np.int64(0), "tie": np.int64(0), "v": np.int64(0),
-            "off_s": off_s.astype(np.int64), "off_n": off_n.astype(np.int64),
-            "is_off": np.int8(1)}))
+    nb = _window_buckets(ds)
 
-    offsets = totals.groupby("k", num_partitions=shuffle_partitions()).map_groups(
-        excl_cumsum, batch_format="pandas")
+    def add_kbucket(b: pa.Table) -> pa.Table:
+        k = b.column("k").to_numpy(zero_copy_only=False)
+        return b.append_column("kb", pa.array(_hash_mod(nb, k)))
+
+    def excl_cumsum_bucket(g: pd.DataFrame) -> pa.Table:
+        """Per-key exclusive cumsum of chunk totals — one segmented
+        pass per bucket, never a per-key Python call."""
+        k = g["k"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        s = g["s"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        order = np.lexsort((c, k))
+        k, c, s, n = k[order], c[order], s[order], n[order]
+        _, seg_id, seg_start = _seg_bounds(k)
+        cs, cn = np.cumsum(s), np.cumsum(n)
+        base_s = np.where(seg_start > 0, cs[seg_start - 1], 0)
+        base_n = np.where(seg_start > 0, cn[seg_start - 1], 0)
+        z = np.zeros(len(k), dtype=np.int64)
+        return pd_table(pd.DataFrame({
+            "k": k, "c": c, "ts_us": z, "tie": z, "v": z,
+            "off_s": cs - s - base_s[seg_id],
+            "off_n": cn - n - base_n[seg_id],
+            "is_off": np.full(len(k), 1, dtype=np.int8)}))
+
+    offsets = totals.map_batches(add_kbucket, batch_format="pyarrow").groupby(
+        "kb", num_partitions=shuffle_partitions(nb)).map_groups(
+        excl_cumsum_bucket, batch_format="pandas")
 
     def widen(b: pa.Table) -> pa.Table:
         z = pa.array(np.zeros(len(b), dtype=np.int64))
         return (b.append_column("off_s", z).append_column("off_n", z)
                  .append_column("is_off", pa.array(np.zeros(len(b), dtype=np.int8))))
 
-    tagged = base.map_batches(widen, batch_format="pyarrow").union(offsets)
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b.column("k").to_numpy(zero_copy_only=False)
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        return b.append_column("bk", pa.array(_hash_mod(nb, k, c)))
 
-    def emit(g: pd.DataFrame) -> pa.Table:
-        off = g[g["is_off"] == 1]
-        os_ = int(off["off_s"].sum())
-        on_ = int(off["off_n"].sum())
-        d = g[g["is_off"] == 0].sort_values(["ts_us", "tie"], kind="mergesort")
+    tagged = (base.map_batches(widen, batch_format="pyarrow")
+              .union(offsets)
+              .map_batches(add_bucket, batch_format="pyarrow"))
+
+    def emit_bucket(g: pd.DataFrame) -> pa.Table:
+        d = g[g["is_off"] == 0]
         if not len(d):
             return pd_table(pd.DataFrame({
                 "k": [], "tie": [], "ts_us": [],
                 "running_sum": [], "running_n": []}).astype(np.int64))
+        k = d["k"].to_numpy(np.int64)
+        c = d["c"].to_numpy(np.int64)
+        ts = d["ts_us"].to_numpy(np.int64)
+        tie = d["tie"].to_numpy(np.int64)
+        v = d["v"].to_numpy(np.int64)
+        order = np.lexsort((tie, ts, c, k))
+        k, c, ts, tie, v = k[order], c[order], ts[order], tie[order], v[order]
+        _, seg_id, seg_start = _seg_bounds(k, c)
+        cs = np.cumsum(v)
+        base_ = np.where(seg_start > 0, cs[seg_start - 1], 0)
+        run_sum = cs - base_[seg_id]
+        run_n = np.arange(len(k), dtype=np.int64) - seg_start[seg_id] + 1
+        off = g[g["is_off"] == 1]
+        if len(off):
+            # one offset row per (k, c) segment; tiny C-level merge
+            oa = off.groupby(["k", "c"], as_index=False)[["off_s", "off_n"]].sum()
+            seg = pd.DataFrame({"k": k[seg_start], "c": c[seg_start]}).merge(
+                oa, on=["k", "c"], how="left")
+            os_ = seg["off_s"].fillna(0).to_numpy(np.int64)
+            on_ = seg["off_n"].fillna(0).to_numpy(np.int64)
+            run_sum = run_sum + os_[seg_id]
+            run_n = run_n + on_[seg_id]
         return pd_table(pd.DataFrame({
-            "k": d["k"].to_numpy(),
-            "tie": d["tie"].to_numpy(),
-            "ts_us": d["ts_us"].to_numpy(),
-            "running_sum": np.cumsum(d["v"].to_numpy()) + os_,
-            "running_n": np.arange(1, len(d) + 1, dtype=np.int64) + on_,
-        }))
+            "k": k, "tie": tie, "ts_us": ts,
+            "running_sum": run_sum, "running_n": run_n}))
 
-    return tagged.groupby(["k", "c"], num_partitions=shuffle_partitions()).map_groups(
-        emit, batch_format="pandas")
+    return tagged.groupby("bk", num_partitions=shuffle_partitions(nb)).map_groups(
+        emit_bucket, batch_format="pandas")
 
 
 def moving_aggregate(ds, *, key_col: str, ts_col: str, tie_col: str,
@@ -479,10 +558,14 @@ def moving_aggregate(ds, *, key_col: str, ts_col: str, tie_col: str,
 
     Same (key, time-chunk) co-partitioning as ``lag_lead``; the carry
     into each chunk is the key's CUMULATIVE last ``window`` rows over
-    all earlier chunks (per-chunk tails folded left-to-right in a tiny
-    per-key pass), so the result is exact even when a chunk holds
-    fewer than ``window`` rows.  Carry volume <= keys x chunks x
-    window narrow rows; event data moves once.
+    all earlier chunks — equal to the last ``window`` per-chunk-tail
+    rows preceding the chunk, because tail_W(tail_W(X)+Y) =
+    tail_W(X+Y) for ordered concatenation — so the result is exact
+    even when a chunk holds fewer than ``window`` rows.  Carry volume
+    <= keys x chunks x window narrow rows; event data moves once.
+    Every shuffle stage groups by a BOUNDED hash bucket, one
+    vectorized lexsort + segmented pass per bucket (never a
+    per-(key, chunk) Python call).
     """
     import pyarrow.compute as pc
 
@@ -503,73 +586,117 @@ def moving_aggregate(ds, *, key_col: str, ts_col: str, tie_col: str,
 
     base = ds.map_batches(narrow, batch_format="pyarrow")
 
+    nb = _window_buckets(ds)
+
     def tail_partial(b: pa.Table) -> pa.Table:
         d = b.to_pandas().sort_values(["ts_us", "tie"], kind="mergesort")
-        return pd_table(d.groupby(["k", "c"], sort=False).tail(W)
-                        .reset_index(drop=True))
+        d = d.groupby(["k", "c"], sort=False).tail(W).reset_index(drop=True)
+        d["bk"] = _hash_mod(nb, d["k"].to_numpy(np.int64),
+                            d["c"].to_numpy(np.int64))
+        return pd_table(d)
 
-    def tail_reduce(g: pd.DataFrame) -> pa.Table:
-        d = g.sort_values(["ts_us", "tie"], kind="mergesort")
-        return pd_table(d.tail(W).reset_index(drop=True))
+    def tail_reduce_bucket(g: pd.DataFrame) -> pa.Table:
+        """Last W rows per (key, chunk), one lexsort per bucket; emits
+        the per-key carry bucket ``kb`` for the next stage."""
+        k = g["k"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        tie = g["tie"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        order = np.lexsort((tie, ts, c, k))
+        k, c, ts, tie, v = k[order], c[order], ts[order], tie[order], v[order]
+        _, seg_id, seg_start = _seg_bounds(k, c)
+        n = len(k)
+        seg_len = np.diff(np.r_[seg_start, n])
+        pos = np.arange(n) - seg_start[seg_id]
+        keep = pos >= (seg_len[seg_id] - W)
+        k, c, ts, tie, v = k[keep], c[keep], ts[keep], tie[keep], v[keep]
+        return pd_table(pd.DataFrame({
+            "k": k, "c": c, "ts_us": ts, "tie": tie, "v": v,
+            "kb": _hash_mod(nb, k)}))
 
     edges = base.map_batches(tail_partial, batch_format="pyarrow",
                              batch_size=65536).groupby(
-        ["k", "c"], num_partitions=shuffle_partitions()).map_groups(
-        tail_reduce, batch_format="pandas")
+        "bk", num_partitions=shuffle_partitions(nb)).map_groups(
+        tail_reduce_bucket, batch_format="pandas")
 
-    def carry_emit(g: pd.DataFrame) -> pa.Table:
-        """Per key: fold chunk tails left-to-right, keeping the
-        cumulative last-W rows; route that history into each later
-        present chunk."""
-        d = g.sort_values(["c", "ts_us", "tie"], kind="mergesort")
-        outs = []
-        hist = d.iloc[0:0]
-        for c, cur in d.groupby("c", sort=True):
-            if len(hist):
-                h = hist.copy()
-                h["c"] = c
-                outs.append(h)
-            hist = pd.concat([hist, cur]).tail(W)
-        if not outs:
-            return pd_table(d.iloc[0:0].assign(is_carry=np.int8(0)))
-        out = pd.concat(outs).reset_index(drop=True)
-        out["is_carry"] = np.int8(1)
-        return pd_table(out)
+    def carry_bucket(g: pd.DataFrame) -> pa.Table:
+        """Route each chunk's carry — the last W tail rows preceding
+        it within its key — into that chunk, fully vectorized."""
+        k = g["k"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        tie = g["tie"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        order = np.lexsort((tie, ts, c, k))
+        k, c, ts, tie, v = k[order], c[order], ts[order], tie[order], v[order]
+        new_k, _, k_start = _seg_bounds(k)
+        _, _, kc_start = _seg_bounds(k, c)
+        key_id = np.cumsum(new_k) - 1
+        tgt = kc_start[~new_k[kc_start]]  # chunk starts that are not key starts
+        if not len(tgt):
+            return pd_table(pd.DataFrame({
+                "k": pd.Series([], dtype=np.int64),
+                "c": pd.Series([], dtype=np.int64),
+                "ts_us": pd.Series([], dtype=np.int64),
+                "tie": pd.Series([], dtype=np.int64),
+                "v": pd.Series([], dtype=np.int64),
+                "is_carry": pd.Series([], dtype=np.int8),
+                "bk": pd.Series([], dtype=np.int32)}))
+        s = tgt - k_start[key_id[tgt]]  # tail rows before chunk, within key
+        t = np.minimum(W, s)
+        within = np.arange(t.sum()) - np.repeat(np.cumsum(t) - t, t)
+        src = np.repeat(tgt - t, t) + within
+        ck, cc = k[src], np.repeat(c[tgt], t)
+        return pd_table(pd.DataFrame({
+            "k": ck, "c": cc, "ts_us": ts[src], "tie": tie[src],
+            "v": v[src],
+            "is_carry": np.full(len(src), 1, dtype=np.int8),
+            "bk": _hash_mod(nb, ck, cc)}))
 
-    carries = edges.groupby("k", num_partitions=shuffle_partitions()).map_groups(
-        carry_emit, batch_format="pandas")
+    carries = edges.groupby("kb", num_partitions=shuffle_partitions(nb)).map_groups(
+        carry_bucket, batch_format="pandas")
 
     def tag(b: pa.Table) -> pa.Table:
-        return b.append_column("is_carry",
-                               pa.array(np.zeros(len(b), dtype=np.int8)))
+        k = b.column("k").to_numpy(zero_copy_only=False)
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        return (b.append_column("is_carry",
+                                pa.array(np.zeros(len(b), dtype=np.int8)))
+                 .append_column("bk", pa.array(_hash_mod(nb, k, c))))
 
     tagged = base.map_batches(tag, batch_format="pyarrow").union(carries)
 
-    def emit(g: pd.DataFrame) -> pa.Table:
-        data = g[g["is_carry"] == 0].sort_values(["ts_us", "tie"],
-                                                 kind="mergesort")
-        if not len(data):
+    def emit_bucket(g: pd.DataFrame) -> pa.Table:
+        if not (g["is_carry"] == 0).any():
             return pd_table(pd.DataFrame({
                 "k": [], "tie": [], "ts_us": [], "v": [],
                 "moving_sum": [], "moving_n": []}).astype(np.int64))
-        carry = g[g["is_carry"] == 1].sort_values(["ts_us", "tie"],
-                                                  kind="mergesort")
-        nc = len(carry)
-        allv = np.concatenate([carry["v"].to_numpy(dtype=np.int64),
-                               data["v"].to_numpy(dtype=np.int64)])
-        cs = np.cumsum(allv)
-        q = np.arange(len(allv), dtype=np.int64)
-        lo = q - W  # exclusive start index into cs
-        msum = cs - np.where(lo >= 0, cs[np.maximum(lo, 0)], 0)
-        mn = np.minimum(q + 1, W)
+        k = g["k"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        tie = g["tie"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        carry = g["is_carry"].to_numpy(np.int8)
+        # carries come from earlier chunks, so their ts sorts before
+        # every data row of the destination chunk
+        order = np.lexsort((tie, ts, c, k))
+        k, c, ts, tie, v, carry = (a[order] for a in (k, c, ts, tie, v, carry))
+        _, seg_id, seg_start = _seg_bounds(k, c)
+        n = len(k)
+        cs = np.cumsum(v)
+        base_ = np.where(seg_start > 0, cs[seg_start - 1], 0)
+        pos = np.arange(n) - seg_start[seg_id]
+        lo = np.arange(n) - W
+        prev = np.where(pos >= W, cs[np.maximum(lo, 0)], base_[seg_id])
+        msum = cs - prev
+        mn = np.minimum(pos + 1, W)
+        keep = carry == 0
         return pd_table(pd.DataFrame({
-            "k": data["k"].to_numpy(), "tie": data["tie"].to_numpy(),
-            "ts_us": data["ts_us"].to_numpy(),
-            "v": data["v"].to_numpy(),
-            "moving_sum": msum[nc:], "moving_n": mn[nc:]}))
+            "k": k[keep], "tie": tie[keep], "ts_us": ts[keep],
+            "v": v[keep], "moving_sum": msum[keep], "moving_n": mn[keep]}))
 
-    return tagged.groupby(["k", "c"], num_partitions=shuffle_partitions()).map_groups(
-        emit, batch_format="pandas")
+    return tagged.groupby("bk", num_partitions=shuffle_partitions(nb)).map_groups(
+        emit_bucket, batch_format="pandas")
 
 
 def lag_lead(ds, *, key_col: str, ts_col: str, tie_col: str, value_col: str,
@@ -581,9 +708,11 @@ def lag_lead(ds, *, key_col: str, ts_col: str, tie_col: str, value_col: str,
     Same (key, time-chunk) co-partitioning as ``running_aggregate``;
     the cross-chunk boundary row (last row of the previous present
     chunk for lag, first of the next for lead) is computed by a
-    narrow per-(key, chunk) edge-row pass — <= keys x chunks rows —
-    and rides the main shuffle as a tagged carry, so event data moves
-    exactly once.
+    narrow edge-row pass — <= keys x chunks rows — and rides the main
+    shuffle as a tagged carry, so event data moves exactly once.
+    Every shuffle stage groups by a BOUNDED hash bucket, one
+    vectorized lexsort + segmented pass per bucket (never a
+    per-(key, chunk) Python call).
     """
     import pyarrow.compute as pc
 
@@ -605,70 +734,111 @@ def lag_lead(ds, *, key_col: str, ts_col: str, tie_col: str, value_col: str,
 
     base = ds.map_batches(narrow, batch_format="pyarrow")
 
+    nb = _window_buckets(ds)
+
     def edge_partial(b: pa.Table) -> pa.Table:
         """Per-batch edge row (last for lag / first for lead) per
         (key, chunk) — shrinks the carry shuffle."""
         d = b.to_pandas().sort_values(["ts_us", "tie"], kind="mergesort")
         g = d.groupby(["k", "c"], sort=False)
         e = (g.tail(1) if shift == "lag" else g.head(1)).reset_index(drop=True)
+        e["bk"] = _hash_mod(nb, e["k"].to_numpy(np.int64),
+                            e["c"].to_numpy(np.int64))
         return pd_table(e)
 
-    def edge_reduce(g: pd.DataFrame) -> pa.Table:
-        d = g.sort_values(["ts_us", "tie"], kind="mergesort")
-        return pd_table((d.tail(1) if shift == "lag" else d.head(1))
-                        .reset_index(drop=True))
+    def edge_reduce_bucket(g: pd.DataFrame) -> pa.Table:
+        """One edge row per (key, chunk): one lexsort per bucket; emits
+        the per-key carry bucket ``kb`` for the next stage."""
+        k = g["k"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        tie = g["tie"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        order = np.lexsort((tie, ts, c, k))
+        k, c, ts, tie, v = k[order], c[order], ts[order], tie[order], v[order]
+        new, _, seg_start = _seg_bounds(k, c)
+        if shift == "lag":
+            pick = np.r_[seg_start[1:] - 1, len(k) - 1]  # segment ends
+        else:
+            pick = seg_start
+        k, c, ts, tie, v = k[pick], c[pick], ts[pick], tie[pick], v[pick]
+        return pd_table(pd.DataFrame({
+            "k": k, "c": c, "ts_us": ts, "tie": tie, "v": v,
+            "kb": _hash_mod(nb, k)}))
 
     edges = base.map_batches(edge_partial, batch_format="pyarrow",
                              batch_size=65536).groupby(
-        ["k", "c"], num_partitions=shuffle_partitions()).map_groups(
-        edge_reduce, batch_format="pandas")
+        "bk", num_partitions=shuffle_partitions(nb)).map_groups(
+        edge_reduce_bucket, batch_format="pandas")
 
-    def carry_emit(g: pd.DataFrame) -> pa.Table:
-        """Per key: route each edge row to the NEXT (lag) / PREVIOUS
-        (lead) present chunk as a carry."""
-        d = g.sort_values("c", kind="mergesort").reset_index(drop=True)
-        if len(d) < 2:
-            return pd_table(d.iloc[0:0].assign(is_carry=np.int8(0)))
+    def carry_bucket(g: pd.DataFrame) -> pa.Table:
+        """Route each edge row to the NEXT (lag) / PREVIOUS (lead)
+        present chunk of its key as a carry — vectorized shift over
+        the bucket's (key, chunk)-sorted edge rows."""
+        k = g["k"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        tie = g["tie"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        order = np.lexsort((c, k))  # one row per (k, c)
+        k, c, ts, tie, v = k[order], c[order], ts[order], tie[order], v[order]
+        same = k[1:] == k[:-1]
         if shift == "lag":
-            src, dst = d.iloc[:-1].copy(), d["c"].to_numpy()[1:]
+            src = np.flatnonzero(same)          # row i -> chunk of row i+1
+            dst_c = c[src + 1]
         else:
-            src, dst = d.iloc[1:].copy(), d["c"].to_numpy()[:-1]
-        src["c"] = dst
-        src["is_carry"] = np.int8(1)
-        return pd_table(src.reset_index(drop=True))
+            src = np.flatnonzero(same) + 1      # row i -> chunk of row i-1
+            dst_c = c[src - 1]
+        ck = k[src]
+        return pd_table(pd.DataFrame({
+            "k": ck, "c": dst_c, "ts_us": ts[src], "tie": tie[src],
+            "v": v[src],
+            "is_carry": np.full(len(src), 1, dtype=np.int8),
+            "bk": _hash_mod(nb, ck, dst_c)}))
 
-    carries = edges.groupby("k", num_partitions=shuffle_partitions()).map_groups(
-        carry_emit, batch_format="pandas")
+    carries = edges.groupby("kb", num_partitions=shuffle_partitions(nb)).map_groups(
+        carry_bucket, batch_format="pandas")
 
     def tag(b: pa.Table) -> pa.Table:
-        return b.append_column("is_carry",
-                               pa.array(np.zeros(len(b), dtype=np.int8)))
+        k = b.column("k").to_numpy(zero_copy_only=False)
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        return (b.append_column("is_carry",
+                                pa.array(np.zeros(len(b), dtype=np.int8)))
+                 .append_column("bk", pa.array(_hash_mod(nb, k, c))))
 
     tagged = base.map_batches(tag, batch_format="pyarrow").union(carries)
 
-    def emit(g: pd.DataFrame) -> pa.Table:
-        data = g[g["is_carry"] == 0].sort_values(["ts_us", "tie"],
-                                                 kind="mergesort")
-        if not len(data):
+    def emit_bucket(g: pd.DataFrame) -> pa.Table:
+        if not (g["is_carry"] == 0).any():
             return pd_table(pd.DataFrame({
                 "k": pd.Series([], dtype=np.int64),
                 "tie": pd.Series([], dtype=np.int64),
                 "ts_us": pd.Series([], dtype=np.int64),
                 "v": pd.Series([], dtype=np.int64),
                 out_val: pd.Series([], dtype="float64")}))
-        carry = g[g["is_carry"] == 1]
-        vals = data["v"].to_numpy()
-        shifted = np.empty(len(vals), dtype=np.float64)
+        k = g["k"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        tie = g["tie"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        carry = g["is_carry"].to_numpy(np.int8)
+        # a lag carry is the previous chunk's last row (earlier ts ->
+        # sorts first in the segment); a lead carry is the next
+        # chunk's first row (later ts -> sorts last)
+        order = np.lexsort((tie, ts, c, k))
+        k, c, ts, tie, v, carry = (a[order] for a in (k, c, ts, tie, v, carry))
+        same_prev = np.zeros(len(k), np.bool_)
+        same_prev[1:] = (k[1:] == k[:-1]) & (c[1:] == c[:-1])
+        vf = v.astype(np.float64)
         if shift == "lag":
-            shifted[1:] = vals[:-1]
-            shifted[0] = carry["v"].iloc[0] if len(carry) else np.nan
+            shifted = np.where(same_prev, np.r_[np.nan, vf[:-1]], np.nan)
         else:
-            shifted[:-1] = vals[1:]
-            shifted[-1] = carry["v"].iloc[0] if len(carry) else np.nan
+            same_next = np.r_[same_prev[1:], False]
+            shifted = np.where(same_next, np.r_[vf[1:], np.nan], np.nan)
+        keep = carry == 0
         return pd_table(pd.DataFrame({
-            "k": data["k"].to_numpy(), "tie": data["tie"].to_numpy(),
-            "ts_us": data["ts_us"].to_numpy(), "v": vals,
-            out_val: shifted}))
+            "k": k[keep], "tie": tie[keep], "ts_us": ts[keep],
+            "v": v[keep], out_val: shifted[keep]}))
 
-    return tagged.groupby(["k", "c"], num_partitions=shuffle_partitions()).map_groups(
-        emit, batch_format="pandas")
+    return tagged.groupby("bk", num_partitions=shuffle_partitions(nb)).map_groups(
+        emit_bucket, batch_format="pandas")
