@@ -842,3 +842,98 @@ def lag_lead(ds, *, key_col: str, ts_col: str, tie_col: str, value_col: str,
 
     return tagged.groupby("bk", num_partitions=shuffle_partitions(nb)).map_groups(
         emit_bucket, batch_format="pandas")
+
+
+def range_aggregate(ds, *, key_col: str, ts_col: str, tie_col: str,
+                    value_col: str, interval_us: int,
+                    time_chunk_us: int = 7 * 86400 * 10**6):
+    """SQL RANGE-frame windowed sum/count: ``sum(v) OVER (PARTITION BY
+    key ORDER BY ts RANGE BETWEEN interval PRECEDING AND CURRENT
+    ROW)``.  Peers (equal ts) share one frame, per SQL RANGE
+    semantics.  Output: (key, tie, ts_us, v, range_sum, range_n).
+
+    Scale design: requires ``interval_us <= time_chunk_us``, so a row
+    can only influence frames in its own and the NEXT time chunk.  The
+    carry is therefore a row-LOCAL predicate (ts within ``interval``
+    of the next chunk boundary) — no reduce stage at all: event data
+    moves through ONE bounded-bucket shuffle, carries add at most
+    interval/chunk of it.  Each bucket is one vectorized lexsort +
+    twin searchsorted over boundary-shifted timestamps (frames never
+    cross a (key, chunk) segment because the carried prefix rows ARE
+    the cross-boundary frame content).
+    """
+    import pyarrow.compute as pc
+
+    from . import pd_table
+
+    iv = int(interval_us)
+    ck = int(time_chunk_us)
+    assert 0 < iv <= ck, "interval must be <= the co-partitioning time chunk"
+    nb = _window_buckets(ds)
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ts = b.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({
+            "k": b.column(key_col).cast(pa.int64()),
+            "c": pc.divide(ts, ck),
+            "ts_us": ts,
+            "tie": b.column(tie_col).cast(pa.int64()),
+            "v": b.column(value_col).cast(pa.int64()),
+        })
+
+    def tag_and_carry(b: pa.Table) -> pa.Table:
+        k = b.column("k").to_numpy(zero_copy_only=False)
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        ts = b.column("ts_us").to_numpy(zero_copy_only=False)
+        tie = b.column("tie").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        m = ts >= (c + 1) * ck - iv  # close enough to seed the next chunk
+        ck2 = np.concatenate([k, k[m]])
+        cc2 = np.concatenate([c, c[m] + 1])
+        return pa.table({
+            "k": ck2, "c": cc2,
+            "ts_us": np.concatenate([ts, ts[m]]),
+            "tie": np.concatenate([tie, tie[m]]),
+            "v": np.concatenate([v, v[m]]),
+            "is_carry": np.concatenate([np.zeros(len(k), np.int8),
+                                        np.ones(int(m.sum()), np.int8)]),
+            "bk": _hash_mod(nb, ck2, cc2)})
+
+    tagged = ds.map_batches(narrow, batch_format="pyarrow").map_batches(
+        tag_and_carry, batch_format="pyarrow")
+
+    def emit_bucket(g: pd.DataFrame) -> pa.Table:
+        if not (g["is_carry"] == 0).any():
+            return pd_table(pd.DataFrame({
+                "k": [], "tie": [], "ts_us": [], "v": [],
+                "range_sum": [], "range_n": []}).astype(np.int64))
+        k = g["k"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        tie = g["tie"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        carry = g["is_carry"].to_numpy(np.int8)
+        order = np.lexsort((tie, ts, c, k))
+        k, c, ts, tie, v, carry = (a[order] for a in (k, c, ts, tie, v, carry))
+        _, seg_id, seg_start = _seg_bounds(k, c)
+        # shift each segment's (chunk-relative) timestamps onto a
+        # private band so ONE global searchsorted resolves per-row
+        # frame bounds; rel in [-iv, ck), band width ck + 2*iv + 2.
+        # seg_id * band stays far below int64 even for multi-GB
+        # buckets (derive_buckets caps a bucket at ~256 MiB).
+        rel = ts - c * ck
+        band = ck + 2 * iv + 2
+        shifted = seg_id * band + rel + iv
+        lo = np.searchsorted(shifted, shifted - iv, side="left")
+        lo = np.maximum(lo, seg_start[seg_id])
+        hi = np.searchsorted(shifted, shifted, side="right") - 1
+        cs = np.cumsum(v)
+        rsum = cs[hi] - np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
+        rn = hi - lo + 1
+        keep = carry == 0
+        return pd_table(pd.DataFrame({
+            "k": k[keep], "tie": tie[keep], "ts_us": ts[keep],
+            "v": v[keep], "range_sum": rsum[keep], "range_n": rn[keep]}))
+
+    return tagged.groupby("bk", num_partitions=shuffle_partitions(nb)).map_groups(
+        emit_bucket, batch_format="pandas")

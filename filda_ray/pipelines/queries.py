@@ -1135,6 +1135,49 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_range_window(sf_dir: str):
+    """Per-user trailing-6-hour sum/count (SQL RANGE BETWEEN INTERVAL
+    PRECEDING AND CURRENT ROW; equal-ts peers share a frame): the
+    carry is a row-local boundary predicate — no reduce stage — and
+    one bounded-bucket shuffle resolves every frame with twin
+    searchsorted passes (temporal.range_aggregate)."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy()
+        return pa.table({"user_id": b.column("user_id"),
+                         "event_id": b.column("event_id"),
+                         "ts": b.column("ts"),
+                         "cents": pa.array(_round_half_up(v * 100.0).astype(np.int64))})
+
+    out = temporal.range_aggregate(ds.map_batches(cents, batch_format="pyarrow"),
+                                   key_col="user_id", ts_col="ts",
+                                   tie_col="event_id", value_col="cents",
+                                   interval_us=6 * 3600 * 10**6)
+
+    def clean(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b.column("k"),
+                         "event_id": b.column("tie"),
+                         "cents": b.column("v").cast(pa.int64()),
+                         "range_sum": b.column("range_sum").cast(pa.int64()),
+                         "range_n": b.column("range_n").cast(pa.int64())})
+
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+def sql_range_window() -> str:
+    return """
+SELECT user_id, event_id, cents,
+       sum(cents) OVER w AS range_sum,
+       cast(count(*) OVER w AS bigint) AS range_n
+FROM (SELECT user_id, event_id, ts,
+             cast(floor(value * 100.0 + 0.5) AS bigint) AS cents FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_count_distinct(sf_dir: str):
     """Exact grouped COUNT(DISTINCT ...): bounded-bucket distinct on
     (group, value) pairs first — the only stage that sees raw rows —
@@ -3159,6 +3202,7 @@ QUERIES = {
     "pivot_events": q_pivot_events,
     "running_totals": q_running_totals,
     "moving_avg_events": q_moving_avg,
+    "range_window_sum": q_range_window,
     "lag_events": q_lag_events,
     "count_distinct_users": q_count_distinct,
     "corr_qty_discount": q_corr_qty_discount,
@@ -3248,6 +3292,7 @@ ORACLES = {
     "pivot_events": sql_pivot_events(),
     "running_totals": sql_running_totals(),
     "moving_avg_events": sql_moving_avg(),
+    "range_window_sum": sql_range_window(),
     "lag_events": sql_lag_events(),
     "count_distinct_users": sql_count_distinct(),
     "corr_qty_discount": sql_corr_qty_discount(),

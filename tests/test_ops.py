@@ -1235,3 +1235,42 @@ def test_lag_lead_chunk_boundaries(ray_session):
                 w = want[eid]
                 g = col.loc[eid]
                 assert (np.isnan(g) and np.isnan(w)) or g == w, (shift, eid, g, w)
+
+
+def test_range_aggregate_brute_force(ray_session):
+    """RANGE-frame windowed sums (time interval, peers share a frame)
+    match an O(n^2) brute force, under chunk sizes both larger and
+    comparable to the interval (cross-chunk carries exercised)."""
+    from filda_ray.ops.temporal import range_aggregate
+
+    rng = np.random.default_rng(7)
+    n = 1500
+    iv = 3600 * 10**6  # 1 hour
+    tsi = rng.integers(0, 5 * 86400 * 10**6, n)
+    # force some exact-duplicate timestamps (RANGE peers)
+    tsi[::7] = tsi[1::7][: len(tsi[::7])]
+    uid = rng.integers(0, 11, n)
+    v = rng.integers(-50, 100, n)
+    df = pd.DataFrame({"user_id": uid, "event_id": np.arange(n),
+                       "ts": tsi.astype("datetime64[us]"), "v": v})
+
+    exp_s = np.empty(n, np.int64)
+    exp_n = np.empty(n, np.int64)
+    for i in range(n):
+        m = (uid == uid[i]) & (tsi >= tsi[i] - iv) & (tsi <= tsi[i])
+        exp_s[i] = v[m].sum()
+        exp_n[i] = int(m.sum())
+
+    import ray.data as rd
+
+    for chunk_us in (6 * 3600 * 10**6, 7 * 86400 * 10**6):
+        ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)
+                           .replace_schema_metadata(None)).repartition(6)
+        got = range_aggregate(ds, key_col="user_id", ts_col="ts",
+                              tie_col="event_id", value_col="v",
+                              interval_us=iv,
+                              time_chunk_us=chunk_us).to_pandas()
+        assert len(got) == n
+        got = got.set_index("tie").sort_index()
+        assert (got["range_sum"].to_numpy() == exp_s).all()
+        assert (got["range_n"].to_numpy() == exp_n).all()
