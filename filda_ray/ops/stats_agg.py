@@ -246,3 +246,49 @@ def rollup_sums(ds, *, key_cols: list[str], key_types: dict, value_col: str,
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def grouped_median_exact(ds, *, group_col: str, value_col: str):
+    """Exact per-group median + MAD (SQL ``median(v), mad(v) GROUP BY
+    g``) without ever shuffling raw rows: per-block (group, value) ->
+    count histogram partials, one tiny groupby merge, then the shared
+    weighted-median kernel per group.
+
+    Contract (same as the PC background path, background.py): the
+    value domain per group must be bounded — integers, categorical
+    codes, or pre-quantized floats — so histogram rows are <= groups x
+    distinct-values.  For unbounded continuous domains use the KLL
+    sketch (ops.sketch.grouped_quantiles) instead; this op is the
+    EXACT path.  Output: (group, median_v, mad_v, n).
+
+    Reference analog: the contextual median/MAD backbone
+    (FILDA.py:857-864) as a general relational aggregate.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..kernels.stats import grouped_weighted_median_mad
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({group_col: b.column(group_col),
+                      value_col: b.column(value_col),
+                      "one": pa.array(np.ones(len(b), dtype=np.int64))})
+        g = t.group_by([group_col, value_col]).aggregate([("one", "sum")])
+        return g.rename_columns([group_col, value_col, "__n"])
+
+    hist = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=PARTIAL_BATCH_ROWS)
+    merged = hist.groupby([group_col, value_col],
+                          num_partitions=shuffle_partitions()).aggregate(
+        Sum("__n", alias_name="__n"))
+
+    def finalize(g: pd.DataFrame) -> pa.Table:
+        med, mad, tot = grouped_weighted_median_mad(
+            np.zeros(len(g), dtype=np.int64),
+            g[value_col].to_numpy(np.float64),
+            g["__n"].to_numpy(np.int64), 1)
+        return pd_table(pd.DataFrame({
+            group_col: [g[group_col].iloc[0]],
+            "median_v": med, "mad_v": mad, "n": tot}))
+
+    return merged.groupby(group_col, num_partitions=shuffle_partitions()).map_groups(
+        finalize, batch_format="pandas")

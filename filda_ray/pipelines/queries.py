@@ -1205,6 +1205,37 @@ FROM events GROUP BY event_type
 """
 
 
+def q_median_quantity(sf_dir: str):
+    """Exact per-group median + MAD over a bounded value domain
+    (integral l_quantity): (group, value)->count histogram partials +
+    the shared weighted-median kernel — counts shuffle, rows never do
+    (ops.stats_agg.grouped_median_exact)."""
+    from ..ops import stats_agg as SA
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_quantity"])
+    out = SA.grouped_median_exact(ds, group_col="l_returnflag",
+                                  value_col="l_quantity")
+
+    def clean(b: pa.Table) -> pa.Table:
+        return pa.table({"l_returnflag": b.column("l_returnflag"),
+                         "median_qty": b.column("median_v"),
+                         "mad_qty": b.column("mad_v"),
+                         "n": b.column("n").cast(pa.int64())})
+
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+def sql_median_quantity() -> str:
+    return """
+SELECT l_returnflag,
+       cast(median(l_quantity) AS double) AS median_qty,
+       cast(mad(l_quantity) AS double) AS mad_qty,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_corr_qty_discount(sf_dir: str):
     """Grouped corr/covar/regression via one-pass integer co-moment
     partials (ops.stats_agg): the shuffle moves 6 int64 sums per
@@ -3206,6 +3237,7 @@ QUERIES = {
     "lag_events": q_lag_events,
     "count_distinct_users": q_count_distinct,
     "corr_qty_discount": q_corr_qty_discount,
+    "median_quantity_by_flag": q_median_quantity,
     "argmax_events": q_argmax_events,
     "rollup_revenue": q_rollup_revenue,
     "cube_revenue": q_cube_revenue,
@@ -3296,6 +3328,7 @@ ORACLES = {
     "lag_events": sql_lag_events(),
     "count_distinct_users": sql_count_distinct(),
     "corr_qty_discount": sql_corr_qty_discount(),
+    "median_quantity_by_flag": sql_median_quantity(),
     "argmax_events": sql_argmax_events(),
     "rollup_revenue": sql_rollup_revenue(),
     "cube_revenue": sql_cube_revenue(),

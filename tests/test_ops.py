@@ -1274,3 +1274,27 @@ def test_range_aggregate_brute_force(ray_session):
         got = got.set_index("tie").sort_index()
         assert (got["range_sum"].to_numpy() == exp_s).all()
         assert (got["range_n"].to_numpy() == exp_n).all()
+
+
+def test_grouped_median_exact_matches_numpy(ray_session):
+    """Histogram-partial grouped median/MAD equals numpy on raw rows,
+    including even-count interpolation."""
+    from filda_ray.ops.stats_agg import grouped_median_exact
+
+    rng = np.random.default_rng(23)
+    n = 4001  # odd AND even group sizes across keys
+    g = rng.integers(0, 5, n)
+    v = rng.integers(0, 40, n).astype(np.float64)
+    df = pd.DataFrame({"grp": g, "val": v})
+
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)
+                       .replace_schema_metadata(None)).repartition(7)
+    got = grouped_median_exact(ds, group_col="grp", value_col="val").to_pandas()
+    got = got.set_index("grp").sort_index()
+    for key in sorted(set(g)):
+        vals = v[g == key]
+        assert got.loc[key, "median_v"] == np.median(vals)
+        assert got.loc[key, "mad_v"] == np.median(np.abs(vals - np.median(vals)))
+        assert got.loc[key, "n"] == len(vals)
