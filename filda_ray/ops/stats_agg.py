@@ -292,3 +292,57 @@ def grouped_median_exact(ds, *, group_col: str, value_col: str):
 
     return merged.groupby(group_col, num_partitions=shuffle_partitions()).map_groups(
         finalize, batch_format="pandas")
+
+
+def grouping_sets_sums(ds, *, sets: list[list[str]], key_types: dict,
+                       value_col: str, count_col: str = "n",
+                       sum_col: str = "total"):
+    """GROUP BY GROUPING SETS(...): arbitrary user-chosen key subsets,
+    all derived from ONE full shuffle — the finest groupby over the
+    union of every set's keys; each requested set re-aggregates that
+    tiny output (rollup_sums/cube_sums are the fixed-lattice special
+    cases).  Keys absent from a set come back null, SQL semantics."""
+    from ray.data.aggregate import Count, Sum
+
+    all_keys = sorted({k for st in sets for k in st})
+    assert all_keys, "grouping sets need at least one key"
+    finest = ds.groupby(all_keys, num_partitions=shuffle_partitions()).aggregate(
+        Count(alias_name=count_col), Sum(value_col, alias_name=sum_col))
+
+    def with_nulls(b: pa.Table, present: list[str]) -> pa.Table:
+        cols = {}
+        for k in all_keys:
+            if k in present:
+                cols[k] = b.column(k).cast(key_types[k])
+            else:
+                cols[k] = pa.nulls(len(b), key_types[k])
+        cols[count_col] = b.column(count_col).cast(pa.int64())
+        cols[sum_col] = b.column(sum_col).cast(pa.int64())
+        return pa.table(cols)
+
+    def to_total(b: pa.Table) -> pa.Table:
+        t = pa.table({count_col: pa.array([b.column(count_col).to_numpy().sum()], pa.int64()),
+                      sum_col: pa.array([b.column(sum_col).to_numpy().sum()], pa.int64())})
+        return with_nulls(t, [])
+
+    levels = []
+    for st in sets:
+        keys = sorted(st)
+        if not keys:
+            levels.append(finest.repartition(1).map_batches(
+                to_total, batch_format="pyarrow", batch_size=None))
+        elif keys == all_keys:
+            levels.append(finest.map_batches(
+                lambda b, present=keys: with_nulls(b, present),
+                batch_format="pyarrow"))
+        else:
+            agg = finest.groupby(keys, num_partitions=shuffle_partitions(64)).aggregate(
+                Sum(count_col, alias_name=count_col),
+                Sum(sum_col, alias_name=sum_col))
+            levels.append(agg.map_batches(
+                lambda b, present=keys: with_nulls(b, present),
+                batch_format="pyarrow"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

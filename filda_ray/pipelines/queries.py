@@ -1313,6 +1313,68 @@ SELECT event_type, event_id, user_id, value FROM (
 """
 
 
+def q_first_last_value(sf_dir: str):
+    """SQL first_value/last_value OVER (PARTITION BY user ORDER BY ts,
+    event_id): per-block argmin/argmax partials shrink each winner
+    table to <= groups x blocks rows BEFORE its shuffle, the two tiny
+    winner tables join each other, and the event data moves through
+    exactly ONE hash join against that small side."""
+    from ..ops import stats_agg as SA
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy()
+        return pa.table({"user_id": b.column("user_id"),
+                         "event_id": b.column("event_id"),
+                         "ts": b.column("ts"),
+                         "cents": pa.array(_round_half_up(v * 100.0).astype(np.int64))})
+
+    cds = ds.map_batches(cents, batch_format="pyarrow")
+
+    def keep(name):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"user_id": b.column("user_id"),
+                             name: b.column("cents").cast(pa.int64())})
+        return f
+
+    first = SA.arg_extreme_per_group(cds, group_col="user_id", value_col="ts",
+                                     tie_col="event_id", ascending=True
+                                     ).map_batches(keep("first_cents"),
+                                                   batch_format="pyarrow")
+    last = SA.arg_extreme_per_group(cds, group_col="user_id", value_col="ts",
+                                    tie_col="event_id", ascending=False
+                                    ).map_batches(keep("last_cents"),
+                                                  batch_format="pyarrow")
+    side = first.join(last, join_type="inner", on=("user_id",),
+                      num_partitions=shuffle_partitions())
+    out = cds.join(side, join_type="inner", on=("user_id",),
+                   num_partitions=shuffle_partitions())
+
+    def clean(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b.column("user_id"),
+                         "event_id": b.column("event_id"),
+                         "cents": b.column("cents").cast(pa.int64()),
+                         "first_cents": b.column("first_cents"),
+                         "last_cents": b.column("last_cents")})
+
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+def sql_first_last_value() -> str:
+    return """
+SELECT user_id, event_id, cents,
+       first_value(cents) OVER w AS first_cents,
+       last_value(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING) AS last_cents
+FROM (SELECT user_id, event_id, ts,
+             cast(floor(value * 100.0 + 0.5) AS bigint) AS cents FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_rollup_revenue(sf_dir: str):
     """GROUP BY ROLLUP(priority, year) from ONE full shuffle: coarser
     levels re-aggregate the finest level's tiny output (ops.stats_agg
@@ -1689,6 +1751,44 @@ SELECT o_orderstatus, o_orderpriority,
        cast(count(*) as bigint) AS n_orders,
        cast(sum(cents) as bigint) AS revenue_cents
 FROM o GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_grouping_sets_revenue(sf_dir: str):
+    """GROUP BY GROUPING SETS((status, priority), (status), ()): the
+    user-chosen subsets — not the full cube — all derived from ONE
+    full shuffle (ops.stats_agg.grouping_sets_sums)."""
+    from ..ops import stats_agg as SA
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderstatus", "o_orderpriority",
+                                     "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = _round_half_up(b.column("o_totalprice").to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"o_orderstatus": b.column("o_orderstatus"),
+                         "o_orderpriority": b.column("o_orderpriority"),
+                         "cents": pa.array(cents)})
+
+    return SA.grouping_sets_sums(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        sets=[["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        key_types={"o_orderstatus": pa.string(),
+                   "o_orderpriority": pa.string()},
+        value_col="cents", count_col="n_orders", sum_col="revenue_cents")
+
+
+def sql_grouping_sets_revenue() -> str:
+    return """
+WITH o AS (
+  SELECT o_orderstatus, o_orderpriority,
+         cast(round(o_totalprice*100) as bigint) AS cents
+  FROM orders)
+SELECT o_orderstatus, o_orderpriority,
+       cast(count(*) as bigint) AS n_orders,
+       cast(sum(cents) as bigint) AS revenue_cents
+FROM o GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                               (o_orderstatus), ())
 """
 
 
@@ -3238,9 +3338,11 @@ QUERIES = {
     "count_distinct_users": q_count_distinct,
     "corr_qty_discount": q_corr_qty_discount,
     "median_quantity_by_flag": q_median_quantity,
+    "first_last_value": q_first_last_value,
     "argmax_events": q_argmax_events,
     "rollup_revenue": q_rollup_revenue,
     "cube_revenue": q_cube_revenue,
+    "grouping_sets_revenue": q_grouping_sets_revenue,
     "dedup_keep_newest": q_dedup_keep_newest,
     "intersect_users": q_intersect_users,
     "except_custkeys": q_except_custkeys,
@@ -3329,9 +3431,11 @@ ORACLES = {
     "count_distinct_users": sql_count_distinct(),
     "corr_qty_discount": sql_corr_qty_discount(),
     "median_quantity_by_flag": sql_median_quantity(),
+    "first_last_value": sql_first_last_value(),
     "argmax_events": sql_argmax_events(),
     "rollup_revenue": sql_rollup_revenue(),
     "cube_revenue": sql_cube_revenue(),
+    "grouping_sets_revenue": sql_grouping_sets_revenue(),
     "dedup_keep_newest": sql_dedup_keep_newest(),
     "intersect_users": sql_intersect_users(),
     "except_custkeys": sql_except_custkeys(),
