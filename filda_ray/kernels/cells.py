@@ -258,3 +258,34 @@ def hex_prefix(cell: np.ndarray, shift: int = 5) -> np.ndarray:
     qb = ((q >> shift) + (1 << 15)).astype(np.uint32)
     rb = ((r >> shift) + (1 << 15)).astype(np.uint32)
     return ((qb & np.uint32(0xFFFF)) << np.uint32(16)) | (rb & np.uint32(0xFFFF))
+
+
+def bbox_tiles(lat_min: float, lat_max: float, lon_min: float,
+               lon_max: float, *, tile_deg: float = PC_TILE_DEG,
+               dilate: int = 0) -> np.ndarray:
+    """Sorted unique PC tile ids covering a lat/lon bounding box, with
+    optional +-``dilate`` ring dilation — the reference's bbox->tile
+    planner (``get_tiles`` FILDA_Time_Cord.py:262-291; sinusoidal
+    variant with +-1 dilation and clamp :858-922) as a partition-
+    pruning planner: feed the result to ``read_product_partitions`` to
+    open ONLY the product partitions a spatial query touches.
+
+    Rows clamp at the poles; columns wrap, and ``lon_min > lon_max``
+    means the box crosses the antimeridian (wraps through 180).
+    """
+    ncols = int(round(360.0 / tile_deg))
+    nrows = int(round(180.0 / tile_deg))
+    r0, _ = pc_rowcol(np.array([lat_min]), np.array([0.0]), tile_deg)
+    r1, _ = pc_rowcol(np.array([lat_max]), np.array([0.0]), tile_deg)
+    rlo = max(0, min(int(r0[0]), int(r1[0])) - dilate)
+    rhi = min(nrows - 1, max(int(r0[0]), int(r1[0])) + dilate)
+    # UNWRAPPED raw column span (endpoint columns alone would collapse
+    # a full-width or antimeridian-crossing box), wrapped at the end
+    hi = lon_max + 360.0 if lon_min > lon_max else lon_max
+    clo_raw = int(np.floor((lon_min + 180.0) / tile_deg)) - dilate
+    chi_raw = int(np.floor((hi + 180.0) / tile_deg)) + dilate
+    ncount = min(ncols, chi_raw - clo_raw + 1)
+    cols = (np.arange(clo_raw, clo_raw + ncount) % ncols + ncols) % ncols
+    rows = np.arange(rlo, rhi + 1)
+    tiles = (rows[:, None].astype(np.int64) * ncols + cols[None, :]).ravel()
+    return np.unique(tiles).astype(np.int32)

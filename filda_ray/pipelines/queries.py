@@ -168,6 +168,42 @@ FROM pages
 """
 
 
+def q_bbox_query(sf_dir: str):
+    """Spatial bbox query: the bbox->tile cover (kernels.cells
+    .bbox_tiles, the reference get_tiles planner) prunes FIRST — in
+    product form that is read_product_partitions opening only covered
+    part dirs (tested in test_resume) — then the exact box predicate
+    trims the cover's edge tiles."""
+    from ..sources.gazetteer import geocode
+
+    la0, la1, lo0, lo1 = -10.0, 30.0, 20.0, 90.0
+    cover = cells.bbox_tiles(la0, la1, lo0, lo1)
+
+    ds = geocode(P.read_pages(sf_dir).drop_columns(["html"]))
+
+    def f(b: pa.Table) -> pa.Table:
+        lat = b.column("lat").to_numpy()
+        lon = b.column("lon").to_numpy()
+        t = cells.pc_tile(lat, lon)
+        m = (np.isin(t, cover) & (lat >= la0) & (lat <= la1)
+             & (lon >= lo0) & (lon <= lo1))
+        return pa.table({"doc_id": b.column("doc_id").filter(pa.array(m)),
+                         "url": b.column("url").filter(pa.array(m)),
+                         "lat": pa.array(lat[m]), "lon": pa.array(lon[m]),
+                         "pc_tile": pa.array(t[m])})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def sql_bbox_query() -> str:
+    return f"""
+WITH pages AS ({P.sql_pages_cte()})
+SELECT doc_id, url, lat, lon, {SQL_PC_TILE} AS pc_tile
+FROM pages
+WHERE lat BETWEEN -10.0 AND 30.0 AND lon BETWEEN 20.0 AND 90.0
+"""
+
+
 # ---------------------------------------------------------------------------
 # extraction invariant (byte-identical text per url)
 # ---------------------------------------------------------------------------
@@ -3300,6 +3336,7 @@ def q_estimate_eval(sf_dir: str):
 QUERIES = {
     "flagship_detect": q_flagship,
     "geocode_tiles": q_geocode,
+    "bbox_query": q_bbox_query,
     "extract_invariant": q_extract,
     "quality_features": q_quality,
     "dedup_exact": q_dedup,
@@ -3393,6 +3430,7 @@ QUERIES = {
 ORACLES = {
     "flagship_detect": sql_flagship(),
     "geocode_tiles": sql_geocode(),
+    "bbox_query": sql_bbox_query(),
     "extract_invariant": sql_extract(),
     "quality_features": sql_quality(),
     "dedup_exact": sql_dedup(),

@@ -243,3 +243,24 @@ def read_product(out_dir: str):
             parts += [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
                       if f.endswith(".parquet")]
     return rd.read_parquet(parts)
+
+
+def read_product_partitions(out_dir: str, values):
+    """Read ONLY the named partitions of a product — storage-level
+    partition pruning (reference analog: mosaic only the tiles a
+    granule bbox touches, FILDA.py:1570-1699).  Compose with
+    ``kernels.cells.bbox_tiles`` for spatial bbox queries: the scan
+    opens len(values)/len(all parts) of the bytes, like the IVF
+    probed-partition read (ops/embed.py).  Missing or unfinished
+    partitions are skipped (same contract as read_product)."""
+    import ray.data as rd
+
+    parts = []
+    for v in values:
+        pdir = os.path.join(out_dir, f"part={v}")
+        if os.path.exists(os.path.join(pdir, SUCCESS)):
+            parts += [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
+                      if f.endswith(".parquet")]
+    if not parts:
+        return rd.from_items([])
+    return rd.read_parquet(parts)

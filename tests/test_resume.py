@@ -199,3 +199,68 @@ def test_curation_output_partitioned_by_split(ray_session, tmp_path):
     rdf = rest2.to_pandas()
     assert set(rdf["split"].unique()) == {victim}
     assert len(rdf) == done[victim]["rows"]
+
+
+def test_bbox_tiles_covers_and_wraps():
+    """Every point inside a bbox maps to a tile in bbox_tiles' cover;
+    antimeridian-crossing boxes wrap; dilation is a superset."""
+    import numpy as np
+
+    from filda_ray.kernels.cells import bbox_tiles, pc_tile
+
+    rng = np.random.default_rng(3)
+    for (la0, la1, lo0, lo1) in [(-12.0, 7.5, 30.0, 61.0),
+                                 (40.0, 55.0, 170.0, -165.0),  # wraps 180
+                                 (-90.0, -80.0, -180.0, 180.0)]:
+        cover = set(bbox_tiles(la0, la1, lo0, lo1).tolist())
+        lats = rng.uniform(la0, la1, 500)
+        if lo0 <= lo1:
+            lons = rng.uniform(lo0, lo1, 500)
+        else:
+            lons = rng.uniform(lo0, lo1 + 360.0, 500)
+            lons = ((lons + 180.0) % 360.0) - 180.0
+        got = set(pc_tile(lats, lons).tolist())
+        assert got <= cover
+        dil = set(bbox_tiles(la0, la1, lo0, lo1, dilate=1).tolist())
+        assert cover <= dil and len(dil) > len(cover)
+
+
+def test_bbox_partition_pruned_read(ray_session, tmp_path):
+    """A bbox query via bbox_tiles + read_product_partitions returns
+    exactly the rows of a full scan filtered to the box, while opening
+    only the covered partitions."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from filda_ray.kernels.cells import bbox_tiles, pc_tile
+    from filda_ray.state.manifest import (read_product,
+                                          read_product_partitions,
+                                          write_product)
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    lat = rng.uniform(-60, 60, n)
+    lon = rng.uniform(-180, 180, n)
+    df = pd.DataFrame({"doc_id": np.arange(n), "lat": lat, "lon": lon,
+                       "pc_tile": pc_tile(lat, lon).astype(np.int64)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)
+                       .replace_schema_metadata(None)).repartition(5)
+    out = str(tmp_path / "prod")
+    write_product(ds, out, partition_col="pc_tile")
+
+    la0, la1, lo0, lo1 = -5.0, 25.0, 10.0, 80.0
+    cover = bbox_tiles(la0, la1, lo0, lo1)
+    pruned = read_product_partitions(out, cover.tolist()).to_pandas()
+    full = read_product(out).to_pandas()
+
+    def in_box(d):
+        m = ((d.lat >= la0) & (d.lat <= la1)
+             & (d.lon >= lo0) & (d.lon <= lo1))
+        return set(d.doc_id[m].tolist())
+
+    assert in_box(pruned) == in_box(full)
+    n_parts = df["pc_tile"].nunique()
+    assert len(cover) < n_parts  # the scan really is pruned
+    assert set(pruned["pc_tile"]) <= set(cover.tolist())
