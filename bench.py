@@ -188,9 +188,12 @@ def run_bench() -> dict:
         from filda_ray.pipelines.flagship import narrow_pages
 
         t0 = time.time()
-        background_stats_hex(
-            narrow_pages(SF_DIR, replicate=max(REPLICATE // 4, 1)), "n_chars"
-        ).count()
+        # materialize the narrow stream first (the flagship's own
+        # materialize_narrow design): a min-rows partial fused across
+        # the bench replicator would bundle by PRE-expansion rows and
+        # collapse to one task (see sources/pages.py read_pages caveat)
+        narrow = narrow_pages(SF_DIR, replicate=max(REPLICATE // 4, 1)).materialize()
+        background_stats_hex(narrow, "n_chars").count()
         timings["hex_background_1.3M"] = round(time.time() - t0, 3)
 
         # adversarial near-dup verify (fresh subprocess so the driver

@@ -266,3 +266,67 @@ def knn_hotspots(ds, *, k_ring: int = 1, cell_col: str = "hex_r7",
         return batch.append_column(out_col, pa.array(np.where(hit, vv[idx], 0).astype(np.int32)))
 
     return ds.map_batches(gather, batch_format="pyarrow")
+
+
+def radius_join(ds, *, query_lat, query_lon, query_ids=None,
+                radius_km: float, lat_col: str = "lat",
+                lon_col: str = "lon", keep_cols: list[str] | None = None):
+    """Point-radius spatial join: every (row, query-point) pair within
+    ``radius_km`` great-circle distance, with the exact haversine
+    distance attached.  Output: keep_cols + (query_id, dist_km).
+
+    Scale design: each query point's radius inflates to a lat/lon bbox
+    whose PC tile cover (kernels.cells.bbox_tiles — the get_tiles
+    planner) unions into ONE broadcast prefilter; rows outside every
+    cover are dropped by an int `isin` before the O(survivors x Q)
+    exact haversine runs.  Q (query count) is assumed broadcast-small;
+    for large Q, bucket queries by tile and hash-join on tile instead
+    — the same swap documented on the occupied-cell gathers.
+
+    Reference analog: static-layer mosaic restricted to the granule
+    bbox (FILDA_CLT.py:88-110) + per-pixel distance thresholding.
+    """
+    from ..kernels.geo import haversine_km
+
+    qlat = np.asarray(query_lat, dtype=np.float64)
+    qlon = np.asarray(query_lon, dtype=np.float64)
+    qids = (np.arange(len(qlat), dtype=np.int64) if query_ids is None
+            else np.asarray(query_ids, dtype=np.int64))
+    # radius -> degrees: 1 deg lat ~ 111.19 km; lon shrinks by cos(lat)
+    dlat = radius_km / 111.19
+    covers = []
+    for la, lo in zip(qlat, qlon):
+        coslat = max(np.cos(np.deg2rad(min(abs(la) + dlat, 89.9))), 1e-6)
+        dlon = min(radius_km / (111.19 * coslat), 180.0)
+        lo0, lo1 = lo - dlon, lo + dlon
+        if lo0 < -180.0:
+            lo0 += 360.0  # antimeridian wrap (bbox_tiles handles lo0>lo1)
+        if lo1 > 180.0:
+            lo1 -= 360.0
+        covers.append(cells.bbox_tiles(max(la - dlat, -90.0),
+                                       min(la + dlat, 90.0), lo0, lo1))
+    cover = np.unique(np.concatenate(covers))
+
+    def f(b: pa.Table) -> pa.Table:
+        lat = b.column(lat_col).to_numpy()
+        lon = b.column(lon_col).to_numpy()
+        pre = np.isin(cells.pc_tile(lat, lon), cover)
+        cols = keep_cols or [c for c in b.column_names
+                             if c not in (lat_col, lon_col)]
+        idx = np.flatnonzero(pre)
+        if len(idx):
+            d = haversine_km(lat[idx][:, None], lon[idx][:, None],
+                             qlat[None, :], qlon[None, :])
+            ii, jj = np.nonzero(d <= radius_km)
+        else:
+            ii = jj = np.array([], dtype=np.int64)
+        take = pa.array(idx[ii])
+        out = {c: b.column(c).take(take) for c in cols}
+        out[lat_col] = pa.array(lat[idx[ii]])
+        out[lon_col] = pa.array(lon[idx[ii]])
+        out["query_id"] = pa.array(qids[jj])
+        out["dist_km"] = pa.array(d[ii, jj] if len(idx) else
+                                  np.array([], dtype=np.float64))
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow")

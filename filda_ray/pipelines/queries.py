@@ -204,6 +204,41 @@ WHERE lat BETWEEN -10.0 AND 30.0 AND lon BETWEEN 20.0 AND 90.0
 """
 
 
+_RADIUS_QUERY_POINTS = [(0, 40.0, -74.0), (1, -23.5, -46.6), (2, 35.7, 139.7)]
+_RADIUS_KM = 3000.0
+
+
+def q_radius_join(sf_dir: str):
+    """Point-radius spatial join (ops.hotspot.radius_join): per-query
+    bbox tile covers broadcast as ONE prefilter, exact haversine only
+    on cover survivors; emits every (page, query point) pair within
+    3000 km with the great-circle distance."""
+    from ..ops.hotspot import radius_join
+    from ..sources.gazetteer import geocode
+
+    qid, qla, qlo = zip(*_RADIUS_QUERY_POINTS)
+    ds = geocode(P.read_pages(sf_dir).drop_columns(["html", "text"]))
+    out = radius_join(ds, query_lat=qla, query_lon=qlo, query_ids=qid,
+                      radius_km=_RADIUS_KM, keep_cols=["doc_id"])
+    return out.select_columns(["doc_id", "query_id", "lat", "lon", "dist_km"])
+
+
+def sql_radius_join() -> str:
+    pts = ", ".join(f"({i}, {la}, {lo})" for i, la, lo in _RADIUS_QUERY_POINTS)
+    hav = """2.0 * 6371.0088 * asin(sqrt(least(
+        pow(sin(radians(q.qlat - p.lat) / 2), 2)
+        + cos(radians(p.lat)) * cos(radians(q.qlat))
+          * pow(sin(radians(q.qlon - p.lon) / 2), 2), 1.0)))"""
+    return f"""
+WITH pages AS ({P.sql_pages_cte()}),
+q(query_id, qlat, qlon) AS (VALUES {pts})
+SELECT p.doc_id, cast(q.query_id as bigint) AS query_id, p.lat, p.lon,
+       {hav} AS dist_km
+FROM pages p CROSS JOIN q
+WHERE {hav} <= {_RADIUS_KM}
+"""
+
+
 # ---------------------------------------------------------------------------
 # extraction invariant (byte-identical text per url)
 # ---------------------------------------------------------------------------
@@ -3337,6 +3372,7 @@ QUERIES = {
     "flagship_detect": q_flagship,
     "geocode_tiles": q_geocode,
     "bbox_query": q_bbox_query,
+    "radius_join": q_radius_join,
     "extract_invariant": q_extract,
     "quality_features": q_quality,
     "dedup_exact": q_dedup,
@@ -3431,6 +3467,7 @@ ORACLES = {
     "flagship_detect": sql_flagship(),
     "geocode_tiles": sql_geocode(),
     "bbox_query": sql_bbox_query(),
+    "radius_join": sql_radius_join(),
     "extract_invariant": sql_extract(),
     "quality_features": sql_quality(),
     "dedup_exact": sql_dedup(),

@@ -142,6 +142,14 @@ def read_pages(sf_dir: str, *, replicate: int = 1):
         # bytes, so without this the tiny documents table collapses the
         # whole fused chain into one task; 128 docs/task * replicate
         # keeps post-expansion blocks at a few MB and parallelism wide
+        # CAVEAT (measured): a downstream stage with a large batch_size
+        # (the histogram/count partials) fused across this expansion
+        # has its row demand counted in PRE-expansion rows and can
+        # collapse the whole chain into one task (1.27M-page hex
+        # background as ONE 29.8 s task).  Consumers of a replicated
+        # stream must materialize (or otherwise cut the plan) before a
+        # min-rows stage — the flagship's materialize_narrow does; the
+        # production parquet path has no row multiplier, so it is safe.
         ds = ds.map_batches(expand, batch_format="pyarrow", batch_size=128)
     return ds.map_batches(synth_pages_batch, batch_format="pyarrow", batch_size=None)
 

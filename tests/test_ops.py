@@ -1298,3 +1298,35 @@ def test_grouped_median_exact_matches_numpy(ray_session):
         assert got.loc[key, "median_v"] == np.median(vals)
         assert got.loc[key, "mad_v"] == np.median(np.abs(vals - np.median(vals)))
         assert got.loc[key, "n"] == len(vals)
+
+
+def test_radius_join_brute_force(ray_session):
+    """Tile-cover-prefiltered radius join finds exactly the brute-force
+    pair set, including query points near the antimeridian and at high
+    latitude (where the lon inflation must widen)."""
+    from filda_ray.kernels.geo import haversine_km
+    from filda_ray.ops.hotspot import radius_join
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    lat = rng.uniform(-85, 85, n)
+    lon = rng.uniform(-180, 180, n)
+    qlat = np.array([10.0, 64.0, -5.0])
+    qlon = np.array([-179.5, 30.0, 100.0])
+    R = 1500.0
+
+    import ray.data as rd
+
+    df = pd.DataFrame({"doc_id": np.arange(n), "lat": lat, "lon": lon})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)
+                       .replace_schema_metadata(None)).repartition(6)
+    got = radius_join(ds, query_lat=qlat, query_lon=qlon, radius_km=R,
+                      keep_cols=["doc_id"]).to_pandas()
+    got_pairs = set(zip(got["doc_id"], got["query_id"]))
+
+    d = haversine_km(lat[:, None], lon[:, None], qlat[None, :], qlon[None, :])
+    ii, jj = np.nonzero(d <= R)
+    assert got_pairs == set(zip(ii, jj))
+    gm = got.set_index(["doc_id", "query_id"])["dist_km"]
+    for i, j in zip(ii, jj):
+        assert abs(gm.loc[(i, j)] - d[i, j]) < 1e-9
