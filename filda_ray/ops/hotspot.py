@@ -330,3 +330,59 @@ def radius_join(ds, *, query_lat, query_lon, query_ids=None,
         return pa.table(out)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def nearest_point_join(ds, *, query_lat, query_lon, query_ids=None,
+                       lat_col: str = "lat", lon_col: str = "lon",
+                       keep_cols: list[str] | None = None,
+                       max_km: float | None = None):
+    """For each row, the NEAREST point of a broadcast candidate set
+    (spatial kNN, k=1) with its great-circle distance; ties break to
+    the smallest candidate id.  ``max_km`` drops rows with no
+    candidate in range.  Output: keep_cols + (nearest_id, dist_km).
+
+    Scale design: the candidate set is broadcast-small (a gazetteer of
+    cities/sites); data rows never shuffle — one vectorized
+    O(batch x Q) haversine + argmin per batch.  For candidate sets too
+    large to broadcast, partition candidates by cell and hash-join
+    rows on a k-ring cell cover instead (the same swap documented on
+    the occupied-cell gathers).
+
+    Reference analog: nearest-in-time/space static-layer selection
+    (MCBEF_IO.py:210's nearest 8-day period, generalized to space).
+    """
+    from ..kernels.geo import haversine_km
+
+    qlat = np.asarray(query_lat, dtype=np.float64)
+    qlon = np.asarray(query_lon, dtype=np.float64)
+    qids = (np.arange(len(qlat), dtype=np.int64) if query_ids is None
+            else np.asarray(query_ids, dtype=np.int64))
+    order = np.argsort(qids, kind="stable")  # argmin tie -> smallest id
+    qlat, qlon, qids = qlat[order], qlon[order], qids[order]
+
+    def f(b: pa.Table) -> pa.Table:
+        lat = b.column(lat_col).to_numpy()
+        lon = b.column(lon_col).to_numpy()
+        d = haversine_km(lat[:, None], lon[:, None],
+                         qlat[None, :], qlon[None, :])
+        j = np.argmin(d, axis=1)
+        m = d[np.arange(len(lat)), j]
+        cols = keep_cols or [c for c in b.column_names
+                             if c not in (lat_col, lon_col)]
+        if max_km is not None:
+            keep = m <= max_km
+            take = pa.array(np.flatnonzero(keep))
+            out = {c: b.column(c).take(take) for c in cols}
+            out[lat_col] = pa.array(lat[keep])
+            out[lon_col] = pa.array(lon[keep])
+            out["nearest_id"] = pa.array(qids[j[keep]])
+            out["dist_km"] = pa.array(m[keep])
+        else:
+            out = {c: b.column(c) for c in cols}
+            out[lat_col] = pa.array(lat)
+            out[lon_col] = pa.array(lon)
+            out["nearest_id"] = pa.array(qids[j])
+            out["dist_km"] = pa.array(m)
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow")

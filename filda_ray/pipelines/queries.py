@@ -223,6 +223,43 @@ def q_radius_join(sf_dir: str):
     return out.select_columns(["doc_id", "query_id", "lat", "lon", "dist_km"])
 
 
+_NEAREST_SITES = [(10, 48.8, 2.3), (20, -33.9, 151.2), (30, 1.35, 103.8),
+                  (40, 37.8, -122.4), (50, -1.3, 36.8)]
+
+
+def q_nearest_site(sf_dir: str):
+    """Spatial kNN (k=1) join: each page's nearest broadcast site +
+    great-circle distance (ops.hotspot.nearest_point_join); one
+    vectorized O(batch x Q) haversine argmin per batch, rows never
+    shuffle."""
+    from ..ops.hotspot import nearest_point_join
+    from ..sources.gazetteer import geocode
+
+    qid, qla, qlo = zip(*_NEAREST_SITES)
+    ds = geocode(P.read_pages(sf_dir).drop_columns(["html", "text"]))
+    out = nearest_point_join(ds, query_lat=qla, query_lon=qlo, query_ids=qid,
+                             keep_cols=["doc_id"])
+    return out.select_columns(["doc_id", "nearest_id", "dist_km"])
+
+
+def sql_nearest_site() -> str:
+    pts = ", ".join(f"({i}, {la}, {lo})" for i, la, lo in _NEAREST_SITES)
+    hav = """2.0 * 6371.0088 * asin(sqrt(least(
+        pow(sin(radians(q.qlat - p.lat) / 2), 2)
+        + cos(radians(p.lat)) * cos(radians(q.qlat))
+          * pow(sin(radians(q.qlon - p.lon) / 2), 2), 1.0)))"""
+    return f"""
+WITH pages AS ({P.sql_pages_cte()}),
+q(site_id, qlat, qlon) AS (VALUES {pts}),
+d AS (SELECT p.doc_id, cast(q.site_id as bigint) AS nearest_id,
+             {hav} AS dist_km,
+             row_number() OVER (PARTITION BY p.doc_id
+                                ORDER BY {hav}, q.site_id) AS rn
+      FROM pages p CROSS JOIN q)
+SELECT doc_id, nearest_id, dist_km FROM d WHERE rn = 1
+"""
+
+
 def sql_radius_join() -> str:
     pts = ", ".join(f"({i}, {la}, {lo})" for i, la, lo in _RADIUS_QUERY_POINTS)
     hav = """2.0 * 6371.0088 * asin(sqrt(least(
@@ -3373,6 +3410,7 @@ QUERIES = {
     "geocode_tiles": q_geocode,
     "bbox_query": q_bbox_query,
     "radius_join": q_radius_join,
+    "nearest_site": q_nearest_site,
     "extract_invariant": q_extract,
     "quality_features": q_quality,
     "dedup_exact": q_dedup,
@@ -3468,6 +3506,7 @@ ORACLES = {
     "geocode_tiles": sql_geocode(),
     "bbox_query": sql_bbox_query(),
     "radius_join": sql_radius_join(),
+    "nearest_site": sql_nearest_site(),
     "extract_invariant": sql_extract(),
     "quality_features": sql_quality(),
     "dedup_exact": sql_dedup(),

@@ -1330,3 +1330,41 @@ def test_radius_join_brute_force(ray_session):
     gm = got.set_index(["doc_id", "query_id"])["dist_km"]
     for i, j in zip(ii, jj):
         assert abs(gm.loc[(i, j)] - d[i, j]) < 1e-9
+
+
+def test_nearest_point_join_brute_force(ray_session):
+    """k=1 nearest-site join matches brute-force argmin, including the
+    smallest-id tie-break and the max_km gate."""
+    from filda_ray.kernels.geo import haversine_km
+    from filda_ray.ops.hotspot import nearest_point_join
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    lat = rng.uniform(-80, 80, n)
+    lon = rng.uniform(-180, 180, n)
+    qids = np.array([30, 10, 20])  # deliberately unsorted ids
+    qlat = np.array([0.0, 45.0, -30.0])
+    qlon = np.array([0.0, 90.0, -120.0])
+
+    import ray.data as rd
+
+    df = pd.DataFrame({"doc_id": np.arange(n), "lat": lat, "lon": lon})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)
+                       .replace_schema_metadata(None)).repartition(4)
+    got = nearest_point_join(ds, query_lat=qlat, query_lon=qlon,
+                             query_ids=qids, keep_cols=["doc_id"],
+                             max_km=9000.0).to_pandas()
+
+    order = np.argsort(qids)
+    sq_lat, sq_lon, sq_ids = qlat[order], qlon[order], qids[order]
+    d = haversine_km(lat[:, None], lon[:, None],
+                     sq_lat[None, :], sq_lon[None, :])
+    j = np.argmin(d, axis=1)
+    m = d[np.arange(n), j]
+    keep = m <= 9000.0
+    exp = dict(zip(np.arange(n)[keep], sq_ids[j[keep]]))
+    gm = got.set_index("doc_id")
+    assert set(gm.index) == set(np.flatnonzero(keep))
+    for i, nid in exp.items():
+        assert gm.loc[i, "nearest_id"] == nid
+        assert abs(gm.loc[i, "dist_km"] - m[i]) < 1e-9
