@@ -251,3 +251,40 @@ def moment_finalize(partial: np.ndarray):
                 beta = mean / alpha
     return {"n": int(n), "mean": mean, "std": std, "min": mn, "max": mx,
             "alpha": alpha, "beta": beta}
+
+
+def grouped_weighted_quantiles(owner: np.ndarray, values: np.ndarray,
+                               counts: np.ndarray, n_owners: int,
+                               probs) -> np.ndarray:
+    """percentile_cont-style (linear-interpolated) quantiles per owner
+    over (owner, value, count) multisets — numpy 'linear' / DuckDB
+    ``quantile_cont`` semantics: target rank h = (n-1)*p, interpolate
+    between the floor(h)-th and ceil(h)-th elements.  Same global-
+    searchsorted trick as ``grouped_weighted_median_mad``; returns an
+    (n_owners, len(probs)) array, NaN rows for empty owners."""
+    probs = np.asarray(probs, dtype=np.float64)
+    out = np.full((n_owners, len(probs)), np.nan)
+    o = np.asarray(owner, dtype=np.int64)
+    v = np.asarray(values, dtype=np.float64)
+    c = np.asarray(counts, dtype=np.int64)
+    pos = c > 0
+    if not pos.all():
+        o, v, c = o[pos], v[pos], c[pos]
+    if len(o) == 0:
+        return out
+    order = np.lexsort((v, o))
+    o, v, c = o[order], v[order], c[order]
+    gcum = np.cumsum(c)
+    seg_start = np.r_[0, np.flatnonzero(o[1:] != o[:-1]) + 1]
+    seg_end = np.r_[seg_start[1:], len(o)]
+    base = np.where(seg_start > 0, gcum[seg_start - 1], 0)
+    totals = gcum[seg_end - 1] - base
+    owners = o[seg_start]
+    for pi, p in enumerate(probs):
+        h = (totals - 1) * p
+        k_lo = np.floor(h).astype(np.int64)
+        k_hi = np.ceil(h).astype(np.int64)
+        i_lo = np.searchsorted(gcum, base + k_lo + 1)
+        i_hi = np.searchsorted(gcum, base + k_hi + 1)
+        out[owners, pi] = v[i_lo] + (h - k_lo) * (v[i_hi] - v[i_lo])
+    return out

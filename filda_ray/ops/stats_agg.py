@@ -346,3 +346,44 @@ def grouping_sets_sums(ds, *, sets: list[list[str]], key_types: dict,
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def grouped_quantiles_exact(ds, *, group_col: str, value_col: str,
+                            probs=(0.25, 0.5, 0.75)):
+    """Exact per-group quantile_cont (linear interpolation) over a
+    bounded value domain, via the same (group, value)->count histogram
+    partials as ``grouped_median_exact``.  Output: (group,
+    q<p*100> ... columns, n).  Unbounded continuous domains belong to
+    the KLL sketch path."""
+    from ray.data.aggregate import Sum
+
+    from ..kernels.stats import grouped_weighted_quantiles
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({group_col: b.column(group_col),
+                      value_col: b.column(value_col),
+                      "one": pa.array(np.ones(len(b), dtype=np.int64))})
+        g = t.group_by([group_col, value_col]).aggregate([("one", "sum")])
+        return g.rename_columns([group_col, value_col, "__n"])
+
+    hist = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=PARTIAL_BATCH_ROWS)
+    merged = hist.groupby([group_col, value_col],
+                          num_partitions=shuffle_partitions()).aggregate(
+        Sum("__n", alias_name="__n"))
+
+    qcols = [f"q{int(round(p * 100)):02d}" for p in probs]
+
+    def finalize(g: pd.DataFrame) -> pa.Table:
+        qs = grouped_weighted_quantiles(
+            np.zeros(len(g), dtype=np.int64),
+            g[value_col].to_numpy(np.float64),
+            g["__n"].to_numpy(np.int64), 1, list(probs))
+        out = {group_col: [g[group_col].iloc[0]]}
+        for i, qc in enumerate(qcols):
+            out[qc] = qs[:, i]
+        out["n"] = np.array([g["__n"].sum()], dtype=np.int64)
+        return pd_table(pd.DataFrame(out))
+
+    return merged.groupby(group_col, num_partitions=shuffle_partitions()).map_groups(
+        finalize, batch_format="pandas")

@@ -1344,6 +1344,30 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_quantiles_quantity(sf_dir: str):
+    """Exact per-group quantile_cont (p25/p50/p75) over the bounded
+    l_quantity domain — histogram partials + one linear-interpolation
+    kernel pass per group (ops.stats_agg.grouped_quantiles_exact)."""
+    from ..ops import stats_agg as SA
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_linestatus", "l_quantity"])
+    return SA.grouped_quantiles_exact(ds, group_col="l_linestatus",
+                                      value_col="l_quantity",
+                                      probs=(0.25, 0.5, 0.75))
+
+
+def sql_quantiles_quantity() -> str:
+    return """
+SELECT l_linestatus,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.50) AS q50,
+       quantile_cont(l_quantity, 0.75) AS q75,
+       count(*) AS n
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
 def q_corr_qty_discount(sf_dir: str):
     """Grouped corr/covar/regression via one-pass integer co-moment
     partials (ops.stats_agg): the shuffle moves 6 int64 sums per
@@ -3449,6 +3473,7 @@ QUERIES = {
     "count_distinct_users": q_count_distinct,
     "corr_qty_discount": q_corr_qty_discount,
     "median_quantity_by_flag": q_median_quantity,
+    "quantiles_quantity": q_quantiles_quantity,
     "first_last_value": q_first_last_value,
     "argmax_events": q_argmax_events,
     "rollup_revenue": q_rollup_revenue,
@@ -3545,6 +3570,7 @@ ORACLES = {
     "count_distinct_users": sql_count_distinct(),
     "corr_qty_discount": sql_corr_qty_discount(),
     "median_quantity_by_flag": sql_median_quantity(),
+    "quantiles_quantity": sql_quantiles_quantity(),
     "first_last_value": sql_first_last_value(),
     "argmax_events": sql_argmax_events(),
     "rollup_revenue": sql_rollup_revenue(),

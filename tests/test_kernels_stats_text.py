@@ -208,3 +208,31 @@ def test_line_stats_edge_cases():
         assert n[i] == len(lines)
         assert d[i] == len(set(lines))
         assert mx[i] == max(lines.count(l) for l in set(lines))
+
+
+def test_grouped_weighted_quantiles_matches_numpy():
+    """Linear-interpolated grouped quantiles over histogram multisets
+    equal numpy's 'linear' quantile on the expanded raw values."""
+    import collections
+
+    import numpy as np
+
+    from filda_ray.kernels.stats import grouped_weighted_quantiles
+
+    rng = np.random.default_rng(41)
+    for _ in range(25):
+        n = int(rng.integers(1, 300))
+        o = rng.integers(0, 5, n)
+        v = rng.integers(0, 25, n).astype(float)
+        rows = collections.Counter(zip(o, v))
+        oo = np.array([k[0] for k in rows], dtype=np.int64)
+        vv = np.array([k[1] for k in rows], dtype=float)
+        cc = np.array(list(rows.values()), dtype=np.int64)
+        probs = [0.0, 0.1, 0.5, 0.9, 1.0]
+        got = grouped_weighted_quantiles(oo, vv, cc, 5, probs)
+        for g in range(5):
+            vals = v[o == g]
+            if len(vals) == 0:
+                assert np.isnan(got[g]).all()
+            else:
+                assert np.array_equal(got[g], np.quantile(vals, probs))
