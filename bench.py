@@ -125,6 +125,8 @@ def run_bench() -> dict:
         "running_totals": Q.q_running_totals,
         "corr_comoments": Q.q_corr_qty_discount,
         "line_repetition": Q.q_line_repetition,
+        "range_window_sum": Q.q_range_window,
+        "radius_join": Q.q_radius_join,
     }
     for name, fn in secondary.items():
         t0 = time.time()
