@@ -386,3 +386,91 @@ def nearest_point_join(ds, *, query_lat, query_lon, query_ids=None,
         return pa.table(out)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def hotspot_clusters(ds, *, cell_col: str = "hex_r7", min_count: int = 5,
+                     k_ring: int = 1):
+    """Grid-density clustering (DBSCAN over the hex grid): cells with
+    >= ``min_count`` rows are DENSE; dense cells within ``k_ring``
+    adjacency connect; clusters = connected components labeled by the
+    minimum cell id.  Output: (cell, n, cluster_id), dense cells only.
+
+    Scale design: counts come from the vectorized partial+Sum path
+    (cell_counts_ds); the dense set is hotspot-few by construction
+    (the min_count filter), so it broadcasts via ``ray.put`` to gate
+    edge emission — edges connect dense->dense only, never through a
+    sparse cell — and the component loop (ops.graph, large/small-star)
+    runs over the dense-adjacency edge table alone.  Reference analog:
+    per-cell duplicate-fire counts (FILDA.py:1487-1497, A5) upgraded
+    to cross-cell cluster labels.
+    """
+    import ray
+
+    from .graph import connected_components
+
+    counts = cell_counts_ds(ds, cell_col)
+
+    def dense_only(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(n >= min_count))
+
+    dense = counts.map_batches(dense_only, batch_format="pyarrow").materialize()
+    dcells = np.sort(np.concatenate(
+        [b.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+         for b in dense.iter_batches(batch_format="pyarrow", batch_size=None)]
+        or [np.array([], dtype=np.uint64)]))
+    if len(dcells) == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({cell_col: pa.array([], pa.uint64()),
+                                       "n": pa.array([], pa.int64()),
+                                       "cluster_id": pa.array([], pa.int64())}))
+    dref = ray.put(dcells)
+
+    def edges(b: pa.Table) -> pa.Table:
+        dc = ray.get(dref)
+        c = b.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        disk = cells.hex_disk(c, k_ring)[:, 1:]  # drop the center
+        src = np.repeat(c, disk.shape[1])
+        dst = disk.ravel()
+        idx = np.searchsorted(dc, dst)
+        hit = (idx < len(dc)) & (dc[np.minimum(idx, len(dc) - 1)] == dst)
+        return pa.table({"u": pa.array(src[hit].astype(np.int64)),
+                         "v": pa.array(dst[hit].astype(np.int64))})
+
+    e = dense.map_batches(edges, batch_format="pyarrow")
+    cc = connected_components(e, src="u", dst="v",
+                              out_node="__node", out_comp="cluster_id")
+
+    def widen(b: pa.Table) -> pa.Table:
+        # int64 key: Ray's hash aggregate widened dense's uint64 key
+        # to int64, and Arrow joins refuse mixed-signedness keys
+        return pa.table({cell_col: b.column("__node").cast(pa.int64()),
+                         "cluster_id": b.column("cluster_id").cast(pa.int64())})
+
+    # labels are dense-cell-bounded -> materializing them is tiny
+    lab = cc.map_batches(widen, batch_format="pyarrow").materialize()
+    if lab.count() == 0:
+        # no adjacent dense cells at all: every dense cell is its own
+        # cluster (and Ray's hash join rejects an empty right side)
+        def self_label(b: pa.Table) -> pa.Table:
+            return pa.table({cell_col: b.column(cell_col).cast(pa.uint64()),
+                             "n": b.column("n").cast(pa.int64()),
+                             "cluster_id": b.column(cell_col).cast(pa.int64())})
+
+        return dense.map_batches(self_label, batch_format="pyarrow")
+    # isolated dense cells never enter the edge table (the component
+    # op drops self loops): left join + coalesce to the cell's own id
+    j = dense.join(lab, join_type="left_outer", on=(cell_col,),
+                   num_partitions=shuffle_partitions())
+
+    def fill(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cid = pc.coalesce(b.column("cluster_id"),
+                          b.column(cell_col).cast(pa.int64()))
+        return pa.table({cell_col: b.column(cell_col).cast(pa.uint64()),
+                         "n": b.column("n").cast(pa.int64()),
+                         "cluster_id": cid})
+
+    return j.map_batches(fill, batch_format="pyarrow")

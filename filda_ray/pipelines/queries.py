@@ -2974,6 +2974,70 @@ FROM cells cl JOIN nk ON nk.q = cl.q AND nk.r = cl.r
 """
 
 
+def q_hotspot_clusters(sf_dir: str):
+    """Grid-DBSCAN at the oracle hex resolution: dense cells
+    (>= 2 pages) cluster through ring-1 adjacency via the distributed
+    connected-components loop; isolated dense cells label themselves
+    (ops.hotspot.hotspot_clusters)."""
+    from ..kernels import cells as C
+    from ..ops.hotspot import hotspot_clusters
+
+    narrow = flagship.narrow_pages(sf_dir)
+
+    def recode(b: pa.Table) -> pa.Table:
+        lat = b.column("lat").to_numpy(zero_copy_only=False)
+        lon = b.column("lon").to_numpy(zero_copy_only=False)
+        cell = C.hex_cell(lat, lon, HEX_ORACLE_RES)
+        return pa.table({"hex_c": pa.array(cell, pa.uint64())})
+
+    ds = narrow.select_columns(["lat", "lon"]).map_batches(
+        recode, batch_format="pyarrow")
+    out = hotspot_clusters(ds, cell_col="hex_c", min_count=2, k_ring=1)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        _, q, r = C.hex_unpack(b.column("hex_c").to_numpy(zero_copy_only=False))
+        return pa.table({"q": pa.array(q), "r": pa.array(r),
+                         "n": b.column("n").cast(pa.int64()),
+                         "cluster_id": b.column("cluster_id").cast(pa.int64())})
+
+    return out.map_batches(unpack, batch_format="pyarrow")
+
+
+def sql_hotspot_clusters() -> str:
+    from ..kernels import cells as C
+
+    offs = [o for o in C.hex_disk_offsets(1) if not (o[0] == 0 and o[1] == 0)]
+    ring_rows = ", ".join(f"({int(dq)},{int(dr)})" for dq, dr in offs)
+    prefix = _sql_hex_cte_prefix()
+    prefix = prefix[: prefix.index(",\nocc AS")]
+    prefix = prefix.replace("WITH pages AS", "WITH RECURSIVE pages AS", 1)
+    pk1 = _sql_hex_pack(HEX_ORACLE_RES, "d1.q", "d1.r")
+    pk2 = _sql_hex_pack(HEX_ORACLE_RES, "d2.q", "d2.r")
+    pkd = _sql_hex_pack(HEX_ORACLE_RES, "d.q", "d.r")
+    return prefix + f""",
+cnt AS (SELECT q, r, count(*) AS n FROM cells GROUP BY q, r),
+dense AS (SELECT q, r, n FROM cnt WHERE n >= 2),
+ring1 AS (SELECT * FROM (VALUES {ring_rows}) AS t(dq, dr)),
+e AS (
+  SELECT cast({pk1} as bigint) AS u, cast({pk2} as bigint) AS v
+  FROM dense d1 JOIN ring1 o ON true
+  JOIN dense d2 ON d2.q = d1.q + o.dq AND d2.r = d1.r + o.dr
+),
+edges AS (SELECT u, v FROM e
+          UNION SELECT v, u FROM e
+          UNION SELECT cast({pkd} as bigint), cast({pkd} as bigint) FROM dense d),
+reach(src, node) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.src, e2.v FROM reach r JOIN edges e2 ON e2.u = r.node
+),
+lab AS (SELECT src, min(node) AS cluster_id FROM reach GROUP BY src)
+SELECT d.q, d.r, cast(d.n as bigint) AS n,
+       cast(l.cluster_id as bigint) AS cluster_id
+FROM dense d JOIN lab l ON l.src = cast({pkd} as bigint)
+"""
+
+
 def _sql_hex_pack(res: int, q: str = "q", r: str = "r") -> str:
     """SQL expression packing axial (q, r) into the engine's uint64
     cell id: [4b res | 28b q+bias | 28b r+bias] (kernels/cells.py
@@ -3500,6 +3564,7 @@ QUERIES = {
     "hex_tile_stats": q_hex_tile_stats,
     "hex_detect_coarse": q_hex_detect_coarse,
     "knn_hotspots_coarse": q_knn_hotspots_coarse,
+    "hotspot_clusters": q_hotspot_clusters,
     # rows-only (non-SQL-expressible; covered by pytest goldens/oracles)
     "cells_hex_s2": q_cells,
     "pip_biome": q_pip_biome,
@@ -3597,6 +3662,7 @@ ORACLES = {
     "hex_tile_stats": sql_hex_tile_stats(),
     "hex_detect_coarse": sql_hex_detect_coarse(),
     "knn_hotspots_coarse": sql_knn_hotspots_coarse(),
+    "hotspot_clusters": sql_hotspot_clusters(),
     "estimator_score": sql_score(),
     "estimate_eval": sql_estimate_eval(),
     "langid": sql_langid(),

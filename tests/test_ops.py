@@ -1368,3 +1368,52 @@ def test_nearest_point_join_brute_force(ray_session):
     for i, nid in exp.items():
         assert gm.loc[i, "nearest_id"] == nid
         assert abs(gm.loc[i, "dist_km"] - m[i]) < 1e-9
+
+
+def test_hotspot_clusters_grid_dbscan(ray_session):
+    """Grid-DBSCAN: dense cells cluster through k-ring adjacency only
+    (never through a sparse cell); isolated dense cells keep their own
+    label.  Checked against a brute-force union-find."""
+    from filda_ray.kernels import cells as C
+    from filda_ray.ops.hotspot import hotspot_clusters
+
+    rng = np.random.default_rng(9)
+    res = C.HEX_DEFAULT_RES
+    # two dense blobs separated by a sparse gap + one isolated dense cell
+    blob1 = [(10, 10), (11, 10), (10, 11)]
+    blob2 = [(20, 20), (21, 20)]
+    iso = [(40, 5)]
+    sparse = [(15, 15), (30, 30)]
+    rows = []
+    for q, r in blob1 + blob2 + iso:
+        rows += [(q, r)] * 6  # dense: >= 5
+    for q, r in sparse:
+        rows += [(q, r)] * 2  # sparse
+    qs = np.array([x[0] for x in rows], dtype=np.int64)
+    rs = np.array([x[1] for x in rows], dtype=np.int64)
+    cell = C.hex_pack(qs, rs, res)
+
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"hex_r7": pa.array(cell, pa.uint64())})
+                       ).repartition(3)
+    got = hotspot_clusters(ds, min_count=5, k_ring=1).to_pandas()
+
+    dense_cells = set(C.hex_pack(np.array([q for q, r in blob1 + blob2 + iso]),
+                                 np.array([r for q, r in blob1 + blob2 + iso]),
+                                 res).tolist())
+    assert set(got["hex_r7"]) == dense_cells
+    assert (got["n"] == 6).all()
+    lab = got.set_index("hex_r7")["cluster_id"]
+
+    def pk(q, r):
+        return C.hex_pack(np.array([q]), np.array([r]), res)[0]
+
+    # blob1 all one cluster, labeled by its min cell id
+    l1 = {lab.loc[pk(q, r)] for q, r in blob1}
+    assert len(l1) == 1 and l1.pop() == min(pk(q, r) for q, r in blob1)
+    l2 = {lab.loc[pk(q, r)] for q, r in blob2}
+    assert len(l2) == 1 and l2.pop() == min(pk(q, r) for q, r in blob2)
+    # blobs are distinct clusters; isolated cell labels itself
+    assert lab.loc[pk(*blob1[0])] != lab.loc[pk(*blob2[0])]
+    assert lab.loc[pk(40, 5)] == pk(40, 5)
