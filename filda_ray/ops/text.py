@@ -297,3 +297,35 @@ def tfidf_top_terms(ds, doc_col: str = "doc_id", text_col: str = "text", *,
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# PII-style scrub patterns: RE2 syntax, applied in ORDER (emails
+# before numbers so an address's digits don't half-match).  The engine
+# runs them through pyarrow.compute.replace_substring_regex — the same
+# RE2 engine DuckDB's regexp_replace uses, so the SQL oracle is
+# bit-identical by construction.
+SCRUB_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\d{7,}", "<NUM>"),
+)
+
+
+def scrub_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Curation scrub: mask email addresses, IPv4 literals, and long
+    digit runs with fixed tokens — one vectorized RE2 pass per
+    pattern, no Python row loop."""
+    import pyarrow.compute as pc
+
+    col = batch.column(text_col)
+    if pa.types.is_large_string(col.type):
+        col = col.cast(pa.string())
+    for pat, rep in SCRUB_PATTERNS:
+        col = pc.replace_substring_regex(col, pattern=pat, replacement=rep)
+    return batch.set_column(batch.schema.get_field_index(text_col),
+                            "scrubbed_" + text_col, col)
+
+
+def scrub_op(ds, text_col: str = "text"):
+    return ds.map_batches(lambda b: scrub_stage(b, text_col),
+                          batch_format="pyarrow")

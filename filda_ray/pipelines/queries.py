@@ -1654,6 +1654,45 @@ GROUP BY c_nationkey
 """
 
 
+def q_scrub_pii(sf_dir: str):
+    """Curation scrub (emails / IPv4s / long digit runs -> fixed
+    tokens) over document text: one vectorized RE2 pass per pattern
+    (ops.text.scrub_op); pyarrow and DuckDB share the RE2 engine, so
+    the oracle is bit-identical by construction."""
+    from ..ops import text as T
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = T.scrub_op(ds)
+
+    def measure(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = b.column("scrubbed_text")
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "scrubbed_text": s,
+                         "n_masked": pc.count_substring(s, "<NUM>").cast(pa.int64())})
+
+    return out.map_batches(measure, batch_format="pyarrow")
+
+
+def sql_scrub_pii() -> str:
+    from ..ops.text import SCRUB_PATTERNS
+
+    expr = "text"
+    for pat, rep in SCRUB_PATTERNS:
+        # DuckDB single-quoted strings keep backslashes literal
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return f"""
+WITH s AS (SELECT doc_id, {expr} AS scrubbed_text FROM documents)
+SELECT doc_id, scrubbed_text,
+       cast((length(scrubbed_text)
+             - length(replace(scrubbed_text, '<NUM>', ''))) // 5
+            as bigint) AS n_masked
+FROM s
+"""
+
+
 def q_normalize_text(sf_dir: str):
     """Curation text normalization (NFC, lowercase, whitespace
     collapse, trim) on pure Arrow kernels; RE2 on both sides makes the
@@ -3550,6 +3589,7 @@ QUERIES = {
     "mode_event_type": q_mode_event_type,
     "salted_join_events": q_salted_join_events,
     "normalize_text": q_normalize_text,
+    "scrub_pii": q_scrub_pii,
     "explode_embeddings": q_explode_embeddings,
     "user_journeys": q_user_journeys,
     "json_props": q_json_props,
@@ -3648,6 +3688,7 @@ ORACLES = {
     "mode_event_type": sql_mode_event_type(),
     "salted_join_events": sql_salted_join_events(),
     "normalize_text": sql_normalize_text(),
+    "scrub_pii": sql_scrub_pii(),
     "explode_embeddings": sql_explode_embeddings(),
     "user_journeys": sql_user_journeys(),
     "json_props": sql_json_props(),
