@@ -311,7 +311,8 @@ SCRUB_PATTERNS = (
 )
 
 
-def scrub_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
+def scrub_stage(batch: pa.Table, text_col: str = "text",
+                patterns=SCRUB_PATTERNS) -> pa.Table:
     """Curation scrub: mask email addresses, IPv4 literals, and long
     digit runs with fixed tokens — one vectorized RE2 pass per
     pattern, no Python row loop."""
@@ -320,12 +321,12 @@ def scrub_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
     col = batch.column(text_col)
     if pa.types.is_large_string(col.type):
         col = col.cast(pa.string())
-    for pat, rep in SCRUB_PATTERNS:
+    for pat, rep in patterns:
         col = pc.replace_substring_regex(col, pattern=pat, replacement=rep)
     return batch.set_column(batch.schema.get_field_index(text_col),
                             "scrubbed_" + text_col, col)
 
 
-def scrub_op(ds, text_col: str = "text"):
-    return ds.map_batches(lambda b: scrub_stage(b, text_col),
+def scrub_op(ds, text_col: str = "text", patterns=SCRUB_PATTERNS):
+    return ds.map_batches(lambda b: scrub_stage(b, text_col, patterns),
                           batch_format="pyarrow")

@@ -1655,39 +1655,45 @@ GROUP BY c_nationkey
 
 
 def q_scrub_pii(sf_dir: str):
-    """Curation scrub (emails / IPv4s / long digit runs -> fixed
-    tokens) over document text: one vectorized RE2 pass per pattern
+    """Curation scrub (emails / IPv4s / digit runs -> fixed tokens)
+    over the events props payload: one vectorized RE2 pass per pattern
     (ops.text.scrub_op); pyarrow and DuckDB share the RE2 engine, so
-    the oracle is bit-identical by construction."""
+    the oracle is bit-identical by construction.  The digit threshold
+    is 2 here so the synthetic corpus actually exercises the masking
+    (SCRUB_PATTERNS' production default is 7+)."""
     from ..ops import text as T
 
-    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id", "text"])
-    out = T.scrub_op(ds)
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "props"])
+    out = T.scrub_op(ds, text_col="props", patterns=_scrub_query_patterns())
 
     def measure(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        s = b.column("scrubbed_text")
-        return pa.table({"doc_id": b.column("doc_id"),
-                         "scrubbed_text": s,
+        s = b.column("scrubbed_props")
+        return pa.table({"event_id": b.column("event_id"),
+                         "scrubbed_props": s,
                          "n_masked": pc.count_substring(s, "<NUM>").cast(pa.int64())})
 
     return out.map_batches(measure, batch_format="pyarrow")
 
 
-def sql_scrub_pii() -> str:
+def _scrub_query_patterns():
     from ..ops.text import SCRUB_PATTERNS
 
-    expr = "text"
-    for pat, rep in SCRUB_PATTERNS:
+    return SCRUB_PATTERNS[:2] + ((r"\d{2,}", "<NUM>"),)
+
+
+def sql_scrub_pii() -> str:
+    expr = "props"
+    for pat, rep in _scrub_query_patterns():
         # DuckDB single-quoted strings keep backslashes literal
         expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
     return f"""
-WITH s AS (SELECT doc_id, {expr} AS scrubbed_text FROM documents)
-SELECT doc_id, scrubbed_text,
-       cast((length(scrubbed_text)
-             - length(replace(scrubbed_text, '<NUM>', ''))) // 5
+WITH s AS (SELECT event_id, {expr} AS scrubbed_props FROM events)
+SELECT event_id, scrubbed_props,
+       cast((length(scrubbed_props)
+             - length(replace(scrubbed_props, '<NUM>', ''))) // 5
             as bigint) AS n_masked
 FROM s
 """
