@@ -236,3 +236,23 @@ def test_grouped_weighted_quantiles_matches_numpy():
                 assert np.isnan(got[g]).all()
             else:
                 assert np.array_equal(got[g], np.quantile(vals, probs))
+
+
+def test_scrub_stage_masks_pii_shapes():
+    import pyarrow as pa
+
+    from filda_ray.ops.text import scrub_stage
+
+    t = pa.table({"text": pa.array([
+        "mail bob.smith+x@sub.example.org now",
+        "server at 192.168.001.1 port",
+        "call 12345678 or 1234567890 x",
+        "short 123456 stays",  # 6 digits < production threshold
+        None,
+    ], pa.large_string())})
+    out = scrub_stage(t, "text").column("scrubbed_text").to_pylist()
+    assert out[0] == "mail <EMAIL> now"
+    assert out[1] == "server at <IP> port"
+    assert out[2] == "call <NUM> or <NUM> x"
+    assert out[3] == "short 123456 stays"
+    assert out[4] is None
