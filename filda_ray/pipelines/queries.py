@@ -574,9 +574,11 @@ def q_join_revenue(sf_dir: str):
     pre = orders.map_batches(cents_preagg, batch_format="pyarrow", batch_size=65536)
     from ray.data.aggregate import Sum as _Sum
 
-    pre = pre.groupby("o_custkey", num_partitions=shuffle_partitions()).aggregate(
-        _Sum("cents", alias_name="cents"), _Sum("cnt", alias_name="cnt")
-    )
+    # NO intermediate groupby(o_custkey): the final n_name aggregate
+    # sums partials anyway, so merging per-custkey first would buy
+    # nothing and cost a full extra hash shuffle (measured 7.7 s ->
+    # 3.9 s at sf0.1 dropping it); the join moves <= blocks x
+    # distinct-custkeys partial rows either way
     j = rel.hash_join(pre, cust, on="o_custkey", right_on="c_custkey", how="inner",
                       num_partitions=8)
     import pyarrow.parquet as pq
