@@ -441,8 +441,6 @@ def running_aggregate(ds, *, key_col: str, ts_col: str, tie_col: str,
     """
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Sum
-
     from . import pd_table
 
     def narrow(b: pa.Table) -> pa.Table:
@@ -462,11 +460,6 @@ def running_aggregate(ds, *, key_col: str, ts_col: str, tie_col: str,
             [("v", "sum"), ("v", "count")])
         return g.rename_columns(["k", "c", "s", "n"])
 
-    totals = base.map_batches(tot_partial, batch_format="pyarrow",
-                              batch_size=65536).groupby(
-        ["k", "c"], num_partitions=shuffle_partitions()).aggregate(
-        Sum("s", alias_name="s"), Sum("n", alias_name="n"))
-
     nb = _window_buckets(ds)
 
     def add_kbucket(b: pa.Table) -> pa.Table:
@@ -474,14 +467,19 @@ def running_aggregate(ds, *, key_col: str, ts_col: str, tie_col: str,
         return b.append_column("kb", pa.array(_hash_mod(nb, k)))
 
     def excl_cumsum_bucket(g: pd.DataFrame) -> pa.Table:
-        """Per-key exclusive cumsum of chunk totals — one segmented
-        pass per bucket, never a per-key Python call."""
+        """Merge per-batch (key, chunk) partials (reduceat — no
+        separate hash-aggregate shuffle) and take each key's exclusive
+        cumsum of chunk totals, one segmented pass per bucket."""
         k = g["k"].to_numpy(np.int64)
         c = g["c"].to_numpy(np.int64)
         s = g["s"].to_numpy(np.int64)
         n = g["n"].to_numpy(np.int64)
         order = np.lexsort((c, k))
         k, c, s, n = k[order], c[order], s[order], n[order]
+        _, _, kc_start = _seg_bounds(k, c)
+        k, c = k[kc_start], c[kc_start]
+        s = np.add.reduceat(s, kc_start)
+        n = np.add.reduceat(n, kc_start)
         _, seg_id, seg_start = _seg_bounds(k)
         cs, cn = np.cumsum(s), np.cumsum(n)
         base_s = np.where(seg_start > 0, cs[seg_start - 1], 0)
@@ -493,7 +491,9 @@ def running_aggregate(ds, *, key_col: str, ts_col: str, tie_col: str,
             "off_n": cn - n - base_n[seg_id],
             "is_off": np.full(len(k), 1, dtype=np.int8)}))
 
-    offsets = totals.map_batches(add_kbucket, batch_format="pyarrow").groupby(
+    partials = base.map_batches(tot_partial, batch_format="pyarrow",
+                                batch_size=65536)
+    offsets = partials.map_batches(add_kbucket, batch_format="pyarrow").groupby(
         "kb", num_partitions=shuffle_partitions(nb)).map_groups(
         excl_cumsum_bucket, batch_format="pandas")
 
