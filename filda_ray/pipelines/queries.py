@@ -1509,6 +1509,40 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_pushdown_high_value(sf_dir: str):
+    """Predicate pushdown at the READ: the row filter rides into the
+    pyarrow scanner (read_parquet(filter=...)), so row groups whose
+    min/max statistics exclude it never leave storage — the
+    prune-at-the-read lever for selective scans; only then a tiny
+    grouped aggregate."""
+    import pyarrow.dataset as pds
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderpriority", "o_totalprice"],
+                            filter=pds.field("o_totalprice") > 400000.0)
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b.column("o_totalprice").to_numpy()
+        return pa.table({"o_orderpriority": b.column("o_orderpriority"),
+                         "cents": pa.array(_round_half_up(v * 100.0).astype(np.int64))})
+
+    return ds.map_batches(cents, batch_format="pyarrow").groupby(
+        "o_orderpriority", num_partitions=shuffle_partitions()).aggregate(
+        Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents"))
+
+
+def sql_pushdown_high_value() -> str:
+    return """
+SELECT o_orderpriority, cast(count(*) as bigint) AS n_orders,
+       cast(sum(cast(floor(o_totalprice * 100.0 + 0.5) as bigint)) as bigint)
+           AS total_cents
+FROM orders WHERE o_totalprice > 400000.0
+GROUP BY o_orderpriority
+"""
+
+
 def q_rollup_revenue(sf_dir: str):
     """GROUP BY ROLLUP(priority, year) from ONE full shuffle: coarser
     levels re-aggregate the finest level's tiny output (ops.stats_agg
@@ -3588,6 +3622,7 @@ QUERIES = {
     "first_last_value": q_first_last_value,
     "argmax_events": q_argmax_events,
     "rollup_revenue": q_rollup_revenue,
+    "pushdown_high_value": q_pushdown_high_value,
     "cube_revenue": q_cube_revenue,
     "grouping_sets_revenue": q_grouping_sets_revenue,
     "dedup_keep_newest": q_dedup_keep_newest,
@@ -3687,6 +3722,7 @@ ORACLES = {
     "first_last_value": sql_first_last_value(),
     "argmax_events": sql_argmax_events(),
     "rollup_revenue": sql_rollup_revenue(),
+    "pushdown_high_value": sql_pushdown_high_value(),
     "cube_revenue": sql_cube_revenue(),
     "grouping_sets_revenue": sql_grouping_sets_revenue(),
     "dedup_keep_newest": sql_dedup_keep_newest(),
