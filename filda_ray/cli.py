@@ -55,6 +55,14 @@ def main(argv=None):
 
     sub.add_parser("list-queries")
 
+    b = sub.add_parser("bbox", help="spatial bbox query over a written product "
+                       "(partition-pruned: only covered part dirs are opened)")
+    b.add_argument("--product", required=True,
+                   help="product dir written by `detect` (partitioned by pc_tile)")
+    b.add_argument("--box", required=True,
+                   help="lat_min,lat_max,lon_min,lon_max (lon_min>lon_max wraps 180)")
+    b.add_argument("--limit", type=int, default=10)
+
     m = sub.add_parser("metrics", help="print pipeline metrics snapshot")
 
     args = p.parse_args(argv)
@@ -96,6 +104,28 @@ def main(argv=None):
             df = res.to_pandas() if hasattr(res, "to_pandas") else res
             print(df.head(args.limit).to_string())
             print(f"... {len(df)} rows")
+        elif args.cmd == "bbox":
+            from filda_ray.kernels.cells import bbox_tiles
+            from filda_ray.state.manifest import read_product_partitions
+
+            la0, la1, lo0, lo1 = (float(x) for x in args.box.split(","))
+            cover = bbox_tiles(la0, la1, lo0, lo1)
+            ds = read_product_partitions(args.product, cover.tolist())
+            import pyarrow.compute as _pc
+
+            def in_box(t):
+                lat = t.column("lat")
+                lon = t.column("lon")
+                m = _pc.and_(_pc.and_(_pc.greater_equal(lat, la0),
+                                      _pc.less_equal(lat, la1)),
+                             _pc.and_(_pc.greater_equal(lon, lo0),
+                                      _pc.less_equal(lon, lo1)))
+                return t.filter(m)
+
+            out = ds.map_batches(in_box, batch_format="pyarrow")
+            df = out.to_pandas()
+            print(df.head(args.limit).to_string())
+            print(json.dumps({"covered_tiles": len(cover), "rows": len(df)}))
         elif args.cmd == "metrics":
             from filda_ray.state.metrics import snapshot
 

@@ -31,11 +31,11 @@ def read_parquet_clean(path, *, columns=None, **kw):
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    f = path
-    if os.path.isdir(path):
-        cand = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+    f = path[0] if isinstance(path, (list, tuple)) and path else path
+    if isinstance(f, str) and os.path.isdir(f):
+        cand = sorted(glob.glob(os.path.join(f, "**", "*.parquet"),
                                 recursive=True))
-        f = cand[0] if cand else path
+        f = cand[0] if cand else f
     try:
         sch = pq.read_schema(f)
         names = columns if columns is not None else sch.names

@@ -233,7 +233,7 @@ def write_product_streaming(ds, out_dir: str, *, partition_col: str,
 
 def read_product(out_dir: str):
     """Read a product back as a Dataset (resume/consumer path)."""
-    import ray.data as rd
+    from ..sources import read_parquet_clean
 
     parts = []
     for d in sorted(os.listdir(out_dir)):
@@ -242,7 +242,7 @@ def read_product(out_dir: str):
                 and os.path.exists(os.path.join(pdir, SUCCESS))):
             parts += [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
                       if f.endswith(".parquet")]
-    return rd.read_parquet(parts)
+    return read_parquet_clean(parts)
 
 
 def read_product_partitions(out_dir: str, values):
@@ -255,6 +255,8 @@ def read_product_partitions(out_dir: str, values):
     partitions are skipped (same contract as read_product)."""
     import ray.data as rd
 
+    from ..sources import read_parquet_clean
+
     parts = []
     for v in values:
         pdir = os.path.join(out_dir, f"part={v}")
@@ -263,4 +265,4 @@ def read_product_partitions(out_dir: str, values):
                       if f.endswith(".parquet")]
     if not parts:
         return rd.from_items([])
-    return rd.read_parquet(parts)
+    return read_parquet_clean(parts)
