@@ -248,6 +248,20 @@ def rollup_sums(ds, *, key_cols: list[str], key_types: dict, value_col: str,
     return out
 
 
+def _group_bucket(b: pa.Table, group_col: str, nb: int) -> np.ndarray:
+    """Bounded hash bucket of a group-key column (int or string) so a
+    finalize stage processes MANY groups per vectorized call instead of
+    one Python dispatch per group."""
+    from ..kernels.hashing import content_hash64, splitmix64
+
+    col = b.column(group_col)
+    if pa.types.is_integer(col.type):
+        h = splitmix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+    else:
+        h = content_hash64(col.to_pylist())
+    return (h % np.uint64(nb)).astype(np.int32)
+
+
 def grouped_median_exact(ds, *, group_col: str, value_col: str):
     """Exact per-group median + MAD (SQL ``median(v), mad(v) GROUP BY
     g``) without ever shuffling raw rows: per-block (group, value) ->
@@ -281,17 +295,26 @@ def grouped_median_exact(ds, *, group_col: str, value_col: str):
                           num_partitions=shuffle_partitions()).aggregate(
         Sum("__n", alias_name="__n"))
 
-    def finalize(g: pd.DataFrame) -> pa.Table:
-        med, mad, tot = grouped_weighted_median_mad(
-            np.zeros(len(g), dtype=np.int64),
-            g[value_col].to_numpy(np.float64),
-            g["__n"].to_numpy(np.int64), 1)
-        return pd_table(pd.DataFrame({
-            group_col: [g[group_col].iloc[0]],
-            "median_v": med, "mad_v": mad, "n": tot}))
+    nb = 16 * shuffle_partitions()
 
-    return merged.groupby(group_col, num_partitions=shuffle_partitions()).map_groups(
-        finalize, batch_format="pandas")
+    def add_bk(b: pa.Table) -> pa.Table:
+        return b.append_column("__bk", pa.array(_group_bucket(b, group_col, nb)))
+
+    def finalize_bucket(g: pd.DataFrame) -> pa.Table:
+        """Whole bucket in ONE kernel call: factorize groups to owner
+        ids — never a per-group Python dispatch (groups of a key all
+        land in its bucket, so the multiset per owner is complete)."""
+        owners, uniq = pd.factorize(g[group_col], sort=True)
+        med, mad, tot = grouped_weighted_median_mad(
+            owners.astype(np.int64),
+            g[value_col].to_numpy(np.float64),
+            g["__n"].to_numpy(np.int64), len(uniq))
+        return pd_table(pd.DataFrame({
+            group_col: uniq, "median_v": med, "mad_v": mad, "n": tot}))
+
+    return merged.map_batches(add_bk, batch_format="pyarrow").groupby(
+        "__bk", num_partitions=shuffle_partitions(nb)).map_groups(
+        finalize_bucket, batch_format="pandas")
 
 
 def grouping_sets_sums(ds, *, sets: list[list[str]], key_types: dict,
@@ -374,16 +397,24 @@ def grouped_quantiles_exact(ds, *, group_col: str, value_col: str,
 
     qcols = [f"q{int(round(p * 100)):02d}" for p in probs]
 
-    def finalize(g: pd.DataFrame) -> pa.Table:
+    nb = 16 * shuffle_partitions()
+
+    def add_bk(b: pa.Table) -> pa.Table:
+        return b.append_column("__bk", pa.array(_group_bucket(b, group_col, nb)))
+
+    def finalize_bucket(g: pd.DataFrame) -> pa.Table:
+        owners, uniq = pd.factorize(g[group_col], sort=True)
+        owners = owners.astype(np.int64)
         qs = grouped_weighted_quantiles(
-            np.zeros(len(g), dtype=np.int64),
-            g[value_col].to_numpy(np.float64),
-            g["__n"].to_numpy(np.int64), 1, list(probs))
-        out = {group_col: [g[group_col].iloc[0]]}
+            owners, g[value_col].to_numpy(np.float64),
+            g["__n"].to_numpy(np.int64), len(uniq), list(probs))
+        out = {group_col: uniq}
         for i, qc in enumerate(qcols):
             out[qc] = qs[:, i]
-        out["n"] = np.array([g["__n"].sum()], dtype=np.int64)
+        out["n"] = np.bincount(owners, weights=g["__n"].to_numpy(np.int64),
+                               minlength=len(uniq)).astype(np.int64)
         return pd_table(pd.DataFrame(out))
 
-    return merged.groupby(group_col, num_partitions=shuffle_partitions()).map_groups(
-        finalize, batch_format="pandas")
+    return merged.map_batches(add_bk, batch_format="pyarrow").groupby(
+        "__bk", num_partitions=shuffle_partitions(nb)).map_groups(
+        finalize_bucket, batch_format="pandas")

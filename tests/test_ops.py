@@ -1417,3 +1417,27 @@ def test_hotspot_clusters_grid_dbscan(ray_session):
     # blobs are distinct clusters; isolated cell labels itself
     assert lab.loc[pk(*blob1[0])] != lab.loc[pk(*blob2[0])]
     assert lab.loc[pk(40, 5)] == pk(40, 5)
+
+
+def test_grouped_median_exact_many_groups(ray_session):
+    """High-cardinality group keys: the bucketed finalize (factorize +
+    one kernel call per bucket) stays exact across many groups."""
+    from filda_ray.ops.stats_agg import grouped_median_exact
+
+    rng = np.random.default_rng(31)
+    n = 20000
+    g = rng.integers(0, 700, n)  # ~700 groups
+    v = rng.integers(0, 50, n).astype(np.float64)
+    df = pd.DataFrame({"grp": g, "val": v})
+
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)
+                       .replace_schema_metadata(None)).repartition(9)
+    got = grouped_median_exact(ds, group_col="grp", value_col="val").to_pandas()
+    assert len(got) == len(set(g))
+    got = got.set_index("grp")
+    for key in rng.choice(sorted(set(g)), 40, replace=False):
+        vals = v[g == key]
+        assert got.loc[key, "median_v"] == np.median(vals)
+        assert got.loc[key, "n"] == len(vals)
