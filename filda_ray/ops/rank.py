@@ -33,7 +33,8 @@ import pyarrow as pa
 
 from . import pd_table, shuffle_partitions
 
-_METHODS = ("rank", "dense_rank", "row_number", "ntile", "percent_rank")
+_METHODS = ("rank", "dense_rank", "row_number", "ntile", "percent_rank",
+            "cume_dist")
 
 
 def _ntile_of(r: np.ndarray, n: int, k: int) -> np.ndarray:
@@ -90,6 +91,7 @@ def global_rank(ds, value_col: str, *, methods=("rank",), tie_cols=None,
     need_rank = bool({"rank", "percent_rank"} & set(methods))
     need_dense = "dense_rank" in methods
     need_rn = bool({"row_number", "ntile"} & set(methods))
+    need_cume = "cume_dist" in methods
 
     def local(g: pd.DataFrame) -> pa.Table:
         v = sgn * g[value_col].to_numpy(dtype=np.float64)
@@ -105,6 +107,10 @@ def global_rank(ds, value_col: str, *, methods=("rank",), tie_cols=None,
         if need_rank:
             first = np.flatnonzero(new)
             out["__lrank"] = np.repeat(first + 1, np.diff(np.r_[first, n]))
+        if need_cume:
+            starts = np.flatnonzero(new)
+            ends = np.r_[starts[1:], n]
+            out["__lcume"] = np.repeat(ends, np.diff(np.r_[starts, n]))
         if need_dense:
             out["__ldense"] = np.cumsum(new)
         if need_rn:
@@ -155,6 +161,9 @@ def global_rank(ds, value_col: str, *, methods=("rank",), tie_cols=None,
             cols["dense_rank"] = pa.array(
                 (b.column("__ldense").to_numpy(zero_copy_only=False)
                  + od[rid]).astype(np.int64))
+        if need_cume:
+            lc = b.column("__lcume").to_numpy(zero_copy_only=False) + on[rid]
+            cols["cume_dist"] = pa.array(lc / tot)
         if need_rn:
             rn = b.column("__lrn").to_numpy(zero_copy_only=False) + on[rid]
             if "row_number" in methods:

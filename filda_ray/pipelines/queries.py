@@ -1509,6 +1509,51 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_revenue_share(sf_dir: str):
+    """ratio_to_report window (share of grand total per group): one
+    grouped sum, then the grand total re-aggregated from the tiny
+    group table and broadcast back as a scalar — never a second pass
+    over the data."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderpriority", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b.column("o_totalprice").to_numpy()
+        return pa.table({"o_orderpriority": b.column("o_orderpriority"),
+                         "cents": pa.array(_round_half_up(v * 100.0).astype(np.int64))})
+
+    per = ds.map_batches(cents, batch_format="pyarrow").groupby(
+        "o_orderpriority", num_partitions=shuffle_partitions()).aggregate(
+        Sum("cents", alias_name="cents")).materialize()
+    total = sum(b.column("cents").to_numpy().sum()
+                for b in per.iter_batches(batch_format="pyarrow", batch_size=None))
+
+    def share(b: pa.Table) -> pa.Table:
+        c = b.column("cents").cast(pa.int64())
+        return pa.table({"o_orderpriority": b.column("o_orderpriority"),
+                         "cents": c,
+                         "share": pc.divide(c.cast(pa.float64()), float(total))})
+
+    return per.map_batches(share, batch_format="pyarrow")
+
+
+def sql_revenue_share() -> str:
+    return """
+WITH g AS (
+  SELECT o_orderpriority,
+         cast(sum(cast(floor(o_totalprice * 100.0 + 0.5) as bigint)) as bigint)
+             AS cents
+  FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, cents,
+       cents / cast(sum(cents) OVER () as double) AS share
+FROM g
+"""
+
+
 def q_pushdown_high_value(sf_dir: str):
     """Predicate pushdown at the READ: the row filter rides into the
     pyarrow scanner (read_parquet(filter=...)), so row groups whose
@@ -2150,22 +2195,22 @@ FROM events GROUP BY user_id
 
 def q_rank_orders(sf_dir: str):
     """Global window-function family (rank / dense_rank / row_number
-    / ntile / percent_rank) over order totalprice WITHOUT a global
-    sort: KLL boundaries -> one range shuffle with local sorts ->
-    driver cumsum of per-range counts (n_ranges ints) -> narrow
-    offset map.  All five methods share the single shuffle."""
+    / ntile / percent_rank / cume_dist) over order totalprice WITHOUT
+    a global sort: KLL boundaries -> one range shuffle with local
+    sorts -> driver cumsum of per-range counts (n_ranges ints) ->
+    narrow offset map.  All six methods share the single shuffle."""
     from ..ops.rank import global_rank
 
     ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
                             columns=["o_orderkey", "o_totalprice"])
     out = global_rank(ds, "o_totalprice",
                       methods=("rank", "dense_rank", "row_number",
-                               "ntile", "percent_rank"),
+                               "ntile", "percent_rank", "cume_dist"),
                       tie_cols=["o_orderkey"], k_tiles=7)
 
     def proj(b: pa.Table) -> pa.Table:
         return b.select(["o_orderkey", "rank", "dense_rank", "row_number",
-                         "ntile", "percent_rank"])
+                         "ntile", "percent_rank", "cume_dist"])
 
     return out.map_batches(proj, batch_format="pyarrow")
 
@@ -2177,7 +2222,8 @@ SELECT o_orderkey,
        dense_rank() OVER (ORDER BY o_totalprice) AS dense_rank,
        row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS row_number,
        ntile(7) OVER (ORDER BY o_totalprice, o_orderkey) AS ntile,
-       percent_rank() OVER (ORDER BY o_totalprice) AS percent_rank
+       percent_rank() OVER (ORDER BY o_totalprice) AS percent_rank,
+       cume_dist() OVER (ORDER BY o_totalprice) AS cume_dist
 FROM orders
 """
 
@@ -3623,6 +3669,7 @@ QUERIES = {
     "argmax_events": q_argmax_events,
     "rollup_revenue": q_rollup_revenue,
     "pushdown_high_value": q_pushdown_high_value,
+    "revenue_share": q_revenue_share,
     "cube_revenue": q_cube_revenue,
     "grouping_sets_revenue": q_grouping_sets_revenue,
     "dedup_keep_newest": q_dedup_keep_newest,
@@ -3723,6 +3770,7 @@ ORACLES = {
     "argmax_events": sql_argmax_events(),
     "rollup_revenue": sql_rollup_revenue(),
     "pushdown_high_value": sql_pushdown_high_value(),
+    "revenue_share": sql_revenue_share(),
     "cube_revenue": sql_cube_revenue(),
     "grouping_sets_revenue": sql_grouping_sets_revenue(),
     "dedup_keep_newest": sql_dedup_keep_newest(),
