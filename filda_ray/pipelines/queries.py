@@ -1509,6 +1509,80 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape — three-table join at lineitem scale: returned
+    items' revenue per customer, top 20.  The big side is pre-shrunk
+    twice before any shuffle: the returnflag predicate rides into the
+    parquet scanner, and per-batch (orderkey -> cents) partials
+    aggregate BELOW the first join; both joins then move partial rows,
+    and the final top-k is a per-block heap, never a global sort."""
+    import pyarrow.dataset as pds
+
+    from ray.data.aggregate import Sum
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+        filter=pds.field("l_returnflag") == "R")
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        p = b.column("l_extendedprice").to_numpy()
+        d = b.column("l_discount").to_numpy()
+        cents = _round_half_up(p * (1.0 - d) * 100.0).astype(np.int64)
+        t = pa.table({"l_orderkey": b.column("l_orderkey"),
+                      "cents": pa.array(cents)})
+        g = t.group_by("l_orderkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["l_orderkey", "cents"])
+
+    pre = li.map_batches(rev_partial, batch_format="pyarrow",
+                         batch_size=65536)
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    j = rel.hash_join(pre, orders, on="l_orderkey", right_on="o_orderkey",
+                      how="inner", num_partitions=shuffle_partitions())
+    per_cust = j.groupby("o_custkey", num_partitions=shuffle_partitions()).aggregate(
+        Sum("cents", alias_name="revenue_cents"))
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_name", "c_acctbal"])
+    out = rel.hash_join(per_cust, cust, on="o_custkey", right_on="c_custkey",
+                        how="inner", num_partitions=shuffle_partitions())
+    k = 20
+
+    def partial_top(b: pa.Table) -> pa.Table:
+        # Ray's join drops the RIGHT key column; o_custkey == c_custkey
+        v = b.column("revenue_cents").to_numpy(zero_copy_only=False)
+        kk = min(k, len(v))
+        if kk == 0:
+            return b
+        top = np.lexsort((b.column("o_custkey").to_numpy(zero_copy_only=False),
+                          -v.astype(np.float64)))[:kk]
+        return b.take(pa.array(np.sort(top)))
+
+    small = out.map_batches(partial_top, batch_format="pyarrow").to_pandas()
+    small = small.sort_values(["revenue_cents", "o_custkey"],
+                              ascending=[False, True],
+                              kind="mergesort").head(k).reset_index(drop=True)
+    return pa.table({"c_custkey": pa.array(small["o_custkey"].astype(np.int64)),
+                     "c_name": pa.array(small["c_name"]),
+                     "c_acctbal": pa.array(small["c_acctbal"]),
+                     "revenue_cents": pa.array(small["revenue_cents"].astype(np.int64))})
+
+
+def sql_returned_revenue() -> str:
+    return """
+SELECT c_custkey, c_name, c_acctbal,
+       cast(sum(cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+                     as bigint)) as bigint) AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
 def q_revenue_share(sf_dir: str):
     """ratio_to_report window (share of grand total per group): one
     grouped sum, then the grand total re-aggregated from the tiny
@@ -3670,6 +3744,7 @@ QUERIES = {
     "rollup_revenue": q_rollup_revenue,
     "pushdown_high_value": q_pushdown_high_value,
     "revenue_share": q_revenue_share,
+    "returned_revenue_top20": q_returned_revenue,
     "cube_revenue": q_cube_revenue,
     "grouping_sets_revenue": q_grouping_sets_revenue,
     "dedup_keep_newest": q_dedup_keep_newest,
@@ -3771,6 +3846,7 @@ ORACLES = {
     "rollup_revenue": sql_rollup_revenue(),
     "pushdown_high_value": sql_pushdown_high_value(),
     "revenue_share": sql_revenue_share(),
+    "returned_revenue_top20": sql_returned_revenue(),
     "cube_revenue": sql_cube_revenue(),
     "grouping_sets_revenue": sql_grouping_sets_revenue(),
     "dedup_keep_newest": sql_dedup_keep_newest(),
