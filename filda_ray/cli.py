@@ -116,10 +116,14 @@ def main(argv=None):
             def in_box(t):
                 lat = t.column("lat")
                 lon = t.column("lon")
+                if lo0 <= lo1:
+                    lon_ok = _pc.and_(_pc.greater_equal(lon, lo0),
+                                      _pc.less_equal(lon, lo1))
+                else:  # antimeridian wrap: lon >= lo0 OR lon <= lo1
+                    lon_ok = _pc.or_(_pc.greater_equal(lon, lo0),
+                                     _pc.less_equal(lon, lo1))
                 m = _pc.and_(_pc.and_(_pc.greater_equal(lat, la0),
-                                      _pc.less_equal(lat, la1)),
-                             _pc.and_(_pc.greater_equal(lon, lo0),
-                                      _pc.less_equal(lon, lo1)))
+                                      _pc.less_equal(lat, la1)), lon_ok)
                 return t.filter(m)
 
             out = ds.map_batches(in_box, batch_format="pyarrow")

@@ -122,19 +122,3 @@ def pd_table(df):
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
-# kwargs that pin a map_batches stage as its OWN physical operator:
-# Ray skips operator fusion whenever `ray_remote_args_fn` is present.
-# Use ONLY on row-MULTIPLYING stages (the synthesis replicator): when
-# such a stage fuses into a chain whose downstream demands a large
-# batch_size, Ray bundles tasks by the chain's INPUT rows, so the
-# demand is counted in pre-expansion rows and can collapse the whole
-# chain into one task (measured: the 1.27M-page hex background ran as
-# ONE 29.8 s task because the fused chain inherited the hist
-# partial's 128k-row bundle minimum over a 5,000-row pre-expansion
-# input).  Ray's own guard (skip fusion when upstream
-# can_modify_num_rows) only recognizes flat_map, not a
-# row-multiplying map_batches.  Do NOT put this on partial-aggregation
-# stages themselves: un-fused from the downstream hash shuffle they
-# lose the absorbed map-side transform (measured 1.8 s -> 6.2 s on
-# the flagship background partial).
-NO_FUSE = {"ray_remote_args_fn": dict}

@@ -297,12 +297,17 @@ def radius_join(ds, *, query_lat, query_lon, query_ids=None,
     covers = []
     for la, lo in zip(qlat, qlon):
         coslat = max(np.cos(np.deg2rad(min(abs(la) + dlat, 89.9))), 1e-6)
-        dlon = min(radius_km / (111.19 * coslat), 180.0)
-        lo0, lo1 = lo - dlon, lo + dlon
-        if lo0 < -180.0:
-            lo0 += 360.0  # antimeridian wrap (bbox_tiles handles lo0>lo1)
-        if lo1 > 180.0:
-            lo1 -= 360.0
+        dlon = radius_km / (111.19 * coslat)
+        if dlon >= 180.0:
+            # radius circles the pole / spans every longitude: wrapping
+            # both endpoints would COLLAPSE the cover to one column
+            lo0, lo1 = -180.0, 180.0
+        else:
+            lo0, lo1 = lo - dlon, lo + dlon
+            if lo0 < -180.0:
+                lo0 += 360.0  # antimeridian wrap (bbox_tiles handles lo0>lo1)
+            if lo1 > 180.0:
+                lo1 -= 360.0
         covers.append(cells.bbox_tiles(max(la - dlat, -90.0),
                                        min(la + dlat, 90.0), lo0, lo1))
     cover = np.unique(np.concatenate(covers))

@@ -248,6 +248,34 @@ def rollup_sums(ds, *, key_cols: list[str], key_types: dict, value_col: str,
     return out
 
 
+def _grouped_value_hist(ds, group_col: str, value_col: str):
+    """Shared (group, value) -> count histogram pipeline for the exact
+    median/quantile aggregates: per-block Arrow count partials, one
+    Sum-merge shuffle, then bounded group-hash buckets so the finalize
+    kernel runs once per bucket.  Returns (bucketed_groupby, nb)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({group_col: b.column(group_col),
+                      value_col: b.column(value_col),
+                      "one": pa.array(np.ones(len(b), dtype=np.int64))})
+        g = t.group_by([group_col, value_col]).aggregate([("one", "sum")])
+        return g.rename_columns([group_col, value_col, "__n"])
+
+    hist = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=PARTIAL_BATCH_ROWS)
+    merged = hist.groupby([group_col, value_col],
+                          num_partitions=shuffle_partitions()).aggregate(
+        Sum("__n", alias_name="__n"))
+    nb = 16 * shuffle_partitions()
+
+    def add_bk(b: pa.Table) -> pa.Table:
+        return b.append_column("__bk", pa.array(_group_bucket(b, group_col, nb)))
+
+    return (merged.map_batches(add_bk, batch_format="pyarrow").groupby(
+        "__bk", num_partitions=shuffle_partitions(nb)), nb)
+
+
 def _group_bucket(b: pa.Table, group_col: str, nb: int) -> np.ndarray:
     """Bounded hash bucket of a group-key column (int or string) so a
     finalize stage processes MANY groups per vectorized call instead of
@@ -266,7 +294,8 @@ def grouped_median_exact(ds, *, group_col: str, value_col: str):
     """Exact per-group median + MAD (SQL ``median(v), mad(v) GROUP BY
     g``) without ever shuffling raw rows: per-block (group, value) ->
     count histogram partials, one tiny groupby merge, then the shared
-    weighted-median kernel per group.
+    weighted-median kernel — ONE call per group-hash bucket, never a
+    per-group Python dispatch.
 
     Contract (same as the PC background path, background.py): the
     value domain per group must be bounded — integers, categorical
@@ -278,32 +307,11 @@ def grouped_median_exact(ds, *, group_col: str, value_col: str):
     Reference analog: the contextual median/MAD backbone
     (FILDA.py:857-864) as a general relational aggregate.
     """
-    from ray.data.aggregate import Sum
-
     from ..kernels.stats import grouped_weighted_median_mad
 
-    def partial(b: pa.Table) -> pa.Table:
-        t = pa.table({group_col: b.column(group_col),
-                      value_col: b.column(value_col),
-                      "one": pa.array(np.ones(len(b), dtype=np.int64))})
-        g = t.group_by([group_col, value_col]).aggregate([("one", "sum")])
-        return g.rename_columns([group_col, value_col, "__n"])
-
-    hist = ds.map_batches(partial, batch_format="pyarrow",
-                          batch_size=PARTIAL_BATCH_ROWS)
-    merged = hist.groupby([group_col, value_col],
-                          num_partitions=shuffle_partitions()).aggregate(
-        Sum("__n", alias_name="__n"))
-
-    nb = 16 * shuffle_partitions()
-
-    def add_bk(b: pa.Table) -> pa.Table:
-        return b.append_column("__bk", pa.array(_group_bucket(b, group_col, nb)))
+    bucketed, _ = _grouped_value_hist(ds, group_col, value_col)
 
     def finalize_bucket(g: pd.DataFrame) -> pa.Table:
-        """Whole bucket in ONE kernel call: factorize groups to owner
-        ids — never a per-group Python dispatch (groups of a key all
-        land in its bucket, so the multiset per owner is complete)."""
         owners, uniq = pd.factorize(g[group_col], sort=True)
         med, mad, tot = grouped_weighted_median_mad(
             owners.astype(np.int64),
@@ -312,95 +320,19 @@ def grouped_median_exact(ds, *, group_col: str, value_col: str):
         return pd_table(pd.DataFrame({
             group_col: uniq, "median_v": med, "mad_v": mad, "n": tot}))
 
-    return merged.map_batches(add_bk, batch_format="pyarrow").groupby(
-        "__bk", num_partitions=shuffle_partitions(nb)).map_groups(
-        finalize_bucket, batch_format="pandas")
-
-
-def grouping_sets_sums(ds, *, sets: list[list[str]], key_types: dict,
-                       value_col: str, count_col: str = "n",
-                       sum_col: str = "total"):
-    """GROUP BY GROUPING SETS(...): arbitrary user-chosen key subsets,
-    all derived from ONE full shuffle — the finest groupby over the
-    union of every set's keys; each requested set re-aggregates that
-    tiny output (rollup_sums/cube_sums are the fixed-lattice special
-    cases).  Keys absent from a set come back null, SQL semantics."""
-    from ray.data.aggregate import Count, Sum
-
-    all_keys = sorted({k for st in sets for k in st})
-    assert all_keys, "grouping sets need at least one key"
-    finest = ds.groupby(all_keys, num_partitions=shuffle_partitions()).aggregate(
-        Count(alias_name=count_col), Sum(value_col, alias_name=sum_col))
-
-    def with_nulls(b: pa.Table, present: list[str]) -> pa.Table:
-        cols = {}
-        for k in all_keys:
-            if k in present:
-                cols[k] = b.column(k).cast(key_types[k])
-            else:
-                cols[k] = pa.nulls(len(b), key_types[k])
-        cols[count_col] = b.column(count_col).cast(pa.int64())
-        cols[sum_col] = b.column(sum_col).cast(pa.int64())
-        return pa.table(cols)
-
-    def to_total(b: pa.Table) -> pa.Table:
-        t = pa.table({count_col: pa.array([b.column(count_col).to_numpy().sum()], pa.int64()),
-                      sum_col: pa.array([b.column(sum_col).to_numpy().sum()], pa.int64())})
-        return with_nulls(t, [])
-
-    levels = []
-    for st in sets:
-        keys = sorted(st)
-        if not keys:
-            levels.append(finest.repartition(1).map_batches(
-                to_total, batch_format="pyarrow", batch_size=None))
-        elif keys == all_keys:
-            levels.append(finest.map_batches(
-                lambda b, present=keys: with_nulls(b, present),
-                batch_format="pyarrow"))
-        else:
-            agg = finest.groupby(keys, num_partitions=shuffle_partitions(64)).aggregate(
-                Sum(count_col, alias_name=count_col),
-                Sum(sum_col, alias_name=sum_col))
-            levels.append(agg.map_batches(
-                lambda b, present=keys: with_nulls(b, present),
-                batch_format="pyarrow"))
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.union(lv)
-    return out
+    return bucketed.map_groups(finalize_bucket, batch_format="pandas")
 
 
 def grouped_quantiles_exact(ds, *, group_col: str, value_col: str,
                             probs=(0.25, 0.5, 0.75)):
     """Exact per-group quantile_cont (linear interpolation) over a
-    bounded value domain, via the same (group, value)->count histogram
-    partials as ``grouped_median_exact``.  Output: (group,
-    q<p*100> ... columns, n).  Unbounded continuous domains belong to
-    the KLL sketch path."""
-    from ray.data.aggregate import Sum
-
+    bounded value domain, via the same histogram pipeline as
+    ``grouped_median_exact``.  Output: (group, q<p*100>..., n).
+    Unbounded continuous domains belong to the KLL sketch path."""
     from ..kernels.stats import grouped_weighted_quantiles
 
-    def partial(b: pa.Table) -> pa.Table:
-        t = pa.table({group_col: b.column(group_col),
-                      value_col: b.column(value_col),
-                      "one": pa.array(np.ones(len(b), dtype=np.int64))})
-        g = t.group_by([group_col, value_col]).aggregate([("one", "sum")])
-        return g.rename_columns([group_col, value_col, "__n"])
-
-    hist = ds.map_batches(partial, batch_format="pyarrow",
-                          batch_size=PARTIAL_BATCH_ROWS)
-    merged = hist.groupby([group_col, value_col],
-                          num_partitions=shuffle_partitions()).aggregate(
-        Sum("__n", alias_name="__n"))
-
+    bucketed, _ = _grouped_value_hist(ds, group_col, value_col)
     qcols = [f"q{int(round(p * 100)):02d}" for p in probs]
-
-    nb = 16 * shuffle_partitions()
-
-    def add_bk(b: pa.Table) -> pa.Table:
-        return b.append_column("__bk", pa.array(_group_bucket(b, group_col, nb)))
 
     def finalize_bucket(g: pd.DataFrame) -> pa.Table:
         owners, uniq = pd.factorize(g[group_col], sort=True)
@@ -415,6 +347,4 @@ def grouped_quantiles_exact(ds, *, group_col: str, value_col: str,
                                minlength=len(uniq)).astype(np.int64)
         return pd_table(pd.DataFrame(out))
 
-    return merged.map_batches(add_bk, batch_format="pyarrow").groupby(
-        "__bk", num_partitions=shuffle_partitions(nb)).map_groups(
-        finalize_bucket, batch_format="pandas")
+    return bucketed.map_groups(finalize_bucket, batch_format="pandas")

@@ -873,9 +873,14 @@ def range_aggregate(ds, *, key_col: str, ts_col: str, tie_col: str,
 
     def narrow(b: pa.Table) -> pa.Table:
         ts = b.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        tsn = ts.to_numpy(zero_copy_only=False)
         return pa.table({
             "k": b.column(key_col).cast(pa.int64()),
-            "c": pc.divide(ts, ck),
+            # FLOOR division (numpy //), not Arrow's truncate-toward-
+            # zero: pre-epoch timestamps must keep rel = ts - c*ck in
+            # [0, ck) or the per-segment shifted-timestamp bands
+            # overlap and the frame searchsorted reads garbage
+            "c": pa.array(tsn // ck, pa.int64()),
             "ts_us": ts,
             "tie": b.column(tie_col).cast(pa.int64()),
             "v": b.column(value_col).cast(pa.int64()),

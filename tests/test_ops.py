@@ -1311,9 +1311,9 @@ def test_radius_join_brute_force(ray_session):
     n = 3000
     lat = rng.uniform(-85, 85, n)
     lon = rng.uniform(-180, 180, n)
-    qlat = np.array([10.0, 64.0, -5.0])
-    qlon = np.array([-179.5, 30.0, 100.0])
-    R = 1500.0
+    qlat = np.array([10.0, 64.0, -5.0, 75.0])  # 75N: lon span >= 180
+    qlon = np.array([-179.5, 30.0, 100.0, 100.0])
+    R = 3000.0
 
     import ray.data as rd
 
