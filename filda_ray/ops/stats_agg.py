@@ -145,52 +145,20 @@ def mode_per_group(ds, *, group_col: str, value_col: str,
 
 def cube_sums(ds, *, key_cols: list[str], key_types: dict, value_col: str,
               count_col: str = "n", sum_col: str = "total"):
-    """GROUP BY CUBE(*key_cols): every key subset's totals, all
-    derived from ONE full shuffle (the finest groupby); each of the
-    2^k - 1 coarser levels re-aggregates the finest level's tiny
-    output.  k is small by construction (2-4 keys); rolled-up key
-    columns come back null (SQL CUBE semantics)."""
+    """GROUP BY CUBE(*key_cols): every key subset's totals — the
+    full-lattice special case of ``grouping_sets_sums`` (one full
+    shuffle at the finest level; each of the 2^k - 1 coarser sets
+    re-aggregates its tiny output).  k is small by construction (2-4
+    keys); rolled-up key columns come back null (SQL CUBE
+    semantics)."""
     from itertools import combinations
 
-    from ray.data.aggregate import Count, Sum
-
-    finest = ds.groupby(key_cols, num_partitions=shuffle_partitions()).aggregate(
-        Count(alias_name=count_col), Sum(value_col, alias_name=sum_col))
-
-    def with_nulls(b: pa.Table, present: list[str]) -> pa.Table:
-        cols = {}
-        for k in key_cols:
-            if k in present:
-                cols[k] = b.column(k).cast(key_types[k])
-            else:
-                cols[k] = pa.nulls(len(b), key_types[k])
-        cols[count_col] = b.column(count_col).cast(pa.int64())
-        cols[sum_col] = b.column(sum_col).cast(pa.int64())
-        return pa.table(cols)
-
-    levels = [finest.map_batches(lambda b: with_nulls(b, key_cols),
-                                 batch_format="pyarrow")]
-    for r in range(len(key_cols) - 1, 0, -1):
-        for subset in combinations(key_cols, r):
-            keys = list(subset)
-            agg = finest.groupby(keys, num_partitions=shuffle_partitions(64)).aggregate(
-                Sum(count_col, alias_name=count_col),
-                Sum(sum_col, alias_name=sum_col))
-            levels.append(agg.map_batches(
-                lambda b, present=keys: with_nulls(b, present),
-                batch_format="pyarrow"))
-
-    def to_total(b: pa.Table) -> pa.Table:
-        t = pa.table({count_col: pa.array([b.column(count_col).to_numpy().sum()], pa.int64()),
-                      sum_col: pa.array([b.column(sum_col).to_numpy().sum()], pa.int64())})
-        return with_nulls(t, [])
-
-    levels.append(finest.repartition(1).map_batches(
-        to_total, batch_format="pyarrow", batch_size=None))
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.union(lv)
-    return out
+    sets = [list(sub) for r in range(len(key_cols), -1, -1)
+            for sub in combinations(key_cols, r)]
+    out = grouping_sets_sums(ds, sets=sets, key_types=key_types,
+                             value_col=value_col, count_col=count_col,
+                             sum_col=sum_col)
+    return out.select_columns(list(key_cols) + [count_col, sum_col])
 
 
 def rollup_sums(ds, *, key_cols: list[str], key_types: dict, value_col: str,
@@ -348,3 +316,58 @@ def grouped_quantiles_exact(ds, *, group_col: str, value_col: str,
         return pd_table(pd.DataFrame(out))
 
     return bucketed.map_groups(finalize_bucket, batch_format="pandas")
+
+
+def grouping_sets_sums(ds, *, sets: list[list[str]], key_types: dict,
+                       value_col: str, count_col: str = "n",
+                       sum_col: str = "total"):
+    """GROUP BY GROUPING SETS(...): arbitrary user-chosen key subsets,
+    all derived from ONE full shuffle — the finest groupby over the
+    union of every set's keys; each requested set re-aggregates that
+    tiny output (cube_sums is the full-lattice special case; rollup
+    keeps its own previous-level re-aggregation chain).  Keys absent
+    from a set come back null, SQL semantics."""
+    from ray.data.aggregate import Count, Sum
+
+    all_keys = sorted({k for st in sets for k in st})
+    assert all_keys, "grouping sets need at least one key"
+    finest = ds.groupby(all_keys, num_partitions=shuffle_partitions()).aggregate(
+        Count(alias_name=count_col), Sum(value_col, alias_name=sum_col))
+
+    def with_nulls(b: pa.Table, present: list[str]) -> pa.Table:
+        cols = {}
+        for k in all_keys:
+            if k in present:
+                cols[k] = b.column(k).cast(key_types[k])
+            else:
+                cols[k] = pa.nulls(len(b), key_types[k])
+        cols[count_col] = b.column(count_col).cast(pa.int64())
+        cols[sum_col] = b.column(sum_col).cast(pa.int64())
+        return pa.table(cols)
+
+    def to_total(b: pa.Table) -> pa.Table:
+        t = pa.table({count_col: pa.array([b.column(count_col).to_numpy().sum()], pa.int64()),
+                      sum_col: pa.array([b.column(sum_col).to_numpy().sum()], pa.int64())})
+        return with_nulls(t, [])
+
+    levels = []
+    for st in sets:
+        keys = sorted(st)
+        if not keys:
+            levels.append(finest.repartition(1).map_batches(
+                to_total, batch_format="pyarrow", batch_size=None))
+        elif keys == all_keys:
+            levels.append(finest.map_batches(
+                lambda b, present=keys: with_nulls(b, present),
+                batch_format="pyarrow"))
+        else:
+            agg = finest.groupby(keys, num_partitions=shuffle_partitions(64)).aggregate(
+                Sum(count_col, alias_name=count_col),
+                Sum(sum_col, alias_name=sum_col))
+            levels.append(agg.map_batches(
+                lambda b, present=keys: with_nulls(b, present),
+                batch_format="pyarrow"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
