@@ -198,3 +198,52 @@ def test_json_extract_int_matches_json_loads(d):
         v = d.get(key)
         want = v if isinstance(v, int) and not isinstance(v, bool) else None
         assert got == want, (s, key, got, want)
+
+
+@given(st.floats(min_value=-90, max_value=90),
+       st.floats(min_value=-90, max_value=90),
+       st.floats(min_value=-180, max_value=180),
+       st.floats(min_value=-180, max_value=180),
+       st.integers(min_value=0, max_value=2),
+       st.data())
+@settings(max_examples=80, deadline=None)
+def test_bbox_tiles_cover_property(la, lb, lo0, lo1, dilate, data):
+    """Any point inside the box (incl. wrapped boxes) maps to a tile
+    in bbox_tiles' cover, for arbitrary corners and dilation."""
+    import numpy as np
+
+    from filda_ray.kernels.cells import bbox_tiles, pc_tile
+
+    la0, la1 = min(la, lb), max(la, lb)
+    cover = set(bbox_tiles(la0, la1, lo0, lo1, dilate=dilate).tolist())
+    lat = data.draw(st.floats(min_value=la0, max_value=la1))
+    if lo0 <= lo1:
+        lon = data.draw(st.floats(min_value=lo0, max_value=lo1))
+    else:
+        lon = data.draw(st.floats(min_value=lo0, max_value=lo1 + 360.0))
+        lon = ((lon + 180.0) % 360.0) - 180.0
+    t = int(pc_tile(np.array([lat]), np.array([lon]))[0])
+    assert t in cover
+
+
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=5),
+                          st.integers(min_value=-3, max_value=3)),
+                min_size=1, max_size=60))
+@settings(max_examples=60, deadline=None)
+def test_seg_bounds_property(pairs):
+    """_seg_bounds reproduces itertools.groupby segmentation on any
+    sorted tuple sequence."""
+    import itertools
+
+    import numpy as np
+
+    from filda_ray.ops.temporal import _seg_bounds
+
+    pairs = sorted(pairs)
+    a = np.array([p[0] for p in pairs], dtype=np.int64)
+    b = np.array([p[1] for p in pairs], dtype=np.int64)
+    new, seg_id, seg_start = _seg_bounds(a, b)
+    want_lens = [len(list(g)) for _, g in itertools.groupby(pairs)]
+    got_lens = np.diff(np.r_[seg_start, len(pairs)]).tolist()
+    assert got_lens == want_lens
+    assert seg_id[-1] == len(want_lens) - 1
