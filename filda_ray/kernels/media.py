@@ -186,3 +186,147 @@ def rvid_frame(payload: bytes, index: int) -> np.ndarray:
     sz = h * w * 3
     raw = np.frombuffer(payload, dtype=np.uint8, count=sz, offset=16 + index * sz)
     return raw.reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# PNG (real, stdlib-only: zlib + numpy).  8-bit depth, color types
+# gray(0)/RGB(2)/RGBA(6), non-interlaced — the common web subset.
+# ---------------------------------------------------------------------------
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 (h,w) gray / (h,w,3) RGB / (h,w,4) RGBA -> PNG bytes.
+    ``filter_type`` 0-4 applies that scanline filter to EVERY row
+    (1-4 exist to exercise the decoder's unfiltering paths)."""
+    import struct
+    import zlib
+
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        ctype, ch = 0, 1
+        a = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] in (3, 4):
+        ch = a.shape[2]
+        ctype = 2 if ch == 3 else 6
+    else:
+        raise ValueError("expected (h,w), (h,w,3) or (h,w,4) uint8")
+    h, w = a.shape[:2]
+    rows = a.reshape(h, w * ch).astype(np.int16)
+    prev = np.zeros(w * ch, dtype=np.int16)
+    out = bytearray()
+    for y in range(h):
+        cur = rows[y]
+        left = np.zeros_like(cur)
+        left[ch:] = cur[:-ch]
+        upleft = np.zeros_like(prev)
+        upleft[ch:] = prev[:-ch]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - (left + prev) // 2
+        elif filter_type == 4:
+            p = left + prev - upleft
+            pa_ = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc_ = np.abs(p - upleft)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                            np.where(pb <= pc_, prev, upleft))
+            filt = cur - pred
+        else:
+            raise ValueError("filter_type in 0..4")
+        out.append(filter_type)
+        out += (filt % 256).astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 ndarray (h,w) / (h,w,3) / (h,w,4).  Real
+    decoder: chunk walk, zlib inflate, all five scanline filters
+    unfiltered (Sub via per-lane cumsum; Average/Paeth per-pixel along
+    the row, vectorized across channels)."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = []
+    w = h = ctype = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or ctype not in (0, 2, 6) or inter != 0:
+                raise ValueError("unsupported PNG variant (need 8-bit, "
+                                 "gray/RGB/RGBA, non-interlaced)")
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("corrupt PNG scanline data")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(raw, np.uint8, stride,
+                            y * (stride + 1) + 1).astype(np.int32)
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: per-lane wraparound cumsum
+            rec = np.cumsum(row.reshape(-1, ch), axis=0) % 256
+            rec = rec.reshape(-1)
+        elif f == 2:
+            rec = (row + prev) % 256
+        elif f in (3, 4):
+            rec = np.empty(stride, dtype=np.int32)
+            lanes = rec.reshape(-1, ch)
+            rl = row.reshape(-1, ch)
+            pl = prev.reshape(-1, ch)
+            left = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                up = pl[x]
+                if f == 3:
+                    lanes[x] = (rl[x] + (left + up) // 2) % 256
+                else:
+                    upleft = pl[x - 1] if x else np.zeros(ch, dtype=np.int32)
+                    p = left + up - upleft
+                    pa_ = np.abs(p - left)
+                    pb = np.abs(p - up)
+                    pc_ = np.abs(p - upleft)
+                    pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                                    np.where(pb <= pc_, up, upleft))
+                    lanes[x] = (rl[x] + pred) % 256
+                left = lanes[x]
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    img = out.reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img

@@ -80,6 +80,11 @@ class RawMediaDecoder:
         try:
             if payload[:4] == b"RIFF":
                 f = m.audio_features(*m.decode_wav(payload))
+            elif payload[:8] == m.PNG_MAGIC:
+                img = m.decode_png(payload)
+                if img.ndim == 3 and img.shape[2] == 4:
+                    img = img[:, :, :3]  # drop alpha for the feature grid
+                f = m.image_features(img, self.grid)
             elif payload[:1] == b"P" and payload[1:2] in b"56":
                 f = m.image_features(m.decode_ppm(payload), self.grid)
             elif payload[:4] == m.RVID_MAGIC:
@@ -216,10 +221,11 @@ def _synth_audio(doc_id: int) -> np.ndarray:
 
 
 def synth_media_raw(sf_dir: str, kind: str = "image"):
-    """Deterministic media table with REAL encoded payloads: P6 images,
-    PCM16 WAV audio, or RVID raw video (frame f = the doc's image
-    rolled by f rows) — decodable end-to-end by ``RawMediaDecoder``
-    with no media library."""
+    """Deterministic media table with REAL encoded payloads: PNG/P6
+    images (alternating containers and PNG scanline filters), PCM16
+    WAV audio, or RVID raw video (frame f = the doc's image rolled by
+    f rows) — decodable end-to-end by ``RawMediaDecoder`` with no
+    media library."""
     import ray.data as rd
 
     from ..kernels import media
@@ -240,7 +246,14 @@ def synth_media_raw(sf_dir: str, kind: str = "image"):
                 payloads.append(media.encode_rvid(frames))
                 w.append(VID_SIZE); h.append(VID_SIZE); sr.append(0)
             else:
-                payloads.append(media.encode_ppm(_synth_image(i)))
+                img = _synth_image(i)
+                # alternate containers so the decoder's magic sniffing
+                # is exercised on real mixed corpora: even ids PNG
+                # (cycling the scanline filter), odd ids binary PPM
+                if i % 2 == 0:
+                    payloads.append(media.encode_png(img, filter_type=(i // 2) % 5))
+                else:
+                    payloads.append(media.encode_ppm(img))
                 w.append(IMG_SIZE); h.append(IMG_SIZE); sr.append(0)
         return pa.table(
             {

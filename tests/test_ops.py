@@ -1441,3 +1441,65 @@ def test_grouped_median_exact_many_groups(ray_session):
         vals = v[g == key]
         assert got.loc[key, "median_v"] == np.median(vals)
         assert got.loc[key, "n"] == len(vals)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Real stdlib PNG codec: decode(encode(img, filter)) is the
+    identity for every scanline filter (0=None..4=Paeth) and every
+    supported color type (gray / RGB / RGBA)."""
+    from filda_ray.kernels import media
+
+    rng = np.random.RandomState(7)
+    imgs = [
+        rng.randint(0, 256, (13, 9), dtype=np.uint8),        # gray
+        rng.randint(0, 256, (10, 17, 3), dtype=np.uint8),    # RGB
+        rng.randint(0, 256, (6, 5, 4), dtype=np.uint8),      # RGBA
+        np.tile(np.arange(32, dtype=np.uint8), (8, 1)),      # gradient (filters shine)
+    ]
+    for img in imgs:
+        for ft in range(5):
+            out = media.decode_png(media.encode_png(img, filter_type=ft))
+            assert np.array_equal(out, img), (img.shape, ft)
+    # container validation
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        media.decode_png(b"not a png")
+    with _pt.raises(ValueError):
+        # valid magic, corrupt body
+        media.decode_png(media.PNG_MAGIC + b"\x00" * 20)
+
+
+def test_png_decoder_features_match_ppm():
+    """RawMediaDecoder sniffs PNG payloads and produces IDENTICAL
+    features to the PPM encoding of the same image (the codec is
+    lossless, so the feature path must agree bit-for-bit)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from filda_ray.kernels import media
+    from filda_ray.ops.multimodal import RawMediaDecoder, decode_media
+
+    rng = np.random.RandomState(11)
+    imgs = [rng.randint(0, 256, (24, 24, 3), dtype=np.uint8) for _ in range(6)]
+    tbl = pa.table({
+        "media_id": pa.array(list(range(12)), pa.int64()),
+        "kind": pa.array(["image"] * 12),
+        "payload": pa.array(
+            [media.encode_png(im, filter_type=i % 5) for i, im in enumerate(imgs)]
+            + [media.encode_ppm(im) for im in imgs], pa.binary()),
+    })
+    out = decode_media(rd.from_arrow(tbl), decoder=RawMediaDecoder).to_pandas()
+    assert out["decode_ok"].all()
+    png = out[out.media_id < 6].sort_values("media_id")
+    ppm = out[out.media_id >= 6].sort_values("media_id")
+    a = np.stack(png["features"].to_numpy())
+    b = np.stack(ppm["features"].to_numpy())
+    assert np.array_equal(a, b)
+    # RGBA PNGs decode too (alpha dropped before the feature grid)
+    rgba = np.dstack([imgs[0], np.full((24, 24), 128, np.uint8)])
+    t2 = pa.table({"media_id": pa.array([0], pa.int64()),
+                   "kind": pa.array(["image"]),
+                   "payload": pa.array([media.encode_png(rgba)], pa.binary())})
+    out2 = decode_media(rd.from_arrow(t2), decoder=RawMediaDecoder).to_pandas()
+    assert out2["decode_ok"].all()
+    assert np.array_equal(np.stack(out2["features"].to_numpy())[0], a[0])
