@@ -429,3 +429,58 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         cnt += (x & np.uint64(1)).astype(np.int64)
         x >>= np.uint64(1)
     return cnt
+
+
+def levenshtein_batch(a_texts, b_texts) -> np.ndarray:
+    """Exact Levenshtein (unit-cost edit) distance for MANY string
+    pairs at once, vectorized ACROSS the pairs.
+
+    The textbook DP is O(|a|x|b|) per pair with a data dependence
+    along each row (the insertion term D[i][j-1]+1).  That dependence
+    has a closed form: with c[j] = min(D[i-1][j]+1, D[i-1][j-1]+sub_j)
+    (deletion/substitution only), D[i][j] = min_{k<=j} (c[k] + (j-k))
+    — a prefix-minimum of (c[k]-k) plus j.  So each DP row for ALL
+    pairs is one (P, Lb) numpy step: a broadcast compare for sub, two
+    elementwise mins, and np.minimum.accumulate along axis 1.  Total
+    work is max|a| vectorized row steps regardless of pair count.
+
+    Distances are over Unicode CODE POINTS (strings decoded via
+    utf-32), matching DuckDB's levenshtein() on ASCII and on any
+    corpus without combining sequences.  None compares as "".
+    """
+    pa_ = [("" if t is None else t) for t in a_texts]
+    pb_ = [("" if t is None else t) for t in b_texts]
+    n = len(pa_)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    la = np.array([len(t) for t in pa_], dtype=np.int64)
+    lb = np.array([len(t) for t in pb_], dtype=np.int64)
+    la_max, lb_max = int(la.max()), int(lb.max())
+    out = np.empty(n, dtype=np.int64)
+    if lb_max == 0:
+        return la.copy()
+    # codepoint matrices, zero-padded (pad never matches: NUL stripped
+    # from inputs is not expected; even if present, answers are read
+    # at each pair's true lengths so pad columns/rows are inert)
+    A = np.zeros((n, max(la_max, 1)), dtype=np.uint32)
+    B = np.zeros((n, lb_max), dtype=np.uint32)
+    for i, t in enumerate(pa_):
+        if t:
+            A[i, : len(t)] = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+    for i, t in enumerate(pb_):
+        if t:
+            B[i, : len(t)] = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+    j_idx = np.arange(lb_max + 1, dtype=np.int64)
+    row = np.broadcast_to(j_idx, (n, lb_max + 1)).copy()  # D[0][j] = j
+    out[la == 0] = lb[la == 0]
+    for i in range(1, la_max + 1):
+        sub = (A[:, i - 1 : i] != B).astype(np.int64)       # (n, lb_max)
+        c = np.empty((n, lb_max + 1), dtype=np.int64)
+        c[:, 0] = i
+        np.minimum(row[:, 1:] + 1, row[:, :-1] + sub, out=c[:, 1:])
+        np.minimum.accumulate(c - j_idx, axis=1, out=c)
+        row = c + j_idx
+        hit = la == i
+        if hit.any():
+            out[hit] = row[hit, lb[hit]]
+    return out

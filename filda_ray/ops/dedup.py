@@ -479,3 +479,125 @@ def simhash_pairs(ds, *, max_hamming: int = 6):
         .map_groups(pairs, batch_format="pandas")
     )
     return _dedup_pairs_ds(cand)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-candidate + exact edit-distance near-dup
+# ---------------------------------------------------------------------------
+
+
+def edit_distance_pairs(docs, *, prefix_len: int = 30, id_col: str = "doc_id",
+                        text_col: str = "text", mode: str = "auto",
+                        broadcast_max_pairs: int = 100_000):
+    """Candidate pairs by shared exact text prefix, verified with the
+    exact Levenshtein distance (templated/boilerplate near-dup family
+    the shingle ops under-weight: a one-char edit in a long doc has
+    Jaccard ~1 but the edit distance pinpoints how close).
+
+    Scale design mirrors the LSH ops: stage 1 shuffles ONLY
+    (prefix-hash, doc_id) rows into bounded buckets and emits
+    candidate id pairs (``_pairs_from_runs``); texts never move.
+    Stage 2 attaches texts and scores with ``levenshtein_batch`` —
+    one vectorized DP across the whole batch of pairs.  Mode picks by
+    MEASURED pair count like ``verify_jaccard_op``: ``broadcast``
+    gathers only candidate texts (<= 2x pair count docs) via
+    ``ray.put``; ``join`` keeps everything distributed with two hash
+    joins.  Hash collisions in stage 1 (different prefixes, same
+    64-bit hash) are removed in stage 2 by comparing the REAL
+    prefixes, so output equals the exact self-join semantics.
+    """
+    from ..kernels.hashing import content_hash64
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.is_valid(batch.column(text_col)))
+        pref = pc.utf8_slice_codeunits(batch.column(text_col), 0, prefix_len)
+        h = content_hash64(pref.to_pylist())
+        return pa.table({"key": pa.array(h, pa.uint64()),
+                         id_col: batch.column(id_col)})
+
+    nb = autoscale_buckets(docs)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        k = b.column("key").to_numpy()
+        return b.append_column("__bk", pa.array((k % np.uint64(nb)).astype(np.int32)))
+
+    def pairs_fn(g: pd.DataFrame):
+        from . import pd_table
+
+        a, b = _pairs_from_runs(
+            g["key"].to_numpy().astype(np.uint64),
+            g[id_col].to_numpy().astype(np.int64))
+        return pd_table(pd.DataFrame({"doc_a": a, "doc_b": b}))
+
+    cand = (docs.select_columns([id_col, text_col])
+            .map_batches(key_rows, batch_format="pyarrow")
+            .map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bk", num_partitions=shuffle_partitions())
+            .map_groups(pairs_fn, batch_format="pandas"))
+    pairs = _dedup_pairs_ds(cand).materialize()
+    n_pairs = pairs.count()
+    if mode == "auto":
+        mode = "broadcast" if n_pairs <= broadcast_max_pairs else "join"
+
+    def score(batch: pa.Table, ta: list, tb: list) -> pa.Table:
+        same_pref = np.fromiter(
+            ((x or "")[:prefix_len] == (y or "")[:prefix_len]
+             and x is not None and y is not None for x, y in zip(ta, tb)),
+            dtype=bool, count=len(ta))
+        d = textkit.levenshtein_batch(ta, tb)
+        out = batch.append_column("edit_dist", pa.array(d, pa.int64()))
+        return out.filter(pa.array(same_pref))
+
+    if mode == "broadcast":
+        import ray
+
+        from .relational import semi_anti_filter
+        from .workercache import worker_state
+
+        ids = np.unique(np.concatenate([
+            np.concatenate([b.column("doc_a").to_numpy(),
+                            b.column("doc_b").to_numpy()])
+            for b in pairs.iter_batches(batch_format="pyarrow", batch_size=None)
+        ] or [np.empty(0, np.int64)]).astype(np.int64))
+        cand_docs = semi_anti_filter(
+            docs.select_columns([id_col, text_col]), ids, on=id_col)
+        texts = {}
+        for b in cand_docs.iter_batches(batch_format="pyarrow", batch_size=None):
+            texts.update(zip(b.column(id_col).to_pylist(),
+                             b.column(text_col).to_pylist()))
+        ref = ray.put(texts)
+
+        def verify(batch: pa.Table) -> pa.Table:
+            t = worker_state(ref, lambda: ray.get(ref))
+            ta = [t.get(int(x)) for x in batch.column("doc_a").to_pylist()]
+            tb = [t.get(int(y)) for y in batch.column("doc_b").to_pylist()]
+            return score(batch, ta, tb)
+
+        return pairs.map_batches(verify, batch_format="pyarrow")
+
+    # fully distributed join path (adversarial templated corpora)
+    from .relational import hash_join
+
+    def rename(idc: str, txc: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({idc: b.column(id_col), txc: b.column(text_col)})
+        return f
+
+    np_pairs = max(16, min(1024, -(-n_pairs // 500_000)))
+    txt = docs.select_columns([id_col, text_col])
+    j = hash_join(pairs, txt.map_batches(rename("doc_a", "text_a"),
+                                         batch_format="pyarrow"),
+                  on="doc_a", how="inner", num_partitions=np_pairs)
+    j = j.materialize()  # same two-join barrier as verify_jaccard_op
+    j = hash_join(j, txt.map_batches(rename("doc_b", "text_b"),
+                                     batch_format="pyarrow"),
+                  on="doc_b", how="inner", num_partitions=np_pairs)
+
+    def verify_joined(batch: pa.Table) -> pa.Table:
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        return score(batch.drop_columns(["text_a", "text_b"]), ta, tb)
+
+    return j.map_batches(verify_joined, batch_format="pyarrow")

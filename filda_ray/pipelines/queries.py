@@ -3694,8 +3694,35 @@ def q_estimate_eval(sf_dir: str):
     )
 
 
+def q_prefix_dup_editdist(sf_dir: str):
+    """Prefix-candidate near-dup pairs verified by EXACT Levenshtein
+    distance (ops.dedup.edit_distance_pairs): stage 1 shuffles only
+    (prefix-hash, doc_id) rows into bounded buckets; stage 2 attaches
+    texts (broadcast under the measured-pair-count cap, hash joins
+    above it) and scores every pair in ONE vectorized DP across the
+    batch (kernels.textkit.levenshtein_batch — prefix-min closed form
+    for the insertion chain, so work is max|a| numpy row steps
+    regardless of pair count)."""
+    from ..ops.dedup import edit_distance_pairs
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    return edit_distance_pairs(docs, prefix_len=30)
+
+
+def sql_prefix_dup_editdist() -> str:
+    return """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.text, b.text) AS edit_dist
+FROM documents a JOIN documents b
+  ON substr(a.text, 1, 30) = substr(b.text, 1, 30)
+ AND a.doc_id < b.doc_id
+"""
+
+
 QUERIES = {
     "flagship_detect": q_flagship,
+    "prefix_dup_editdist": q_prefix_dup_editdist,
     "geocode_tiles": q_geocode,
     "bbox_query": q_bbox_query,
     "radius_join": q_radius_join,
@@ -3805,6 +3832,7 @@ ORACLES = {
     "extract_invariant": sql_extract(),
     "quality_features": sql_quality(),
     "dedup_exact": sql_dedup(),
+    "prefix_dup_editdist": sql_prefix_dup_editdist(),
     "tile_counts": sql_tile_counts(),
     "climatology_host": sql_climatology(),
     "window_events": sql_window_events(),

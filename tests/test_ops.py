@@ -1503,3 +1503,65 @@ def test_png_decoder_features_match_ppm():
     out2 = decode_media(rd.from_arrow(t2), decoder=RawMediaDecoder).to_pandas()
     assert out2["decode_ok"].all()
     assert np.array_equal(np.stack(out2["features"].to_numpy())[0], a[0])
+
+
+def test_edit_distance_pairs_planted(ray_session):
+    """Prefix-candidate + Levenshtein verify: planted same-prefix docs
+    pair up with the exact edit distance; different-prefix docs never
+    pair (even when globally similar)."""
+    from filda_ray.ops.dedup import edit_distance_pairs
+
+    head = "shared template header forty characters!! "
+    a = head + "body text one two three four five"
+    b = head + "body text one two XXX four five"
+    c = "different opening entirely " + a  # similar body, other prefix
+    ds = _ds({"doc_id": [1, 2, 3], "text": [a, b, c]})
+    out = edit_distance_pairs(ds, prefix_len=30).to_pandas()
+    assert set(zip(out.doc_a, out.doc_b)) == {(1, 2)}
+    import duckdb
+
+    con = duckdb.connect()
+    want = con.sql("select levenshtein(?, ?)", params=[a, b]).fetchone()[0]
+    assert out.edit_dist.iloc[0] == want
+
+
+def test_edit_distance_join_mode_matches_broadcast(ray_session):
+    """Distributed hash-join verify path == broadcast path on a
+    templated corpus (every doc shares one of 3 prefixes)."""
+    from filda_ray.ops.dedup import edit_distance_pairs
+
+    texts = [("template %d intro paragraph shared across docs " % (i % 3))
+             + ("unique tail %d " % i) * (1 + i % 4)
+             for i in range(30)] + [None]
+    ds = _ds({"doc_id": list(range(31)), "text": texts})
+    bc = edit_distance_pairs(ds, prefix_len=20, mode="broadcast").to_pandas()
+    jn = edit_distance_pairs(ds, prefix_len=20, mode="join").to_pandas()
+    key = lambda df: sorted(zip(df.doc_a, df.doc_b, df.edit_dist))
+    assert len(bc) > 30  # 3 prefix groups of ~10 -> ~3*C(10,2)
+    assert key(bc) == key(jn)
+    # exact-prefix semantics: every pair truly shares the 20-char prefix
+    by_id = {i: t for i, t in zip(range(31), texts)}
+    for x, y in zip(bc.doc_a, bc.doc_b):
+        assert by_id[x][:20] == by_id[y][:20]
+
+
+def test_levenshtein_batch_vs_duckdb_fuzz():
+    """Vectorized multi-pair DP == DuckDB levenshtein on random ASCII,
+    including empty/None rows and length skew."""
+    import random
+
+    import duckdb
+
+    from filda_ray.kernels.textkit import levenshtein_batch
+
+    rng = random.Random(17)
+    alph = "abcdef "
+    a = ["".join(rng.choice(alph) for _ in range(rng.randint(0, 60))) for _ in range(200)]
+    b = ["".join(rng.choice(alph) for _ in range(rng.randint(0, 60))) for _ in range(200)]
+    a += ["", None, "kitten", "flaw"]
+    b += ["nonempty", "x", "sitting", "lawn"]
+    got = levenshtein_batch(a, b)
+    con = duckdb.connect()
+    for i, (x, y) in enumerate(zip(a, b)):
+        w = con.sql("select levenshtein(?, ?)", params=[x or "", y or ""]).fetchone()[0]
+        assert got[i] == w, (i, x, y)
