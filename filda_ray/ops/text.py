@@ -330,3 +330,25 @@ def scrub_stage(batch: pa.Table, text_col: str = "text",
 def scrub_op(ds, text_col: str = "text", patterns=SCRUB_PATTERNS):
     return ds.map_batches(lambda b: scrub_stage(b, text_col, patterns),
                           batch_format="pyarrow")
+
+
+def url_parse_stage(batch: pa.Table, url_col: str = "url",
+                    keep: tuple = ()) -> pa.Table:
+    """Parse + canonicalize a URL column (kernels.urlkit): appends
+    scheme/host/port/path/query_canon/n_params/reg_domain/url_canon
+    plus an ok QA flag.  One RE2 pass + offsets math per batch; only
+    rows carrying a query string take the per-row param-sort path."""
+    from ..kernels import urlkit as U
+
+    parsed = U.parse_urls(batch.column(url_col))
+    out = batch.select(list(keep) or [c for c in batch.column_names if c != url_col])
+    for c in ("scheme", "host", "port", "path", "query_canon", "n_params"):
+        out = out.append_column(c, parsed.column(c))
+    out = out.append_column("reg_domain", U.registered_domain(parsed.column("host")))
+    out = out.append_column("url_canon", U.canonical_url(parsed))
+    return out.append_column("url_ok", parsed.column("ok"))
+
+
+def url_parse_op(ds, url_col: str = "url", keep: tuple = ()):
+    return ds.map_batches(lambda b: url_parse_stage(b, url_col, keep),
+                          batch_format="pyarrow")

@@ -3694,6 +3694,90 @@ def q_estimate_eval(sf_dir: str):
     )
 
 
+def q_url_canonicalize(sf_dir: str):
+    """REAL URL parsing vs a first-principles oracle: messy URLs
+    (mixed-case scheme/host, default + explicit ports, tracking
+    params, fragments, empty paths, multi-label ccTLD suffixes) are
+    synthesized as a pure function of (doc_id, host_id) — then the
+    engine string-PARSES them with kernels.urlkit (one RE2
+    extract_regex per batch, offsets-math registered domain,
+    selective per-row param sort) while the SQL oracle derives the
+    expected components directly from the residues, never parsing.
+    Any parser bug surfaces as a value mismatch."""
+    from ..ops.text import url_parse_op
+    from ..sources.pages import host_id_of
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def messy(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        host = host_id_of(ids)
+        out = np.empty(len(ids), dtype=object)
+        for i, d in enumerate(ids):
+            d = int(d)
+            scheme = ("HTTP", "https", "http")[d % 3]
+            www = "WWW." if d % 5 == 0 else ""
+            suffix = (".Example.COM", ".Sample.CO.UK", ".Data.NET")[int(host[i]) % 3]
+            port = ""
+            if d % 7 == 0:
+                port = ":443" if d % 3 == 1 else ":80"
+            elif d % 7 == 1:
+                port = ":8080"
+            path = "" if d % 11 == 0 else f"/articles/{d % 13}"
+            query = ("", "?utm_source=feed&b=2&a=1", "?b=2&a=1",
+                     "?a=1&utm_campaign=x")[d % 4]
+            frag = f"#s{d % 3}" if d % 2 == 1 else ""
+            out[i] = f"{scheme}://{www}Host{int(host[i])}{suffix}{port}{path}{query}{frag}"
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "url": pa.array(out.tolist(), pa.string())})
+
+    parsed = url_parse_op(ds.map_batches(messy, batch_format="pyarrow"))
+
+    def clean(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "scheme": b.column("scheme"),
+            "host": b.column("host"),
+            "port": b.column("port").cast(pa.float64()),
+            "path": b.column("path"),
+            "query_canon": b.column("query_canon"),
+            "n_params": b.column("n_params").cast(pa.int64()),
+            "reg_domain": b.column("reg_domain"),
+            "url_canon": b.column("url_canon"),
+        })
+
+    return parsed.map_batches(clean, batch_format="pyarrow")
+
+
+def sql_url_canonicalize() -> str:
+    host_id = P.sql_host_id("doc_id")
+    return f"""
+WITH h AS (SELECT doc_id, {host_id} AS host_id FROM documents),
+c AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END AS scheme,
+    (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+      || 'host' || cast(host_id AS varchar)
+      || (CASE host_id % 3 WHEN 0 THEN '.example.com'
+          WHEN 1 THEN '.sample.co.uk' ELSE '.data.net' END) AS host,
+    CASE WHEN doc_id % 7 = 1 THEN cast(8080 AS double) END AS port,
+    CASE WHEN doc_id % 11 = 0 THEN '/'
+         ELSE '/articles/' || cast(doc_id % 13 AS varchar) END AS path,
+    CASE doc_id % 4 WHEN 0 THEN '' WHEN 3 THEN 'a=1' ELSE 'a=1&b=2' END AS query_canon,
+    cast(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 3 THEN 1 ELSE 2 END AS bigint) AS n_params,
+    CASE host_id % 3 WHEN 0 THEN 'example.com'
+         WHEN 1 THEN 'sample.co.uk' ELSE 'data.net' END AS reg_domain
+  FROM h
+)
+SELECT *,
+  scheme || '://' || host
+    || coalesce(':' || cast(cast(port AS int) AS varchar), '')
+    || path
+    || (CASE WHEN query_canon <> '' THEN '?' || query_canon ELSE '' END) AS url_canon
+FROM c
+"""
+
+
 def q_prefix_dup_editdist(sf_dir: str):
     """Prefix-candidate near-dup pairs verified by EXACT Levenshtein
     distance (ops.dedup.edit_distance_pairs): stage 1 shuffles only
@@ -3723,6 +3807,7 @@ FROM documents a JOIN documents b
 QUERIES = {
     "flagship_detect": q_flagship,
     "prefix_dup_editdist": q_prefix_dup_editdist,
+    "url_canonicalize": q_url_canonicalize,
     "geocode_tiles": q_geocode,
     "bbox_query": q_bbox_query,
     "radius_join": q_radius_join,
@@ -3833,6 +3918,7 @@ ORACLES = {
     "quality_features": sql_quality(),
     "dedup_exact": sql_dedup(),
     "prefix_dup_editdist": sql_prefix_dup_editdist(),
+    "url_canonicalize": sql_url_canonicalize(),
     "tile_counts": sql_tile_counts(),
     "climatology_host": sql_climatology(),
     "window_events": sql_window_events(),

@@ -256,3 +256,55 @@ def test_scrub_stage_masks_pii_shapes():
     assert out[2] == "call <NUM> or <NUM> x"
     assert out[3] == "short 123456 stays"
     assert out[4] is None
+
+
+def test_urlkit_parse_and_canonicalize():
+    """URL kernels vs urllib.parse ground truth + documented contract:
+    case folding, default-port strip, tracking-param removal, token
+    sort, fragment drop, empty path, unparsable-row QA."""
+    import pyarrow as pa
+
+    from filda_ray.kernels import urlkit as U
+
+    urls = pa.array([
+        "HTTP://WWW.Host12.Example.COM:80/articles/3?utm_source=f&b=2&a=1#s1",
+        "https://host5.sample.co.uk/",
+        "http://h.data.net",
+        "https://h.x.org:8080/p/q?a=1&gclid=z",
+        "https://h.x.org:443?fbclid=1&z=9&y=8",
+        "ftp://files.example.com:21/pub",
+        None,
+        "not a url",
+        "http://solo",                        # single-label host
+    ])
+    p = U.parse_urls(urls)
+    canon = U.canonical_url(p).to_pylist()
+    assert canon == [
+        "http://www.host12.example.com/articles/3?a=1&b=2",
+        "https://host5.sample.co.uk/",
+        "http://h.data.net/",
+        "https://h.x.org:8080/p/q?a=1",
+        "https://h.x.org/?y=8&z=9",
+        "ftp://files.example.com:21/pub",     # non-http default unknown: kept
+        None, None,
+        "http://solo/",
+    ]
+    assert p.column("ok").to_pylist() == [True] * 6 + [False, False, True]
+    assert p.column("n_params").to_pylist() == [2, 0, 0, 1, 2, 0, None, None, 0]
+    assert p.column("port").to_pylist() == [None, None, None, 8080, None, 21,
+                                            None, None, None]
+    # cross-check components against urllib on the parsable rows
+    from urllib.parse import urlsplit
+
+    for raw, sch, host, path in zip(urls.to_pylist(), p.column("scheme").to_pylist(),
+                                    p.column("host").to_pylist(),
+                                    p.column("path").to_pylist()):
+        if raw is None or " " in raw:
+            continue
+        s = urlsplit(raw)
+        assert sch == s.scheme.lower()
+        assert host == s.hostname
+        assert path == (s.path or "/")
+    rd = U.registered_domain(p.column("host")).to_pylist()
+    assert rd == ["example.com", "sample.co.uk", "data.net", "x.org", "x.org",
+                  "example.com", None, None, None]
