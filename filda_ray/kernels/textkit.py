@@ -484,3 +484,85 @@ def levenshtein_batch(a_texts, b_texts) -> np.ndarray:
         if hit.any():
             out[hit] = row[hit, lb[hit]]
     return out
+
+
+# Gopher-style document quality rules (Rae et al. 2021, public) — the
+# subset whose signals are computable with one RE2 count per pattern.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD = 3.0
+GOPHER_MAX_MEAN_WORD = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_STOPWORDS_RE = r"\b(the|be|to|of|and|that|have|with|a|in)\b"
+
+
+def gopher_stats(col):
+    """Arrow string column -> dict of vectorized Gopher-rule signals +
+    keep/reasons.  Every signal is ONE pyarrow.compute RE2 count over
+    the batch — no Python row loop anywhere:
+
+    - n_words (`\\S+` runs), mean word length ((chars - whitespace) /
+      words), symbol-to-word ratio (# and ... occurrences / words),
+      bullet-line and ellipsis-line fractions ((?m) anchors), fraction
+      of words containing a letter, stopword hits.
+    - reasons: bitmask of failed rules (bit i = rule i below);
+      keep = reasons == 0.  Null texts -> keep false, reasons null.
+
+    Rules (documented thresholds above): 0 word count in
+    [50, 100k]; 1 mean word length in [3, 10]; 2 symbol ratio < 0.1;
+    3 bullet-start lines <= 90%; 4 ellipsis-end lines < 30%;
+    5 alpha-word fraction > 80%; 6 >= 2 stopword hits.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_large_string(col.type):
+        col = col.cast(pa.string())
+
+    def cnt(pat):
+        return pc.count_substring_regex(col, pat).to_numpy(zero_copy_only=False).astype(np.float64)
+
+    n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_words = cnt(r"\S+")
+    n_ws = cnt(r"\s")
+    n_alpha_words = cnt(r"\S*[A-Za-z]\S*")
+    n_stop = cnt(GOPHER_STOPWORDS_RE)
+    n_lines = cnt(r"\n") + 1.0
+    n_ellipsis_lines = cnt(r"(?m)\.\.\.$")
+    n_bullet_lines = cnt(r"(?m)^[-*]")
+    n_symbols = cnt(r"#|\.\.\.")
+
+    valid = ~np.isnan(n_words)
+    nw = np.where(n_words > 0, n_words, 1.0)
+    mean_word = np.where(n_words > 0, (n_chars - n_ws) / nw, 0.0)
+    symbol_ratio = np.where(n_words > 0, n_symbols / nw, 0.0)
+    alpha_frac = np.where(n_words > 0, n_alpha_words / nw, 0.0)
+    bullet_frac = n_bullet_lines / n_lines
+    ellipsis_frac = n_ellipsis_lines / n_lines
+
+    reasons = np.zeros(len(n_chars), dtype=np.int64)
+    reasons |= ((n_words < GOPHER_MIN_WORDS) | (n_words > GOPHER_MAX_WORDS)) << 0
+    reasons |= ((mean_word < GOPHER_MIN_MEAN_WORD) | (mean_word > GOPHER_MAX_MEAN_WORD)) << 1
+    reasons |= (symbol_ratio >= GOPHER_MAX_SYMBOL_RATIO) << 2
+    reasons |= (bullet_frac > GOPHER_MAX_BULLET_FRAC) << 3
+    reasons |= (ellipsis_frac >= GOPHER_MAX_ELLIPSIS_FRAC) << 4
+    reasons |= (alpha_frac <= GOPHER_MIN_ALPHA_FRAC) << 5
+    reasons |= (n_stop < GOPHER_MIN_STOPWORDS) << 6
+
+    return {
+        "n_words": pa.array(np.where(valid, n_words, 0).astype(np.int64), mask=~valid),
+        "mean_word_len": pa.array(mean_word, mask=~valid),
+        "symbol_ratio": pa.array(symbol_ratio, mask=~valid),
+        "bullet_frac": pa.array(bullet_frac, mask=~valid),
+        "ellipsis_frac": pa.array(ellipsis_frac, mask=~valid),
+        "alpha_frac": pa.array(alpha_frac, mask=~valid),
+        "n_stopwords": pa.array(np.where(valid, n_stop, 0).astype(np.int64), mask=~valid),
+        "gopher_reasons": pa.array(reasons, mask=~valid),
+        "gopher_keep": pa.array(np.where(valid, reasons == 0, False)),
+    }

@@ -352,3 +352,26 @@ def url_parse_stage(batch: pa.Table, url_col: str = "url",
 def url_parse_op(ds, url_col: str = "url", keep: tuple = ()):
     return ds.map_batches(lambda b: url_parse_stage(b, url_col, keep),
                           batch_format="pyarrow")
+
+
+def gopher_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-rule quality signals + keep/reasons per document
+    (kernels.textkit.gopher_stats — one RE2 count per signal, no
+    Python row loop)."""
+    from ..kernels.textkit import gopher_stats
+
+    for name, arr in gopher_stats(batch.column(text_col)).items():
+        batch = batch.append_column(name, arr)
+    return batch
+
+
+def gopher_filter_op(ds, text_col: str = "text", *, keep_only: bool = False):
+    out = ds.map_batches(lambda b: gopher_stage(b, text_col),
+                         batch_format="pyarrow")
+    if keep_only:
+        import pyarrow.compute as pc
+
+        out = out.map_batches(
+            lambda b: b.filter(pc.equal(b.column("gopher_keep"), True)),
+            batch_format="pyarrow")
+    return out

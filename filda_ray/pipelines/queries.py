@@ -3694,6 +3694,73 @@ def q_estimate_eval(sf_dir: str):
     )
 
 
+def q_gopher_filter(sf_dir: str):
+    """Gopher-style (Rae et al. 2021) document quality rules as a
+    keep/reasons-bitmask filter: every signal is ONE vectorized RE2
+    count per batch (ops.text.gopher_filter_op), SQL-replicable via
+    DuckDB regexp_extract_all lengths (both engines run RE2, so the
+    counts are identical by construction)."""
+    from ..ops.text import gopher_filter_op
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = gopher_filter_op(ds)
+
+    def clean(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.is_valid(b.column("text")))
+        return b.drop_columns(["text"])
+
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+def sql_gopher_filter() -> str:
+    stop = r"\b(the|be|to|of|and|that|have|with|a|in)\b"
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+    cast(len(regexp_extract_all(text, '\\S+')) as bigint) AS n_words,
+    cast(length(text) as double)
+      - len(regexp_extract_all(text, '\\s')) AS word_chars,
+    cast(len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) as double) AS n_alpha,
+    cast(len(regexp_extract_all(text, '{stop}')) as bigint) AS n_stopwords,
+    cast(len(regexp_extract_all(text, chr(10))) as double) + 1.0 AS n_lines,
+    cast(len(regexp_extract_all(text, '(?m)\\.\\.\\.$')) as double) AS n_ell,
+    cast(len(regexp_extract_all(text, '(?m)^[-*]')) as double) AS n_bul,
+    cast(len(regexp_extract_all(text, '#|\\.\\.\\.')) as double) AS n_sym
+  FROM documents WHERE text IS NOT NULL
+),
+m AS (
+  SELECT doc_id, n_words, n_stopwords, n_lines, n_ell, n_bul,
+    CASE WHEN n_words > 0 THEN word_chars / n_words ELSE 0.0 END AS mean_word_len,
+    CASE WHEN n_words > 0 THEN n_sym / n_words ELSE 0.0 END AS symbol_ratio,
+    CASE WHEN n_words > 0 THEN n_alpha / n_words ELSE 0.0 END AS alpha_frac,
+    n_bul / n_lines AS bullet_frac,
+    n_ell / n_lines AS ellipsis_frac
+  FROM s
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_frac, n_stopwords,
+       cast(
+         (CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END)
+       + (CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 2 ELSE 0 END)
+       + (CASE WHEN symbol_ratio >= 0.1 THEN 4 ELSE 0 END)
+       + (CASE WHEN bullet_frac > 0.9 THEN 8 ELSE 0 END)
+       + (CASE WHEN ellipsis_frac >= 0.3 THEN 16 ELSE 0 END)
+       + (CASE WHEN alpha_frac <= 0.8 THEN 32 ELSE 0 END)
+       + (CASE WHEN n_stopwords < 2 THEN 64 ELSE 0 END) as bigint) AS gopher_reasons,
+       (CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END)
+       + (CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 2 ELSE 0 END)
+       + (CASE WHEN symbol_ratio >= 0.1 THEN 4 ELSE 0 END)
+       + (CASE WHEN bullet_frac > 0.9 THEN 8 ELSE 0 END)
+       + (CASE WHEN ellipsis_frac >= 0.3 THEN 16 ELSE 0 END)
+       + (CASE WHEN alpha_frac <= 0.8 THEN 32 ELSE 0 END)
+       + (CASE WHEN n_stopwords < 2 THEN 64 ELSE 0 END) = 0 AS gopher_keep
+FROM m
+"""
+
+
 def q_url_canonicalize(sf_dir: str):
     """REAL URL parsing vs a first-principles oracle: messy URLs
     (mixed-case scheme/host, default + explicit ports, tracking
@@ -3808,6 +3875,7 @@ QUERIES = {
     "flagship_detect": q_flagship,
     "prefix_dup_editdist": q_prefix_dup_editdist,
     "url_canonicalize": q_url_canonicalize,
+    "gopher_filter": q_gopher_filter,
     "geocode_tiles": q_geocode,
     "bbox_query": q_bbox_query,
     "radius_join": q_radius_join,
@@ -3919,6 +3987,7 @@ ORACLES = {
     "dedup_exact": sql_dedup(),
     "prefix_dup_editdist": sql_prefix_dup_editdist(),
     "url_canonicalize": sql_url_canonicalize(),
+    "gopher_filter": sql_gopher_filter(),
     "tile_counts": sql_tile_counts(),
     "climatology_host": sql_climatology(),
     "window_events": sql_window_events(),

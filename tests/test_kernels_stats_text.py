@@ -308,3 +308,36 @@ def test_urlkit_parse_and_canonicalize():
     rd = U.registered_domain(p.column("host")).to_pylist()
     assert rd == ["example.com", "sample.co.uk", "data.net", "x.org", "x.org",
                   "example.com", None, None, None]
+
+
+def test_gopher_stats_rules():
+    """Gopher-rule signals on hand-built texts: each rule trips on its
+    own bit; keep only when all pass; null text -> keep False."""
+    import pyarrow as pa
+
+    from filda_ray.kernels.textkit import gopher_stats
+
+    good = ("the quick brown fox and the lazy dog have fun in a field of "
+            "green grass with many other animals that play games ") * 3
+    short = "the cat and a dog have fun"                    # rule 0: < 50 words
+    symbols = ("the word and # of # hash # tags # with # a # b # c # d # e "
+               "# f # g # h # i # j # k # l # m # n # o # p # q # r # s # t "
+               "# u # v # w # x # y # z # aa # bb # cc # dd # ee ")  # rule 2
+    nostop = " ".join(f"word{i} tokenlike{i}" for i in range(30))     # rule 6
+    bullets = "\n".join("- item %d the fox and a dog have it" % i
+                        for i in range(20))                 # rule 3 (100% bullets)
+    s = gopher_stats(pa.array([good, short, symbols, nostop, bullets, None]))
+    reasons = s["gopher_reasons"].to_pylist()
+    keep = s["gopher_keep"].to_pylist()
+    assert keep == [True, False, False, False, False, False]
+    assert reasons[0] == 0
+    assert reasons[1] & 1            # word count
+    assert reasons[2] & 4            # symbol ratio
+    assert reasons[3] & 64           # stopwords
+    assert reasons[4] & 8            # bullet lines
+    assert reasons[5] is None
+    # signal values agree with direct python computation on `good`
+    toks = good.split()
+    assert s["n_words"].to_pylist()[0] == len(toks)
+    assert abs(s["mean_word_len"].to_pylist()[0]
+               - sum(map(len, toks)) / len(toks)) < 1e-12
