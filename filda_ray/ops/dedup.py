@@ -601,3 +601,39 @@ def edit_distance_pairs(docs, *, prefix_len: int = 30, id_col: str = "doc_id",
         return score(batch.drop_columns(["text_a", "text_b"]), ta, tb)
 
     return j.map_batches(verify_joined, batch_format="pyarrow")
+
+
+def dedup_incremental(new_ds, prior_ds, *, text_col: str = "text",
+                      id_col: str = "doc_id", keep: str = "first",
+                      priority_col: str | None = None):
+    """Incremental exact dedup of a NEW crawl against a PRIOR corpus,
+    then within the new crawl itself — the recurring-crawl curation
+    step (yesterday's corpus never reprocesses).
+
+    Scale design: the prior side contributes ONLY its content hashes
+    (one narrow column); the anti join is Bloom-prefiltered
+    (``bloom.bloom_semi_anti_join``) so non-colliding new rows —
+    ~all of them on a real crawl — never shuffle, and exactness is
+    restored by the verify stage.  Survivors then run the bounded-
+    bucket ``dedup_exact``.  Null-text rows are dropped up front on
+    both sides (SQL NOT EXISTS semantics for NULL keys is
+    join-strategy-dependent; the contract excludes them).
+    """
+    import pyarrow.compute as pc
+
+    from .bloom import bloom_semi_anti_join
+
+    def drop_null(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b.column(text_col)))
+
+    new_h = add_content_hash(new_ds.map_batches(drop_null, batch_format="pyarrow"),
+                             text_col=text_col)
+    prior_h = add_content_hash(
+        prior_ds.select_columns([text_col]).map_batches(drop_null,
+                                                        batch_format="pyarrow"),
+        text_col=text_col).select_columns(["content_md5"])
+    surv = bloom_semi_anti_join(new_h, prior_h, on="content_md5", anti=True)
+    surv = surv.map_batches(lambda b: b.drop_columns(["content_md5"]),
+                            batch_format="pyarrow")
+    return dedup_exact(surv, text_col=text_col, id_col=id_col, keep=keep,
+                       priority_col=priority_col)

@@ -3694,6 +3694,52 @@ def q_estimate_eval(sf_dir: str):
     )
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental exact dedup of a NEW crawl against a PRIOR corpus
+    (ops.dedup.dedup_incremental): prior = doc_id%10 < 3, new = the
+    rest.  The prior side ships only content hashes; the anti join is
+    Bloom-prefiltered so non-colliding new rows never shuffle; the
+    within-new dedup is the bounded-bucket first-wins pass."""
+    from ..ops.dedup import dedup_incremental
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+
+    def part(keep_prior: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy()
+            mask = (ids % 10 < 3) if keep_prior else (ids % 10 >= 3)
+            return b.filter(pa.array(mask))
+        return f
+
+    prior = docs.map_batches(part(True), batch_format="pyarrow")
+    new = docs.map_batches(part(False), batch_format="pyarrow")
+    out = dedup_incremental(new, prior)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "content_md5": b.column("content_md5")}),
+        batch_format="pyarrow")
+
+
+def sql_dedup_incremental() -> str:
+    return """
+WITH prior AS (
+  SELECT md5(text) AS content_md5 FROM documents
+  WHERE doc_id % 10 < 3 AND text IS NOT NULL
+),
+nw AS (
+  SELECT doc_id, md5(text) AS content_md5 FROM documents
+  WHERE doc_id % 10 >= 3 AND text IS NOT NULL
+),
+surv AS (
+  SELECT n.* FROM nw n
+  WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.content_md5 = n.content_md5)
+)
+SELECT doc_id, content_md5 FROM surv
+QUALIFY row_number() OVER (PARTITION BY content_md5 ORDER BY doc_id) = 1
+"""
+
+
 def q_gopher_filter(sf_dir: str):
     """Gopher-style (Rae et al. 2021) document quality rules as a
     keep/reasons-bitmask filter: every signal is ONE vectorized RE2
@@ -3876,6 +3922,7 @@ QUERIES = {
     "prefix_dup_editdist": q_prefix_dup_editdist,
     "url_canonicalize": q_url_canonicalize,
     "gopher_filter": q_gopher_filter,
+    "dedup_incremental": q_dedup_incremental,
     "geocode_tiles": q_geocode,
     "bbox_query": q_bbox_query,
     "radius_join": q_radius_join,
@@ -3988,6 +4035,7 @@ ORACLES = {
     "prefix_dup_editdist": sql_prefix_dup_editdist(),
     "url_canonicalize": sql_url_canonicalize(),
     "gopher_filter": sql_gopher_filter(),
+    "dedup_incremental": sql_dedup_incremental(),
     "tile_counts": sql_tile_counts(),
     "climatology_host": sql_climatology(),
     "window_events": sql_window_events(),

@@ -1565,3 +1565,30 @@ def test_levenshtein_batch_vs_duckdb_fuzz():
     for i, (x, y) in enumerate(zip(a, b)):
         w = con.sql("select levenshtein(?, ?)", params=[x or "", y or ""]).fetchone()[0]
         assert got[i] == w, (i, x, y)
+
+
+def test_dedup_incremental_vs_duckdb(ray_session):
+    """Incremental dedup: new-crawl rows whose content already exists
+    in the prior corpus are dropped; remaining new dups collapse
+    first-wins — equals the NOT EXISTS + row_number SQL on the same
+    split."""
+    import duckdb
+
+    from filda_ray.ops.dedup import dedup_incremental
+
+    texts = ["alpha", "beta", "gamma", "alpha", "delta", "beta",
+             "epsilon", "zeta", "epsilon", None]
+    ids = list(range(10))
+    # prior = ids 0-3 (alpha, beta, gamma, alpha); new = 4-9
+    prior = _ds({"doc_id": ids[:4], "text": texts[:4]})
+    new = _ds({"doc_id": ids[4:], "text": texts[4:]})
+    got = dedup_incremental(new, prior).to_pandas().sort_values("doc_id")
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"doc_id": ids, "text": texts}))
+    want = con.sql("""
+      WITH prior AS (SELECT md5(text) h FROM t WHERE doc_id < 4 AND text IS NOT NULL),
+      nw AS (SELECT doc_id, text, md5(text) h FROM t WHERE doc_id >= 4 AND text IS NOT NULL),
+      surv AS (SELECT * FROM nw n WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.h = n.h))
+      SELECT doc_id FROM surv QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+      ORDER BY doc_id""").df()
+    assert got.doc_id.tolist() == want.doc_id.tolist() == [4, 6, 7]
