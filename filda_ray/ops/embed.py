@@ -395,3 +395,117 @@ def lsh_bucket_topk(ds, queries: np.ndarray, k: int = 10, *, nbits: int = 8,
         return g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
 
     return partial.groupby("query_id", num_partitions=shuffle_partitions()).map_groups(final, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd's k-means (cluster-balanced curation / corpus maps)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_distributed(ds, *, k: int = 8, iters: int = 5,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       seed: int = 0, sample_size: int = 2000):
+    """Full-corpus Euclidean Lloyd's k-means, the canonical scalable
+    shape: centroids are INITIALIZED from a deterministic hash-random
+    sample (``kmeans_fit`` refined on the driver — k x dim is tiny),
+    then each Lloyd iteration is one streaming pass: a ``map_batches``
+    partial emits ONE (centroid, count, sum-blob) row per centroid per
+    block (vectors themselves never shuffle), a bounded groupby sums
+    the blobs, and the k-row result updates centroids driver-side.
+    Empty cells keep their previous centroid.  ``iters`` full passes
+    over the corpus — on 100 TB pick small iters and a large sample
+    (the sample init does most of the work; Lloyd refines).
+
+    Returns (centroids float64 (k, dim), per-cluster counts int64 (k,)).
+    """
+    import ray
+
+    from . import pd_table
+    from .sample import hash_sample, hash_uniform
+    from .workercache import worker_state
+
+    n_rows = max(ds.count(), 1)
+    frac = min(1.0, (2.0 * sample_size) / n_rows)
+    samp = pa.concat_tables(
+        list(hash_sample(ds.select_columns([id_col, vec_col]), id_col, frac,
+                         seed=seed)
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    # Canonicalize sample order by (hash, id): iter_batches block order is
+    # NOT deterministic under the streaming executor, and rng.choice below
+    # selects by position — the sort makes init run-order-independent.
+    u = hash_uniform(samp.column(id_col).to_numpy(), seed)
+    order = np.lexsort((samp.column(id_col).to_numpy(), u))[:sample_size]
+    samp = samp.take(pa.array(order))
+    sm = _to_matrix(samp.column(vec_col), np.float64)
+    # Euclidean init: seeded distinct rows + driver Lloyd on the sample
+    rng = np.random.RandomState(seed)
+    cent = sm[rng.choice(len(sm), size=min(k, len(sm)), replace=False)].copy()
+    for _ in range(iters):
+        d2 = (sm * sm).sum(1)[:, None] - 2.0 * (sm @ cent.T) + (cent * cent).sum(1)[None]
+        a = d2.argmin(1)
+        for j in range(len(cent)):
+            m = a == j
+            if m.any():
+                cent[j] = sm[m].mean(axis=0)
+    counts = None
+
+    narrow = ds.select_columns([vec_col])
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            c = worker_state(_ref, lambda: ray.get(_ref))
+            v = _to_matrix(batch.column(vec_col), np.float64)
+            if len(v) == 0:
+                return pa.table({"centroid": pa.array([], pa.int32()),
+                                 "n": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.large_binary())})
+            d2 = -2.0 * (v @ c.T) + (c * c).sum(1)[None]
+            a = d2.argmin(1)
+            sums = np.zeros((len(c), v.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, v)
+            n = np.bincount(a, minlength=len(c)).astype(np.int64)
+            occ = np.flatnonzero(n > 0)
+            return pa.table({
+                "centroid": pa.array(occ.astype(np.int32)),
+                "n": pa.array(n[occ]),
+                "s": pa.array([sums[j].tobytes() for j in occ], pa.large_binary()),
+            })
+
+        def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+            s = np.stack([np.frombuffer(b, np.float64) for b in g["s"]]).sum(axis=0)
+            return pd_table(pd.DataFrame({
+                "centroid": [int(g["centroid"].iloc[0])],
+                "n": [int(g["n"].sum())],
+                "s": [s.tobytes()],
+            }))
+
+        tiny = (narrow.map_batches(partial, batch_format="pyarrow")
+                .groupby("centroid", num_partitions=shuffle_partitions())
+                .map_groups(reduce_group, batch_format="pandas")
+                .to_pandas())
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for _, r in tiny.iterrows():
+            j = int(r["centroid"])
+            counts[j] = r["n"]
+            cent[j] = np.frombuffer(r["s"], np.float64) / r["n"]
+    return cent, counts
+
+
+def kmeans_assign(ds, centroids: np.ndarray, *, vec_col: str = "embedding",
+                  out_col: str = "cluster"):
+    """Assign every row to its nearest (Euclidean) centroid — one GEMM
+    per batch against the broadcast centroid matrix."""
+    import ray
+
+    from .workercache import worker_state
+
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def f(batch: pa.Table) -> pa.Table:
+        c = worker_state(ref, lambda: ray.get(ref))
+        v = _to_matrix(batch.column(vec_col), np.float64)
+        a = ((-2.0 * (v @ c.T)) + (c * c).sum(1)[None]).argmin(1).astype(np.int32)
+        return batch.append_column(out_col, pa.array(a))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1592,3 +1592,71 @@ def test_dedup_incremental_vs_duckdb(ray_session):
       SELECT doc_id FROM surv QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
       ORDER BY doc_id""").df()
     assert got.doc_id.tolist() == want.doc_id.tolist() == [4, 6, 7]
+
+
+def test_kmeans_distributed_matches_numpy(ray_session, sf_dir):
+    """Distributed Lloyd == driver-side numpy Lloyd from the same init
+    (same sample, same seed), and clusters align with the planted
+    embedding labels (purity)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from filda_ray.ops.embed import _to_matrix, kmeans_assign, kmeans_distributed
+
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = rd.read_parquet(path).repartition(6)
+    k, iters, seed = 10, 4, 0
+    cent, counts = kmeans_distributed(ds, k=k, iters=iters, seed=seed)
+    tbl = pq.read_table(path)
+    v = _to_matrix(tbl.column("embedding"), np.float64)
+
+    # reference: identical init path (hash sample + seeded choice + Lloyd)
+    from filda_ray.ops.sample import hash_uniform
+
+    ids = tbl.column("vec_id").to_numpy()
+    u = hash_uniform(ids, seed)
+    n_rows = len(ids)
+    frac = min(1.0, 4000.0 / n_rows)
+    m = u < frac
+    sm, su, sids = v[m], u[m], ids[m]
+    order = np.lexsort((sids, su))[:2000]
+    sm = sm[order]
+    rng = np.random.RandomState(seed)
+    ref = sm[rng.choice(len(sm), size=min(k, len(sm)), replace=False)].copy()
+    for _ in range(iters):
+        d2 = (sm * sm).sum(1)[:, None] - 2 * (sm @ ref.T) + (ref * ref).sum(1)[None]
+        a = d2.argmin(1)
+        for j in range(k):
+            mm = a == j
+            if mm.any():
+                ref[j] = sm[mm].mean(0)
+    for _ in range(iters):
+        a = ((v * v).sum(1)[:, None] - 2 * (v @ ref.T) + (ref * ref).sum(1)[None]).argmin(1)
+        for j in range(k):
+            mm = a == j
+            if mm.any():
+                ref[j] = v[mm].mean(0)
+    assert np.allclose(cent, ref, atol=1e-8)
+    assert counts.sum() == n_rows
+    assert np.array_equal(counts, np.bincount(a, minlength=k))
+
+    # purity on well-separated planted blobs (the sf fixture's labels are a
+    # weak bias, not separable clusters — within-cos 0.02 vs between 0.0)
+    rng2 = np.random.RandomState(7)
+    blob_cents = rng2.normal(0, 10, size=(3, 8))
+    pts = np.concatenate([blob_cents[j] + rng2.normal(0, 0.5, size=(200, 8))
+                          for j in range(3)])
+    labels = np.repeat(np.arange(3), 200)
+    blob_ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(600)),
+        "embedding": pa.array(list(pts.astype(np.float32))),
+        "label": pa.array(labels),
+    })).repartition(5)
+    bc, bn = kmeans_distributed(blob_ds, k=3, iters=6, seed=1)
+    assigned = kmeans_assign(blob_ds, bc).to_pandas()
+    import pandas as _pd
+
+    ct = _pd.crosstab(assigned["cluster"], assigned["label"])
+    purity = ct.max(axis=1).sum() / len(assigned)
+    assert purity > 0.95
+    assert bn.sum() == 600
