@@ -375,3 +375,207 @@ def gopher_filter_op(ds, text_col: str = "text", *, keep_only: bool = False):
             lambda b: b.filter(pc.equal(b.column("gopher_keep"), True)),
             batch_format="pyarrow")
     return out
+
+
+def _split_segments(col, delimiter: str):
+    """Vectorized segment split of a string column: returns
+    (flat StringArray of all segments, int64 row offsets, per-row
+    counts).  Nulls split as empty text (one empty segment), matching
+    SQL string_split(coalesce(text,'')) semantics."""
+    import pyarrow.compute as pc
+
+    lst = pc.split_pattern(pc.fill_null(col.cast(pa.string()), ""), delimiter)
+    counts = pc.list_value_length(lst).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lst)
+    offsets = np.r_[0, np.cumsum(counts)]
+    return flat, offsets, counts
+
+
+def segment_df(ds, *, text_col: str = "text", delimiter: str = "\n"):
+    """Document frequency per SEGMENT (line/paragraph/token): the
+    number of DISTINCT documents containing each segment.  One narrow
+    pass emits per-block (seg_hash, df_partial) rows over within-doc-
+    distinct segments (a document is one row, so per-block distinct is
+    globally exact); a bounded groupby sums partials.  Returns a
+    Dataset of (seg_hash uint64, df int64) — segments themselves never
+    shuffle."""
+    from ..kernels.hashing import col_hash64
+    from .background import HIST_BATCH_ROWS
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, offsets, counts = _split_segments(batch.column(text_col), delimiter)
+        h = col_hash64(flat)
+        row = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        # within-doc distinct (row, hash) pairs
+        order = np.lexsort((h, row))
+        rs, hs = row[order], h[order]
+        keep = np.r_[True, (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])]
+        seg, df = np.unique(hs[keep], return_counts=True)
+        return pa.table({"seg_hash": pa.array(seg, pa.uint64()),
+                         "df": pa.array(df.astype(np.int64))})
+
+    def merge(g):
+        import pandas as pd
+
+        from . import pd_table
+
+        return pd_table(pd.DataFrame({"seg_hash": [g["seg_hash"].iloc[0]],
+                                      "df": [int(g["df"].sum())]}))
+
+    return (ds.select_columns([text_col])
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=HIST_BATCH_ROWS)
+            .groupby("seg_hash", num_partitions=shuffle_partitions())
+            .map_groups(merge, batch_format="pandas"))
+
+
+def remove_frequent_segments(ds, *, text_col: str = "text",
+                             id_col: str = "doc_id", delimiter: str = "\n",
+                             min_df: int = 2, max_df_frac: float | None = None,
+                             mode: str = "auto", broadcast_max: int = 2_000_000):
+    """Cross-document frequent-segment removal — CCNet/C4-style
+    paragraph/line dedup (``delimiter='\\n'``) or df-based boilerplate
+    token pruning (``delimiter=' '``): drop every segment that occurs
+    in >= threshold DISTINCT documents, preserving the order of the
+    surviving segments.  threshold = max(min_df, ceil(max_df_frac *
+    n_docs)) when ``max_df_frac`` is given, else ``min_df``.
+
+    Scale shape: pass 1 is ``segment_df`` (hash partials only; bounded
+    groupby).  Pass 2 gathers the FREQUENT set — the boilerplate
+    vocabulary, far smaller than the corpus: broadcast via one
+    ``ray.put`` when its measured count <= ``broadcast_max`` (docs
+    never shuffle), else the exploded (id, ord, segment) triples
+    hash-left-join the frequent table and reassemble per doc
+    (``collect_sorted``) — the adversarial path where boilerplate
+    vocabulary itself is huge.  Output: (id_col, text_clean,
+    n_removed); a doc whose segments all drop keeps text_clean=''.
+
+    Reference analog: none (web-curation requirement); the gather
+    pattern mirrors ops/detect.py's broadcast-vs-join auto switch.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ..kernels.hashing import col_hash64
+    from . import pd_table
+    from .workercache import worker_state
+
+    thr = int(min_df)
+    if max_df_frac is not None:
+        total = ds.count()
+        thr = max(thr, int(np.ceil(max_df_frac * total)))
+
+    freq = segment_df(ds, text_col=text_col, delimiter=delimiter).map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("df"), thr))
+                   .select(["seg_hash"]),
+        batch_format="pyarrow")
+    # the frequent set is the boilerplate vocabulary — tiny next to the
+    # corpus (and spillable when not); pin it so the count, the gather,
+    # and the empty-set guard share one execution
+    freq = freq.materialize()
+    n_freq = freq.count()
+    if n_freq == 0:
+        # nothing to remove; Dataset.join would reject the empty side
+        def passthrough(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: batch.column(id_col),
+                "text_clean": pc.fill_null(
+                    batch.column(text_col).cast(pa.string()), ""),
+                "n_removed": pa.array(np.zeros(len(batch), np.int64)),
+            })
+
+        return ds.select_columns([id_col, text_col]).map_batches(
+            passthrough, batch_format="pyarrow")
+    if mode == "auto":
+        mode = "broadcast" if n_freq <= broadcast_max else "join"
+
+    if mode == "broadcast":
+        fset = np.sort(np.concatenate(
+            [b.column("seg_hash").to_numpy(zero_copy_only=False)
+             for b in freq.iter_batches(batch_format="pyarrow", batch_size=None)]
+            or [np.array([], dtype=np.uint64)]))
+        ref = ray.put(fset)
+
+        def scrub(batch: pa.Table) -> pa.Table:
+            fs = worker_state(ref, lambda: ray.get(ref))
+            flat, offsets, counts = _split_segments(batch.column(text_col), delimiter)
+            h = col_hash64(flat)
+            drop = np.zeros(len(h), dtype=bool)
+            if fs.size and len(h):
+                idx = np.searchsorted(fs, h)
+                idx[idx == fs.size] = 0
+                drop = fs[idx] == h
+            segs = flat.to_pylist()
+            texts, removed = [], np.empty(len(batch), dtype=np.int64)
+            for i in range(len(batch)):
+                lo, hi = offsets[i], offsets[i + 1]
+                kept = [segs[j] for j in range(lo, hi) if not drop[j]]
+                texts.append(delimiter.join(kept))
+                removed[i] = (hi - lo) - len(kept)
+            return pa.table({id_col: batch.column(id_col),
+                             "text_clean": pa.array(texts, pa.string()),
+                             "n_removed": pa.array(removed)})
+
+        return ds.select_columns([id_col, text_col]).map_batches(
+            scrub, batch_format="pyarrow")
+
+    # join mode: explode -> left join frequent marker -> reassemble
+    from .relational import collect_sorted, hash_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat, offsets, counts = _split_segments(batch.column(text_col), delimiter)
+        row = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        ords = np.arange(len(flat), dtype=np.int64) - offsets[row]
+        ids = batch.column(id_col).take(pa.array(row))
+        return pa.table({id_col: ids, "ord": pa.array(ords),
+                         "seg": flat,
+                         "seg_hash": pa.array(col_hash64(flat), pa.uint64())})
+
+    segs = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow")
+    marked = hash_join(
+        segs,
+        freq.map_batches(lambda b: b.append_column(
+            "_freq", pa.array(np.ones(len(b), dtype=np.int8))),
+            batch_format="pyarrow"),
+        on="seg_hash", how="left_outer",
+        num_partitions=shuffle_partitions())
+    kept = marked.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("_freq"))),
+        batch_format="pyarrow")
+    joined = collect_sorted(kept, group_col=id_col, value_col="seg",
+                            order_col="ord", sep=delimiter,
+                            out_col="text_clean")
+
+    # merge with per-doc totals via union + groupby (NOT Dataset.join:
+    # it rejects an empty right side, and a corpus whose segments all
+    # drop leaves `joined` empty)
+    def totals(batch: pa.Table) -> pa.Table:
+        _, _, counts = _split_segments(batch.column(text_col), delimiter)
+        return pa.table({id_col: batch.column(id_col),
+                         "text_clean": pa.nulls(len(batch), pa.string()),
+                         "n": pa.array(np.zeros(len(batch), np.int64)),
+                         "n_segs": pa.array(counts)})
+
+    tot = ds.select_columns([id_col, text_col]).map_batches(
+        totals, batch_format="pyarrow")
+    both = tot.union(joined.map_batches(
+        lambda b: pa.table({id_col: b.column(id_col),
+                            "text_clean": b.column("text_clean"),
+                            "n": b.column("n").cast(pa.int64()),
+                            "n_segs": pa.array(np.zeros(len(b), np.int64))}),
+        batch_format="pyarrow"))
+
+    def finish(g):
+        import pandas as pd
+
+        kept_rows = g[g["text_clean"].notna()]
+        txt = kept_rows["text_clean"].iloc[0] if len(kept_rows) else ""
+        return pd_table(pd.DataFrame({
+            id_col: [g[id_col].iloc[0]],
+            "text_clean": [txt],
+            "n_removed": [int(g["n_segs"].sum()) - int(g["n"].sum())],
+        }))
+
+    return both.groupby(id_col, num_partitions=shuffle_partitions()).map_groups(
+        finish, batch_format="pandas")

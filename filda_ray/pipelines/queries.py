@@ -3807,6 +3807,48 @@ FROM m
 """
 
 
+SEG_PRUNE_FRAC = 0.5  # df threshold fraction shared by engine + oracle
+
+
+def q_segment_prune(sf_dir: str):
+    """Cross-document frequent-segment removal (CCNet/C4-style
+    paragraph dedup; here at token granularity for this corpus): drop
+    every segment occurring in >= ceil(0.5 * n_docs) distinct docs,
+    preserving surviving-segment order.  Engine: hash-only DF partials
+    -> bounded groupby -> broadcast-or-join gather (auto), docs never
+    shuffle in broadcast mode (ops/text.remove_frequent_segments)."""
+    from ..ops.text import remove_frequent_segments
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return remove_frequent_segments(ds, delimiter=" ", min_df=2,
+                                    max_df_frac=SEG_PRUNE_FRAC)
+
+
+def sql_segment_prune() -> str:
+    return f"""
+WITH segs AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS seg,
+         cast(generate_subscripts(string_split(text, ' '), 1) as bigint) AS ord
+  FROM documents
+),
+df AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg),
+freq AS (SELECT seg FROM df
+         WHERE df >= greatest(2, cast(ceil({SEG_PRUNE_FRAC} *
+                       (SELECT count(*) FROM documents)) as bigint))),
+kept AS (SELECT s.doc_id, s.seg, s.ord
+         FROM segs s ANTI JOIN freq f ON s.seg = f.seg),
+agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY ord) AS text_clean,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
+       cast(t.n_segs - coalesce(a.n_kept, 0) as bigint) AS n_removed
+FROM documents d LEFT JOIN agg a USING(doc_id) LEFT JOIN tot t USING(doc_id)
+"""
+
+
 def q_url_canonicalize(sf_dir: str):
     """REAL URL parsing vs a first-principles oracle: messy URLs
     (mixed-case scheme/host, default + explicit ports, tracking
@@ -3922,6 +3964,7 @@ QUERIES = {
     "prefix_dup_editdist": q_prefix_dup_editdist,
     "url_canonicalize": q_url_canonicalize,
     "gopher_filter": q_gopher_filter,
+    "segment_prune": q_segment_prune,
     "dedup_incremental": q_dedup_incremental,
     "geocode_tiles": q_geocode,
     "bbox_query": q_bbox_query,
@@ -4035,6 +4078,7 @@ ORACLES = {
     "prefix_dup_editdist": sql_prefix_dup_editdist(),
     "url_canonicalize": sql_url_canonicalize(),
     "gopher_filter": sql_gopher_filter(),
+    "segment_prune": sql_segment_prune(),
     "dedup_incremental": sql_dedup_incremental(),
     "tile_counts": sql_tile_counts(),
     "climatology_host": sql_climatology(),

@@ -1660,3 +1660,44 @@ def test_kmeans_distributed_matches_numpy(ray_session, sf_dir):
     purity = ct.max(axis=1).sum() / len(assigned)
     assert purity > 0.95
     assert bn.sum() == 600
+
+
+def test_remove_frequent_segments_modes_and_paragraphs(ray_session):
+    """Planted paragraph corpus: a boilerplate paragraph shared by 4/5
+    docs is removed at max_df_frac=0.5; unique paragraphs survive in
+    order.  broadcast == join mode exactly."""
+    import ray.data as rd
+
+    from filda_ray.ops.text import remove_frequent_segments
+
+    boiler = "subscribe to our newsletter"
+    docs = [
+        f"alpha one\n{boiler}\nbody text {i}" for i in range(4)
+    ] + ["unique doc\nno boilerplate here"]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(docs)})
+    ds = rd.from_arrow(t).repartition(3)
+    outs = {}
+    for mode in ("broadcast", "join"):
+        df = (remove_frequent_segments(ds, delimiter="\n", min_df=2,
+                                       max_df_frac=0.5, mode=mode)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        outs[mode] = df
+    a, b = outs["broadcast"], outs["join"]
+    assert a["text_clean"].tolist() == b["text_clean"].tolist()
+    assert a["n_removed"].tolist() == b["n_removed"].tolist()
+    # "alpha one" (df=4) and boiler (df=4) removed; "body text i" kept
+    assert a["text_clean"].tolist()[:4] == [f"body text {i}" for i in range(4)]
+    assert a["n_removed"].tolist()[:4] == [2, 2, 2, 2]
+    assert a["text_clean"][4] == "unique doc\nno boilerplate here"
+    assert a["n_removed"][4] == 0
+
+    # all-segments-removed doc keeps an empty text_clean in both modes
+    t2 = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                   "text": pa.array(["same\nsame", "same"])})
+    for mode in ("broadcast", "join"):
+        df = (remove_frequent_segments(rd.from_arrow(t2), delimiter="\n",
+                                       min_df=2, mode=mode)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert df["text_clean"].tolist() == ["", ""]
+        assert df["n_removed"].tolist() == [2, 1]
