@@ -2792,6 +2792,36 @@ def q_ann_lsh(sf_dir: str):
     return lsh_bucket_topk(ds, queries, k=10, nbits=8)
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd's k-means over the embedding corpus (streaming
+    sum-partials; vectors never shuffle) + cluster-balanced curation
+    sample (kmeans_assign -> stratified_sample per cluster).  Output:
+    one row per cluster with corpus count, capped-sample count, and
+    centroid norm.  Rows-only: iterative k-means is not
+    SQL-expressible; the algorithm is pytest-pinned against a
+    driver-side numpy Lloyd from the identical init
+    (test_kmeans_distributed_matches_numpy)."""
+    from ..ops.embed import kmeans_assign, kmeans_distributed
+    from ..ops.sample import stratified_sample
+
+    k, cap = 8, 20
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    cent, counts = kmeans_distributed(ds, k=k, iters=3, seed=0)
+    assigned = kmeans_assign(ds, cent, out_col="cluster")
+    samp = stratified_sample(assigned.select_columns(["vec_id", "cluster"]),
+                             "cluster", "vec_id", cap)
+    ns = samp.groupby("cluster").count().to_pandas()
+    n_samp = np.zeros(k, dtype=np.int64)
+    n_samp[ns["cluster"].to_numpy()] = ns["count()"].to_numpy()
+    return pa.table({
+        "cluster": pa.array(np.arange(k, dtype=np.int32)),
+        "n_total": pa.array(counts.astype(np.int64)),
+        "n_sampled": pa.array(n_samp),
+        "centroid_norm": pa.array(np.linalg.norm(cent, axis=1)),
+    })
+
+
 def q_ivf_topk(sf_dir: str):
     """IVF-partitioned ANN: build a centroid-partitioned index (scratch
     dir), then answer 3 queries reading ONLY the probed partitions —
@@ -4052,6 +4082,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh,
     "embedding_neardup_pairs": q_embedding_neardup,
     "ivf_topk": q_ivf_topk,
+    "kmeans_clusters": q_kmeans_clusters,
     "langid": q_langid,
     "estimator_score": q_score,
     "estimate_eval": q_estimate_eval,
