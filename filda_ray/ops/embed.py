@@ -402,6 +402,47 @@ def lsh_bucket_topk(ds, queries: np.ndarray, k: int = 10, *, nbits: int = 8,
 # ---------------------------------------------------------------------------
 
 
+def sample_matrix(ds, sample_size: int, *, id_col: str = "vec_id",
+                  vec_col: str = "embedding", seed: int = 0,
+                  dtype=np.float64) -> np.ndarray:
+    """Deterministic hash-random training sample as a dense matrix.
+
+    Hash-Bernoulli at ~2x the target fraction, then canonicalized by
+    (hash, id) order and trimmed: iter_batches block order is NOT
+    deterministic under the streaming executor, and samplers that pick
+    rows by position (rng.choice) need a run-order-independent layout.
+    """
+    from .sample import hash_sample, hash_uniform
+
+    n_rows = max(ds.count(), 1)
+    frac = min(1.0, (2.0 * sample_size) / n_rows)
+    samp = pa.concat_tables(
+        list(hash_sample(ds.select_columns([id_col, vec_col]), id_col, frac,
+                         seed=seed)
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    u = hash_uniform(samp.column(id_col).to_numpy(), seed)
+    order = np.lexsort((samp.column(id_col).to_numpy(), u))[:sample_size]
+    samp = samp.take(pa.array(order))
+    return _to_matrix(samp.column(vec_col), dtype)
+
+
+def lloyd_numpy(x: np.ndarray, k: int, *, iters: int = 10,
+                seed: int = 0) -> np.ndarray:
+    """Plain Euclidean Lloyd on an in-memory sample (driver-side
+    trainer for PQ subquantizers and the distributed k-means init).
+    Empty cells keep their previous centroid."""
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ cent.T) + (cent * cent).sum(1)[None]
+        a = d2.argmin(1)
+        for j in range(len(cent)):
+            m = a == j
+            if m.any():
+                cent[j] = x[m].mean(axis=0)
+    return cent
+
+
 def kmeans_distributed(ds, *, k: int = 8, iters: int = 5,
                        vec_col: str = "embedding", id_col: str = "vec_id",
                        seed: int = 0, sample_size: int = 2000):
@@ -421,32 +462,12 @@ def kmeans_distributed(ds, *, k: int = 8, iters: int = 5,
     import ray
 
     from . import pd_table
-    from .sample import hash_sample, hash_uniform
     from .workercache import worker_state
 
-    n_rows = max(ds.count(), 1)
-    frac = min(1.0, (2.0 * sample_size) / n_rows)
-    samp = pa.concat_tables(
-        list(hash_sample(ds.select_columns([id_col, vec_col]), id_col, frac,
-                         seed=seed)
-             .iter_batches(batch_format="pyarrow", batch_size=None)))
-    # Canonicalize sample order by (hash, id): iter_batches block order is
-    # NOT deterministic under the streaming executor, and rng.choice below
-    # selects by position — the sort makes init run-order-independent.
-    u = hash_uniform(samp.column(id_col).to_numpy(), seed)
-    order = np.lexsort((samp.column(id_col).to_numpy(), u))[:sample_size]
-    samp = samp.take(pa.array(order))
-    sm = _to_matrix(samp.column(vec_col), np.float64)
+    sm = sample_matrix(ds, sample_size, id_col=id_col, vec_col=vec_col,
+                       seed=seed)
     # Euclidean init: seeded distinct rows + driver Lloyd on the sample
-    rng = np.random.RandomState(seed)
-    cent = sm[rng.choice(len(sm), size=min(k, len(sm)), replace=False)].copy()
-    for _ in range(iters):
-        d2 = (sm * sm).sum(1)[:, None] - 2.0 * (sm @ cent.T) + (cent * cent).sum(1)[None]
-        a = d2.argmin(1)
-        for j in range(len(cent)):
-            m = a == j
-            if m.any():
-                cent[j] = sm[m].mean(axis=0)
+    cent = lloyd_numpy(sm, k, iters=iters, seed=seed)
     counts = None
 
     narrow = ds.select_columns([vec_col])
@@ -509,3 +530,111 @@ def kmeans_assign(ds, centroids: np.ndarray, *, vec_col: str = "embedding",
         return batch.append_column(out_col, pa.array(a))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (compressed-scan ANN)
+# ---------------------------------------------------------------------------
+
+
+def pq_train(ds, *, m: int = 8, nbits: int = 8, sample_size: int = 2000,
+             iters: int = 10, seed: int = 0, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> np.ndarray:
+    """Train product-quantizer codebooks: split the (L2-normalized)
+    vector into ``m`` contiguous subspaces and run Euclidean Lloyd
+    with 2^nbits centroids per subspace on a deterministic hash-random
+    sample (driver-side numpy — the sample is small; the corpus never
+    leaves storage).  Returns float32 codebooks (m, 2^nbits, dsub).
+
+    Normalizing first makes the asymmetric-distance inner product an
+    approximation of COSINE, matching ``cosine_topk``'s metric.
+    """
+    sm = sample_matrix(ds, sample_size, id_col=id_col, vec_col=vec_col,
+                       seed=seed)
+    sm = sm / np.maximum(np.linalg.norm(sm, axis=1, keepdims=True), 1e-12)
+    d = sm.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub, k = d // m, min(1 << nbits, len(sm))
+    books = np.empty((m, k, dsub), dtype=np.float32)
+    for j in range(m):
+        books[j] = lloyd_numpy(sm[:, j * dsub:(j + 1) * dsub], k,
+                               iters=iters, seed=seed + j)
+    return books
+
+
+def pq_encode(ds, codebooks: np.ndarray, *, vec_col: str = "embedding",
+              id_col: str = "vec_id", code_col: str = "codes"):
+    """Encode every vector to ``m`` uint8 codes (one GEMM per subspace
+    per batch against the broadcast codebooks): dim x 4 bytes ->
+    m bytes, the compressed representation an in-memory ANN scan holds
+    at 100 TB.  Output: (id_col, code_col fixed_size_list<uint8, m>).
+    """
+    import ray
+
+    from .workercache import worker_state
+
+    m, k, dsub = codebooks.shape
+    ref = ray.put(np.ascontiguousarray(codebooks))
+
+    def f(batch: pa.Table) -> pa.Table:
+        b = worker_state(ref, lambda: ray.get(ref))
+        v = _to_matrix(batch.column(vec_col), np.float32)
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(v), m), dtype=np.uint8)
+        for j in range(m):
+            s = v[:, j * dsub:(j + 1) * dsub]
+            c = b[j]
+            d2 = -2.0 * (s @ c.T) + (c * c).sum(1)[None]
+            codes[:, j] = d2.argmin(1)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "codes": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.ravel(), pa.uint8()), m),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
+            k: int = 10, *, id_col: str = "vec_id"):
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query a tiny
+    (m, 2^nbits) inner-product LUT; each batch sums m LUT gathers to
+    score every row — no decode, no float matrix, bytes-per-row = m.
+    Per-batch partial top-k then one small grouped merge (the
+    cosine_topk shuffle shape).  Returns (query_id, vec_id, score)
+    where score approximates cosine."""
+    m, nc, dsub = codebooks.shape
+    q = np.asarray(queries, dtype=np.float32)
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    # LUT[qi, j, c] = <q_sub, centroid_c>
+    lut = np.einsum("qjd,jcd->qjc",
+                    q.reshape(len(q), m, dsub), codebooks).astype(np.float32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        codes = _to_matrix(batch.column("codes"), np.uint8)
+        ids = batch.column(id_col).to_numpy()
+        n = len(codes)
+        out_id, out_q, out_s = [], [], []
+        for qi in range(lut.shape[0]):
+            s = np.zeros(n, dtype=np.float32)
+            for j in range(m):
+                s += lut[qi, j][codes[:, j]]
+            kk = min(k, n)
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out_id.append(ids[top])
+            out_q.append(np.full(kk, qi, dtype=np.int32))
+            out_s.append(s[top].astype(np.float64))
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         id_col: pa.array(np.concatenate(out_id)),
+                         "score": pa.array(np.concatenate(out_s))})
+
+    def final(g: pd.DataFrame):
+        from . import pd_table
+
+        return pd_table(g.sort_values(["score", id_col],
+                                      ascending=[False, True]).head(k))
+
+    return (codes_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("query_id", num_partitions=shuffle_partitions())
+            .map_groups(final, batch_format="pandas"))

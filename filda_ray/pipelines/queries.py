@@ -2792,6 +2792,26 @@ def q_ann_lsh(sf_dir: str):
     return lsh_bucket_topk(ds, queries, k=10, nbits=8)
 
 
+def q_pq_topk(sf_dir: str):
+    """Product-quantized ANN: train codebooks on a hash-random sample,
+    encode the corpus to m=8 uint8 codes (32x compression), answer 3
+    queries by ADC LUT scan (ops/embed.pq_*).  Rows-only; recall and
+    self-retrieval are pytest-pinned vs brute-force cosine
+    (test_pq_adc_recall_and_self_retrieval)."""
+    import pyarrow.parquet as pq
+
+    from ..ops.embed import pq_encode, pq_topk, pq_train
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    books = pq_train(ds, m=8, nbits=8, sample_size=2000, seed=0)
+    codes = pq_encode(ds, books)
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["embedding"]).slice(0, 3)
+    queries = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    return pq_topk(codes, books, queries, k=10)
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means over the embedding corpus (streaming
     sum-partials; vectors never shuffle) + cluster-balanced curation
@@ -4083,6 +4103,7 @@ QUERIES = {
     "embedding_neardup_pairs": q_embedding_neardup,
     "ivf_topk": q_ivf_topk,
     "kmeans_clusters": q_kmeans_clusters,
+    "pq_topk": q_pq_topk,
     "langid": q_langid,
     "estimator_score": q_score,
     "estimate_eval": q_estimate_eval,

@@ -1701,3 +1701,35 @@ def test_remove_frequent_segments_modes_and_paragraphs(ray_session):
               .to_pandas().sort_values("doc_id").reset_index(drop=True))
         assert df["text_clean"].tolist() == ["", ""]
         assert df["n_removed"].tolist() == [2, 1]
+
+
+def test_pq_adc_recall_and_self_retrieval(ray_session, sf_dir):
+    """PQ (m=8 x 256 codes, 32x compression) ADC top-k: mean recall@10
+    vs brute-force cosine >= 0.6 on the near-random corpus, perfect
+    self-retrieval (querying WITH a corpus vector returns it top-1),
+    and codes are uint8 of width m."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from filda_ray.ops.embed import cosine_topk, pq_encode, pq_topk, pq_train
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).repartition(4)
+    books = pq_train(ds, m=8, nbits=8, sample_size=2000, seed=0)
+    assert books.shape == (8, 256, 8) and books.dtype == np.float32
+    codes = pq_encode(ds, books)
+    ct = codes.take_batch(5, batch_format="pyarrow")
+    assert ct["codes"].type == pa.list_(pa.uint8(), 8)
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["embedding"]).slice(0, 10)
+    Q = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    approx = pq_topk(codes, books, Q, k=10).to_pandas()
+    exact = cosine_topk(ds, Q, k=10, dtype=np.float64).to_pandas()
+    rec = [len(set(approx[approx.query_id == qi].vec_id)
+               & set(exact[exact.query_id == qi].vec_id)) / 10
+           for qi in range(10)]
+    assert np.mean(rec) >= 0.6
+    top1 = (approx.sort_values(["query_id", "score"], ascending=[True, False])
+            .groupby("query_id").head(1))
+    assert (top1.vec_id.to_numpy() == top1.query_id.to_numpy()).all()
