@@ -184,6 +184,47 @@ def run_bench() -> dict:
         distinct_rows(distinct_corpus(), ["doc_id"]).count()
         timings["distinct_rows_320k"] = round(time.time() - t0, 3)
 
+        # cross-document frequent-segment removal on the same 320k
+        # corpus (paragraph-dedup machinery at token granularity):
+        # hash-only DF partials -> bounded groupby -> broadcast scrub
+        from filda_ray.ops.text import remove_frequent_segments
+
+        t0 = time.time()
+        remove_frequent_segments(distinct_corpus(), delimiter=" ",
+                                 min_df=2, max_df_frac=0.5).count()
+        timings["segment_prune_320k"] = round(time.time() - t0, 3)
+
+        # PQ ANN end-to-end at 64x the embedding corpus (128k vecs):
+        # sample train + uint8 encode + 16-query ADC scan
+        from filda_ray.ops.embed import pq_encode, pq_topk, pq_train
+
+        def rep_embeddings():
+            emb = read_parquet_clean(f"{SF_DIR}/embeddings.parquet",
+                                     columns=["vec_id", "embedding"])
+
+            def explode(b: pa.Table) -> pa.Table:
+                ids = b.column("vec_id").to_numpy()
+                rep_ids = (np.repeat(ids, 64) * 64
+                           + np.tile(np.arange(64), len(ids)))
+                idx = np.repeat(np.arange(len(b), dtype=np.int64), 64)
+                return pa.table({
+                    "vec_id": pa.array(rep_ids),
+                    "embedding": b.column("embedding").take(pa.array(idx)),
+                })
+
+            return emb.map_batches(explode, batch_format="pyarrow")
+
+        import pyarrow.parquet as _pq
+
+        qt = _pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                            columns=["embedding"]).slice(0, 16)
+        Qm = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+        t0 = time.time()
+        books = pq_train(rep_embeddings(), m=8, nbits=8, sample_size=2000,
+                         seed=0)
+        pq_topk(pq_encode(rep_embeddings(), books), books, Qm, k=10).count()
+        timings["pq_ann_128k"] = round(time.time() - t0, 3)
+
         # distributed hex background at replicate scale: no driver
         # materialization of the (cell x value) histogram
         from filda_ray.ops.background import background_stats_hex

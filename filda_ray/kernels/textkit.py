@@ -566,3 +566,62 @@ def gopher_stats(col):
         "gopher_reasons": pa.array(reasons, mask=~valid),
         "gopher_keep": pa.array(np.where(valid, reasons == 0, False)),
     }
+
+
+def compression_stats(texts):
+    """zlib compression ratio per document — the classic low-entropy /
+    template-spam curation signal (highly repetitive pages compress
+    far below natural prose).  Returns (raw_bytes, zlib_bytes, ratio)
+    int64/int64/float64 arrays; empty/null texts get ratio NaN.
+
+    Per-row C zlib calls (no vectorized form exists); level 6 is the
+    standard speed/size tradeoff.
+    """
+    import zlib
+
+    n = len(texts)
+    raw = np.zeros(n, dtype=np.int64)
+    comp = np.zeros(n, dtype=np.int64)
+    ratio = np.full(n, np.nan)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        b = t.encode("utf-8")
+        raw[i] = len(b)
+        comp[i] = len(zlib.compress(b, 6))
+        ratio[i] = comp[i] / raw[i]
+    return raw, comp, ratio
+
+
+def char_entropy(texts) -> np.ndarray:
+    """Shannon entropy (bits) of the character distribution per
+    document — complements the zlib ratio with an exactly
+    SQL-expressible entropy (DuckDB can mirror it via char unnest +
+    -sum(p*log2(p))).  Empty/null -> NaN.
+
+    Vector path: one np.unique over the concatenated codepoint array
+    with per-doc segment offsets — no per-row Python beyond the
+    unavoidable str->codepoints conversion.
+    """
+    n = len(texts)
+    out = np.full(n, np.nan)
+    codes = [np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+             if t else np.array([], np.uint32) for t in texts]
+    lens = np.array([c.size for c in codes], dtype=np.int64)
+    if not lens.sum():
+        return out
+    flat = np.concatenate([c for c in codes if c.size])
+    row = np.repeat(np.arange(n, dtype=np.int64), lens)
+    # counts per (row, char) via lexsort + run lengths
+    order = np.lexsort((flat, row))
+    r, c = row[order], flat[order]
+    new = np.r_[True, (r[1:] != r[:-1]) | (c[1:] != c[:-1])]
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.r_[starts, r.size])
+    rr = r[starts]
+    p = counts / lens[rr]
+    term = -p * np.log2(p)
+    ent = np.zeros(n)
+    np.add.at(ent, rr, term)
+    out[lens > 0] = ent[lens > 0]
+    return out

@@ -579,3 +579,21 @@ def remove_frequent_segments(ds, *, text_col: str = "text",
 
     return both.groupby(id_col, num_partitions=shuffle_partitions()).map_groups(
         finish, batch_format="pandas")
+
+
+def compression_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """zlib-ratio + char-entropy quality signals per document (the
+    low-entropy/template-spam detectors real curation pipelines gate
+    on; RefinedWeb-style)."""
+    texts = batch.column(text_col).to_pylist()
+    raw, comp, ratio = textkit.compression_stats(texts)
+    ent = textkit.char_entropy(texts)
+    return (batch.append_column("raw_bytes", pa.array(raw))
+                 .append_column("zlib_bytes", pa.array(comp))
+                 .append_column("zlib_ratio", pa.array(ratio))
+                 .append_column("char_entropy", pa.array(ent)))
+
+
+def compression_op(ds, text_col: str = "text"):
+    return ds.map_batches(lambda b: compression_stage(b, text_col),
+                          batch_format="pyarrow")

@@ -3857,6 +3857,58 @@ FROM m
 """
 
 
+def q_char_entropy(sf_dir: str):
+    """Shannon character entropy per document (low-entropy spam
+    signal): one vectorized unique-run pass per batch
+    (kernels.textkit.char_entropy), no shuffle.  SQL mirror: per-char
+    unnest + -sum(p*log2(p))."""
+    from ..kernels.textkit import char_entropy
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ent = char_entropy(batch.column("text").to_pylist())
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "char_entropy": pa.array(ent)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def sql_char_entropy() -> str:
+    return """
+WITH chars AS (
+  SELECT doc_id, substring(text, cast(i as int), 1) AS ch,
+         length(text) AS len
+  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+  WHERE text IS NOT NULL AND length(text) > 0
+),
+freq AS (
+  SELECT doc_id, ch, cast(count(*) as double) AS cnt, any_value(len) AS len
+  FROM chars GROUP BY doc_id, ch
+),
+ent AS (
+  SELECT doc_id, -sum((cnt / len) * log2(cnt / len)) AS char_entropy
+  FROM freq GROUP BY doc_id
+)
+SELECT d.doc_id, e.char_entropy
+FROM documents d LEFT JOIN ent e USING(doc_id)
+"""
+
+
+def q_compression_signal(sf_dir: str):
+    """zlib compression ratio + char entropy per document (RefinedWeb-
+    style template/spam gates).  Rows-only: no SQL zlib exists; the
+    kernel is pytest-pinned against direct zlib/Counter references
+    (test_compression_signal_matches_zlib)."""
+    from ..ops.text import compression_op
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return compression_op(ds).select_columns(
+        ["doc_id", "raw_bytes", "zlib_bytes", "zlib_ratio", "char_entropy"])
+
+
 SEG_PRUNE_FRAC = 0.5  # df threshold fraction shared by engine + oracle
 
 
@@ -4015,6 +4067,7 @@ QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "gopher_filter": q_gopher_filter,
     "segment_prune": q_segment_prune,
+    "char_entropy": q_char_entropy,
     "dedup_incremental": q_dedup_incremental,
     "geocode_tiles": q_geocode,
     "bbox_query": q_bbox_query,
@@ -4104,6 +4157,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "kmeans_clusters": q_kmeans_clusters,
     "pq_topk": q_pq_topk,
+    "compression_signal": q_compression_signal,
     "langid": q_langid,
     "estimator_score": q_score,
     "estimate_eval": q_estimate_eval,
@@ -4131,6 +4185,7 @@ ORACLES = {
     "url_canonicalize": sql_url_canonicalize(),
     "gopher_filter": sql_gopher_filter(),
     "segment_prune": sql_segment_prune(),
+    "char_entropy": sql_char_entropy(),
     "dedup_incremental": sql_dedup_incremental(),
     "tile_counts": sql_tile_counts(),
     "climatology_host": sql_climatology(),

@@ -1733,3 +1733,35 @@ def test_pq_adc_recall_and_self_retrieval(ray_session, sf_dir):
     top1 = (approx.sort_values(["query_id", "score"], ascending=[True, False])
             .groupby("query_id").head(1))
     assert (top1.vec_id.to_numpy() == top1.query_id.to_numpy()).all()
+
+
+def test_compression_signal_matches_zlib(ray_session, sf_dir):
+    """compression_op's zlib ratio + char entropy match direct
+    zlib/Counter references row by row."""
+    import math
+    import zlib
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from filda_ray.ops.text import compression_op
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).repartition(4)
+    got = (compression_op(ds).select_columns(
+        ["doc_id", "raw_bytes", "zlib_bytes", "zlib_ratio", "char_entropy"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    texts = dict(zip(tbl.column("doc_id").to_pylist(),
+                     tbl.column("text").to_pylist()))
+    for _, r in got.head(100).iterrows():
+        t = texts[r["doc_id"]]
+        b = t.encode("utf-8")
+        assert r["raw_bytes"] == len(b)
+        assert r["zlib_bytes"] == len(zlib.compress(b, 6))
+        assert abs(r["zlib_ratio"] - len(zlib.compress(b, 6)) / len(b)) < 1e-12
+        c = Counter(t)
+        ent = -sum((v / len(t)) * math.log2(v / len(t)) for v in c.values())
+        assert abs(r["char_entropy"] - ent) < 1e-9
