@@ -186,11 +186,17 @@ def run_bench() -> dict:
 
         # cross-document frequent-segment removal on the same 320k
         # corpus (paragraph-dedup machinery at token granularity):
-        # hash-only DF partials -> bounded groupby -> broadcast scrub
+        # hash-only DF partials -> bounded groupby -> broadcast scrub.
+        # Materialize the replicated corpus first: the DF partial's
+        # min-rows batch demand fused across the replicator would
+        # collapse the chain to one task (see read_pages caveat) —
+        # and the op makes two passes, so this also de-duplicates the
+        # synthesis cost a real parquet input wouldn't pay.
         from filda_ray.ops.text import remove_frequent_segments
 
+        seg_corpus = distinct_corpus().repartition(128).materialize()
         t0 = time.time()
-        remove_frequent_segments(distinct_corpus(), delimiter=" ",
+        remove_frequent_segments(seg_corpus, delimiter=" ",
                                  min_df=2, max_df_frac=0.5).count()
         timings["segment_prune_320k"] = round(time.time() - t0, 3)
 

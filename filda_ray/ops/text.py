@@ -387,18 +387,27 @@ def _split_segments(col, delimiter: str):
     lst = pc.split_pattern(pc.fill_null(col.cast(pa.string()), ""), delimiter)
     counts = pc.list_value_length(lst).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(lst)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
     offsets = np.r_[0, np.cumsum(counts)]
     return flat, offsets, counts
 
 
-def segment_df(ds, *, text_col: str = "text", delimiter: str = "\n"):
+def segment_df(ds, *, text_col: str = "text", delimiter: str = "\n",
+               emit_total: bool = False):
     """Document frequency per SEGMENT (line/paragraph/token): the
     number of DISTINCT documents containing each segment.  One narrow
     pass emits per-block (seg_hash, df_partial) rows over within-doc-
     distinct segments (a document is one row, so per-block distinct is
     globally exact); a bounded groupby sums partials.  Returns a
     Dataset of (seg_hash uint64, df int64) — segments themselves never
-    shuffle."""
+    shuffle.
+
+    ``emit_total=True`` adds an ``is_total`` int8 column and one
+    flagged row carrying the total document count, folded through the
+    SAME pass/shuffle — callers needing a df *fraction* threshold
+    (remove_frequent_segments) avoid a second full read of the corpus.
+    """
     from ..kernels.hashing import col_hash64
     from .background import HIST_BATCH_ROWS
 
@@ -411,21 +420,31 @@ def segment_df(ds, *, text_col: str = "text", delimiter: str = "\n"):
         rs, hs = row[order], h[order]
         keep = np.r_[True, (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])]
         seg, df = np.unique(hs[keep], return_counts=True)
-        return pa.table({"seg_hash": pa.array(seg, pa.uint64()),
-                         "df": pa.array(df.astype(np.int64))})
+        out = {"seg_hash": pa.array(seg, pa.uint64()),
+               "df": pa.array(df.astype(np.int64))}
+        if emit_total:
+            out["seg_hash"] = pa.array(np.r_[seg, np.uint64(0)], pa.uint64())
+            out["df"] = pa.array(np.r_[df.astype(np.int64), len(batch)])
+            out["is_total"] = pa.array(
+                np.r_[np.zeros(len(seg), np.int8), np.int8(1)])
+        return pa.table(out)
 
     def merge(g):
         import pandas as pd
 
         from . import pd_table
 
-        return pd_table(pd.DataFrame({"seg_hash": [g["seg_hash"].iloc[0]],
-                                      "df": [int(g["df"].sum())]}))
+        row = {"seg_hash": [g["seg_hash"].iloc[0]],
+               "df": [int(g["df"].sum())]}
+        if emit_total:
+            row["is_total"] = [np.int8(g["is_total"].iloc[0])]
+        return pd_table(pd.DataFrame(row))
 
+    keys = ["seg_hash", "is_total"] if emit_total else "seg_hash"
     return (ds.select_columns([text_col])
             .map_batches(partial, batch_format="pyarrow",
                          batch_size=HIST_BATCH_ROWS)
-            .groupby("seg_hash", num_partitions=shuffle_partitions())
+            .groupby(keys, num_partitions=shuffle_partitions())
             .map_groups(merge, batch_format="pandas"))
 
 
@@ -462,18 +481,33 @@ def remove_frequent_segments(ds, *, text_col: str = "text",
 
     thr = int(min_df)
     if max_df_frac is not None:
-        total = ds.count()
+        # fold the doc count through the DF pass itself (flagged
+        # sentinel row) — a separate ds.count() would re-read the
+        # whole corpus just for the threshold
+        merged = segment_df(ds, text_col=text_col, delimiter=delimiter,
+                            emit_total=True).materialize()
+        tot_rows = merged.map_batches(
+            lambda b: b.filter(pc.equal(b.column("is_total"), 1)),
+            batch_format="pyarrow").take_all()
+        total = sum(r["df"] for r in tot_rows)
         thr = max(thr, int(np.ceil(max_df_frac * total)))
-
-    freq = segment_df(ds, text_col=text_col, delimiter=delimiter).map_batches(
-        lambda b: b.filter(pc.greater_equal(b.column("df"), thr))
-                   .select(["seg_hash"]),
-        batch_format="pyarrow")
-    # the frequent set is the boilerplate vocabulary — tiny next to the
-    # corpus (and spillable when not); pin it so the count, the gather,
-    # and the empty-set guard share one execution
-    freq = freq.materialize()
-    n_freq = freq.count()
+        freq = merged.map_batches(
+            lambda b: b.filter(pc.and_(
+                pc.equal(b.column("is_total"), 0),
+                pc.greater_equal(b.column("df"), thr)))
+                .select(["seg_hash"]),
+            batch_format="pyarrow")
+        n_freq = freq.count()
+    else:
+        freq = segment_df(ds, text_col=text_col, delimiter=delimiter).map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("df"), thr))
+                       .select(["seg_hash"]),
+            batch_format="pyarrow")
+        # the frequent set is the boilerplate vocabulary — tiny next to
+        # the corpus (and spillable when not); pin it so the count, the
+        # gather, and the empty-set guard share one execution
+        freq = freq.materialize()
+        n_freq = freq.count()
     if n_freq == 0:
         # nothing to remove; Dataset.join would reject the empty side
         def passthrough(batch: pa.Table) -> pa.Table:
@@ -505,16 +539,17 @@ def remove_frequent_segments(ds, *, text_col: str = "text",
                 idx = np.searchsorted(fs, h)
                 idx[idx == fs.size] = 0
                 drop = fs[idx] == h
-            segs = flat.to_pylist()
-            texts, removed = [], np.empty(len(batch), dtype=np.int64)
-            for i in range(len(batch)):
-                lo, hi = offsets[i], offsets[i + 1]
-                kept = [segs[j] for j in range(lo, hi) if not drop[j]]
-                texts.append(delimiter.join(kept))
-                removed[i] = (hi - lo) - len(kept)
+            # vectorized reassembly: filter the flat segments, rebuild
+            # list offsets from per-row kept counts, one binary_join
+            row = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+            n_kept = np.bincount(row[~drop], minlength=len(batch)).astype(np.int64)
+            kept_flat = flat.filter(pa.array(~drop))
+            lst = pa.ListArray.from_arrays(
+                pa.array(np.r_[0, np.cumsum(n_kept)], pa.int32()), kept_flat)
+            texts = pc.binary_join(lst, delimiter)
             return pa.table({id_col: batch.column(id_col),
-                             "text_clean": pa.array(texts, pa.string()),
-                             "n_removed": pa.array(removed)})
+                             "text_clean": texts,
+                             "n_removed": pa.array(counts - n_kept)})
 
         return ds.select_columns([id_col, text_col]).map_batches(
             scrub, batch_format="pyarrow")
