@@ -632,3 +632,134 @@ def compression_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def compression_op(ds, text_col: str = "text"):
     return ds.map_batches(lambda b: compression_stage(b, text_col),
                           batch_format="pyarrow")
+
+
+def _ngram_hashes(batch: pa.Table, text_col: str, n: int):
+    """Word n-gram hashes per document, fully vectorized: one split,
+    one string hash, then (n-1) order-sensitive hash_combines over
+    shifted views.  Returns (row ids int64, ngram hashes uint64,
+    per-row total n-gram counts int64)."""
+    from ..kernels.hashing import col_hash64, hash_combine
+
+    flat, offsets, counts = _split_segments(batch.column(text_col), " ")
+    h = col_hash64(flat)
+    row = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    if len(h) < n:
+        return (np.array([], np.int64), np.array([], np.uint64),
+                np.maximum(counts - (n - 1), 0))
+    valid = row[: len(row) - n + 1] == row[n - 1:]
+    gh = h[: len(h) - n + 1].copy()
+    for j in range(1, n):
+        gh = hash_combine(gh, h[j: len(h) - n + 1 + j])
+    n_ngrams = np.maximum(counts - (n - 1), 0)
+    return row[: len(row) - n + 1][valid], gh[valid], n_ngrams
+
+
+def dup_ngram_stats(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    n: int = 3, min_df: int = 2,
+                    broadcast_max: int = 2_000_000):
+    """Cross-document duplicated-n-gram metrics per document — the
+    span-level contamination/boilerplate signal (a doc whose word
+    n-grams mostly also occur in OTHER docs is templated or copied).
+
+    Pass 1: per-block df partials over within-doc-distinct n-gram
+    hashes (n-grams never shuffle as strings) -> bounded groupby ->
+    the duplicated set (df >= min_df), gathered by broadcast.
+    Pass 2: per-doc membership count.  Output: (id_col, n_ngrams,
+    n_dup_ngrams, dup_ngram_frac) where positions count multiplicity
+    and frac is NULL for docs with no n-grams.
+
+    Reference analog: none (web-curation requirement; cf. C4's
+    duplicated-span removal).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from . import pd_table
+    from .background import HIST_BATCH_ROWS
+    from .workercache import worker_state
+
+    def partial(batch: pa.Table) -> pa.Table:
+        row, gh, _ = _ngram_hashes(batch, text_col, n)
+        order = np.lexsort((gh, row))
+        rs, hs = row[order], gh[order]
+        keep = np.r_[True, (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])]
+        seg, df = np.unique(hs[keep], return_counts=True)
+        return pa.table({"ng_hash": pa.array(seg, pa.uint64()),
+                         "df": pa.array(df.astype(np.int64))})
+
+    def merge(g):
+        import pandas as pd
+
+        return pd_table(pd.DataFrame({"ng_hash": [g["ng_hash"].iloc[0]],
+                                      "df": [int(g["df"].sum())]}))
+
+    dup = (ds.select_columns([text_col])
+           .map_batches(partial, batch_format="pyarrow",
+                        batch_size=HIST_BATCH_ROWS)
+           .groupby("ng_hash", num_partitions=shuffle_partitions())
+           .map_groups(merge, batch_format="pandas")
+           .map_batches(lambda b: b.filter(
+               pc.greater_equal(b.column("df"), min_df)).select(["ng_hash"]),
+               batch_format="pyarrow")).materialize()
+    if dup.count() > broadcast_max:
+        raise ValueError(
+            "duplicated-ngram set exceeds broadcast_max; raise min_df or "
+            "n (the set is corpus boilerplate — it should be small)")
+    dset = np.sort(np.concatenate(
+        [b.column("ng_hash").to_numpy(zero_copy_only=False)
+         for b in dup.iter_batches(batch_format="pyarrow", batch_size=None)]
+        or [np.array([], dtype=np.uint64)]))
+    ref = ray.put(dset)
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = worker_state(ref, lambda: ray.get(ref))
+        row, gh, n_ngrams = _ngram_hashes(batch, text_col, n)
+        hit = np.zeros(len(gh), dtype=bool)
+        if s.size and len(gh):
+            idx = np.searchsorted(s, gh)
+            idx[idx == s.size] = 0
+            hit = s[idx] == gh
+        n_dup = np.bincount(row[hit], minlength=len(batch)).astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac = np.where(n_ngrams > 0, n_dup / n_ngrams, np.nan)
+        return pa.table({id_col: batch.column(id_col),
+                         "n_ngrams": pa.array(n_ngrams),
+                         "n_dup_ngrams": pa.array(n_dup),
+                         "dup_ngram_frac": pa.array(frac)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")
+
+
+def decontaminate(ds, probes, *, text_col: str = "text",
+                  id_col: str = "doc_id", keep_only: bool = False):
+    """Benchmark decontamination: flag every document whose text
+    contains ANY of the probe strings (eval-set snippets).  The probe
+    list is broadcast once; each batch runs one vectorized RE2-free
+    substring scan per probe (Arrow match_substring) — probes are a
+    bounded blocklist, documents never shuffle.
+
+    Output: input columns + ``contaminated`` bool (or the filtered
+    clean corpus when ``keep_only``).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from .workercache import worker_state
+
+    probes = [p for p in probes if p]
+    ref = ray.put(list(probes))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ps = worker_state(ref, lambda: ray.get(ref))
+        t = pc.fill_null(batch.column(text_col).cast(pa.string()), "")
+        hit = np.zeros(len(batch), dtype=bool)
+        for p in ps:
+            hit |= pc.match_substring(t, p).to_numpy(zero_copy_only=False)
+        out = batch.append_column("contaminated", pa.array(hit))
+        if keep_only:
+            out = out.filter(pa.array(~hit))
+        return out
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -3909,6 +3909,83 @@ def q_compression_signal(sf_dir: str):
         ["doc_id", "raw_bytes", "zlib_bytes", "zlib_ratio", "char_entropy"])
 
 
+def q_dup_ngrams(sf_dir: str):
+    """Cross-document duplicated-trigram metrics (span-level
+    contamination/boilerplate signal): hash-only DF partials over
+    within-doc-distinct word trigrams -> bounded groupby -> broadcast
+    membership count per doc (ops/text.dup_ngram_stats)."""
+    from ..ops.text import dup_ngram_stats
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return dup_ngram_stats(ds, n=3, min_df=2)
+
+
+def sql_dup_ngrams() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         cast(generate_subscripts(string_split(text, ' '), 1) as bigint) AS ord
+  FROM documents
+),
+ng AS (
+  SELECT doc_id, ord,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS ngram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+),
+df AS (SELECT ngram, count(DISTINCT doc_id) AS df FROM ng GROUP BY ngram),
+per AS (
+  SELECT n.doc_id, count(*) AS n_ngrams,
+         sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM ng n JOIN df f USING (ngram) GROUP BY n.doc_id
+)
+SELECT d.doc_id,
+       cast(coalesce(p.n_ngrams, 0) as bigint) AS n_ngrams,
+       cast(coalesce(p.n_dup, 0) as bigint) AS n_dup_ngrams,
+       CASE WHEN p.n_ngrams > 0
+            THEN cast(p.n_dup as double) / p.n_ngrams END AS dup_ngram_frac
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+DECON_IDS = (3, 77, 123, 250, 444)  # probe source docs (engine + oracle)
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: probe snippets = substring(text, 5,
+    24) of five fixed docs; every document containing any probe is
+    flagged.  Probes broadcast once; one vectorized substring scan per
+    probe per batch (ops/text.decontaminate) — documents never
+    shuffle."""
+    import pyarrow.parquet as pq
+
+    from ..ops.text import decontaminate
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"],
+                        filters=[("doc_id", "in", list(DECON_IDS))])
+    probes = [t[4:28] for t in tbl.column("text").to_pylist()
+              if t is not None and len(t) >= 28]
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return decontaminate(ds, probes).select_columns(["doc_id", "contaminated"])
+
+
+def sql_decontaminate() -> str:
+    ids = ", ".join(map(str, DECON_IDS))
+    return f"""
+WITH probes AS (
+  SELECT substring(text, 5, 24) AS s FROM documents
+  WHERE doc_id IN ({ids}) AND length(text) >= 28
+)
+SELECT d.doc_id,
+       EXISTS (SELECT 1 FROM probes p WHERE contains(d.text, p.s))
+         AS contaminated
+FROM documents d
+"""
+
+
 SEG_PRUNE_FRAC = 0.5  # df threshold fraction shared by engine + oracle
 
 
@@ -4068,6 +4145,8 @@ QUERIES = {
     "gopher_filter": q_gopher_filter,
     "segment_prune": q_segment_prune,
     "char_entropy": q_char_entropy,
+    "dup_ngrams": q_dup_ngrams,
+    "decontaminate": q_decontaminate,
     "dedup_incremental": q_dedup_incremental,
     "geocode_tiles": q_geocode,
     "bbox_query": q_bbox_query,
@@ -4186,6 +4265,8 @@ ORACLES = {
     "gopher_filter": sql_gopher_filter(),
     "segment_prune": sql_segment_prune(),
     "char_entropy": sql_char_entropy(),
+    "dup_ngrams": sql_dup_ngrams(),
+    "decontaminate": sql_decontaminate(),
     "dedup_incremental": sql_dedup_incremental(),
     "tile_counts": sql_tile_counts(),
     "climatology_host": sql_climatology(),

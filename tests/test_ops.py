@@ -1765,3 +1765,47 @@ def test_compression_signal_matches_zlib(ray_session, sf_dir):
         c = Counter(t)
         ent = -sum((v / len(t)) * math.log2(v / len(t)) for v in c.values())
         assert abs(r["char_entropy"] - ent) < 1e-9
+
+
+def test_dup_ngram_stats_planted(ray_session):
+    """Two docs share a 5-word span (3 shared trigrams); a third is
+    unique.  Within-doc repeats of a df=1 trigram do NOT count."""
+    import ray.data as rd
+
+    from filda_ray.ops.text import dup_ngram_stats
+
+    span = "the quick brown fox jumps"
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"alpha {span} beta",       # 7 tokens -> 5 trigrams, 3 dup
+            f"gamma delta {span}",      # 7 tokens -> 5 trigrams, 3 dup
+            "unique words only here now",  # 5 tokens -> 3 trigrams, 0 dup
+            "rep rep rep rep rep rep",  # within-doc repeat, df=1 -> 0 dup
+        ]),
+    })
+    out = (dup_ngram_stats(rd.from_arrow(t).repartition(2), n=3, min_df=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_ngrams"].tolist() == [5, 5, 3, 4]
+    assert out["n_dup_ngrams"].tolist() == [3, 3, 0, 0]
+    assert abs(out["dup_ngram_frac"][0] - 0.6) < 1e-12
+
+
+def test_decontaminate_planted(ray_session):
+    import ray.data as rd
+
+    from filda_ray.ops.text import decontaminate
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["clean text here",
+                          "contains EVALSNIPPET inside",
+                          "another clean one"]),
+    })
+    ds = rd.from_arrow(t).repartition(2)
+    out = (decontaminate(ds, ["EVALSNIPPET", "missing-probe"])
+           .to_pandas().sort_values("doc_id"))
+    assert out["contaminated"].tolist() == [False, True, False]
+    kept = (decontaminate(ds, ["EVALSNIPPET"], keep_only=True)
+            .to_pandas().sort_values("doc_id"))
+    assert kept["doc_id"].tolist() == [0, 2]
