@@ -3949,6 +3949,68 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def q_full_outer_activity(sf_dir: str):
+    """FULL OUTER join of two keyed aggregates — per-(user, day) click
+    totals vs error totals (days with only one activity kind survive
+    with nulls on the other side).  Ray's native full_outer hash join;
+    both inputs are already-reduced aggregate tables, so the join
+    moves (users x days) rows, never the event stream."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from ..ops import shuffle_partitions
+
+    def side(kind: str, prefix: str):
+        ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["user_id", "event_type", "ts",
+                                         "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b.column("event_type"), kind))
+            return pa.table({
+                "user_id": b.column("user_id"),
+                "day": pc.floor_temporal(b.column("ts"), unit="day"),
+                "value": b.column("value"),
+            })
+
+        agg = (ds.map_batches(prep, batch_format="pyarrow")
+               .groupby(["user_id", "day"],
+                        num_partitions=shuffle_partitions())
+               .aggregate(Sum("value", alias_name=f"{prefix}_value"),
+                          Count(alias_name=f"n_{prefix}s")))
+        return agg.map_batches(
+            lambda b, p=prefix: pa.table({
+                "user_id": b.column("user_id"),
+                "day": b.column("day"),
+                f"{p}_value": b.column(f"{p}_value"),
+                f"n_{p}s": b.column(f"n_{p}s").cast(pa.int64()),
+            }), batch_format="pyarrow")
+
+    clicks, errors = side("click", "click"), side("error", "error")
+    return clicks.join(errors, join_type="full_outer",
+                       num_partitions=shuffle_partitions(),
+                       on=("user_id", "day"))
+
+
+def sql_full_outer_activity() -> str:
+    return """
+WITH c AS (
+  SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS click_value,
+         cast(count(*) as bigint) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+e AS (
+  SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS error_value,
+         cast(count(*) as bigint) AS n_errors
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+)
+SELECT coalesce(c.user_id, e.user_id) AS user_id,
+       coalesce(c.day, e.day) AS day,
+       c.click_value, c.n_clicks, e.error_value, e.n_errors
+FROM c FULL JOIN e ON c.user_id = e.user_id AND c.day = e.day
+"""
+
+
 DECON_IDS = (3, 77, 123, 250, 444)  # probe source docs (engine + oracle)
 
 
@@ -4147,6 +4209,7 @@ QUERIES = {
     "char_entropy": q_char_entropy,
     "dup_ngrams": q_dup_ngrams,
     "decontaminate": q_decontaminate,
+    "full_outer_activity": q_full_outer_activity,
     "dedup_incremental": q_dedup_incremental,
     "geocode_tiles": q_geocode,
     "bbox_query": q_bbox_query,
@@ -4267,6 +4330,7 @@ ORACLES = {
     "char_entropy": sql_char_entropy(),
     "dup_ngrams": sql_dup_ngrams(),
     "decontaminate": sql_decontaminate(),
+    "full_outer_activity": sql_full_outer_activity(),
     "dedup_incremental": sql_dedup_incremental(),
     "tile_counts": sql_tile_counts(),
     "climatology_host": sql_climatology(),
