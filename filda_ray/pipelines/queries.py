@@ -4011,6 +4011,45 @@ FROM c FULL JOIN e ON c.user_id = e.user_id AND c.day = e.day
 """
 
 
+def q_schema_evolution(sf_dir: str):
+    """Union-by-name read over Parquet files with DRIFTED schemas:
+    generation A carries (doc_id, text, n_chars), generation B
+    (doc_id, lang, n_chars); the unified stream fills each side's
+    missing column with typed nulls (sources.read_parquet_unify, one
+    footer read per file, no shuffle).  The two generations are
+    written deterministically from the documents table so the oracle
+    is a pure CASE projection."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..sources import read_parquet_unify
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text", "lang", "n_chars"])
+    d = tempfile.mkdtemp(prefix="schevo_", dir="/tmp")
+    ga = tbl.filter(pc.less(tbl.column("doc_id"), 250)).select(
+        ["doc_id", "text", "n_chars"])
+    gb = tbl.filter(pc.greater_equal(tbl.column("doc_id"), 250)).select(
+        ["doc_id", "lang", "n_chars"])
+    pq.write_table(ga, os.path.join(d, "gen_a.parquet"))
+    pq.write_table(gb, os.path.join(d, "gen_b.parquet"))
+    return read_parquet_unify([os.path.join(d, "gen_a.parquet"),
+                               os.path.join(d, "gen_b.parquet")])
+
+
+def sql_schema_evolution() -> str:
+    return """
+SELECT doc_id,
+       CASE WHEN doc_id < 250 THEN text END AS text,
+       CASE WHEN doc_id >= 250 THEN lang END AS lang,
+       n_chars
+FROM documents
+"""
+
+
 DECON_IDS = (3, 77, 123, 250, 444)  # probe source docs (engine + oracle)
 
 
@@ -4210,6 +4249,7 @@ QUERIES = {
     "dup_ngrams": q_dup_ngrams,
     "decontaminate": q_decontaminate,
     "full_outer_activity": q_full_outer_activity,
+    "schema_evolution": q_schema_evolution,
     "dedup_incremental": q_dedup_incremental,
     "geocode_tiles": q_geocode,
     "bbox_query": q_bbox_query,
@@ -4331,6 +4371,7 @@ ORACLES = {
     "dup_ngrams": sql_dup_ngrams(),
     "decontaminate": sql_decontaminate(),
     "full_outer_activity": sql_full_outer_activity(),
+    "schema_evolution": sql_schema_evolution(),
     "dedup_incremental": sql_dedup_incremental(),
     "tile_counts": sql_tile_counts(),
     "climatology_host": sql_climatology(),
