@@ -655,29 +655,17 @@ def _ngram_hashes(batch: pa.Table, text_col: str, n: int):
     return row[: len(row) - n + 1][valid], gh[valid], n_ngrams
 
 
-def dup_ngram_stats(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                    n: int = 3, min_df: int = 2,
-                    broadcast_max: int = 2_000_000):
-    """Cross-document duplicated-n-gram metrics per document — the
-    span-level contamination/boilerplate signal (a doc whose word
-    n-grams mostly also occur in OTHER docs is templated or copied).
-
-    Pass 1: per-block df partials over within-doc-distinct n-gram
-    hashes (n-grams never shuffle as strings) -> bounded groupby ->
-    the duplicated set (df >= min_df), gathered by broadcast.
-    Pass 2: per-doc membership count.  Output: (id_col, n_ngrams,
-    n_dup_ngrams, dup_ngram_frac) where positions count multiplicity
-    and frac is NULL for docs with no n-grams.
-
-    Reference analog: none (web-curation requirement; cf. C4's
-    duplicated-span removal).
-    """
+def _dup_ngram_set(ds, *, text_col: str, n: int, min_df: int,
+                   broadcast_max: int) -> np.ndarray:
+    """Sorted uint64 hashes of every word n-gram occurring in >=
+    ``min_df`` distinct documents: per-block within-doc-distinct DF
+    partials -> bounded groupby -> filtered gather.  The set is corpus
+    boilerplate — bounded; a blowup past ``broadcast_max`` raises
+    rather than silently broadcasting GBs."""
     import pyarrow.compute as pc
-    import ray
 
     from . import pd_table
     from .background import HIST_BATCH_ROWS
-    from .workercache import worker_state
 
     def partial(batch: pa.Table) -> pa.Table:
         row, gh, _ = _ngram_hashes(batch, text_col, n)
@@ -706,11 +694,35 @@ def dup_ngram_stats(ds, *, text_col: str = "text", id_col: str = "doc_id",
         raise ValueError(
             "duplicated-ngram set exceeds broadcast_max; raise min_df or "
             "n (the set is corpus boilerplate — it should be small)")
-    dset = np.sort(np.concatenate(
+    return np.sort(np.concatenate(
         [b.column("ng_hash").to_numpy(zero_copy_only=False)
          for b in dup.iter_batches(batch_format="pyarrow", batch_size=None)]
         or [np.array([], dtype=np.uint64)]))
-    ref = ray.put(dset)
+
+
+def dup_ngram_stats(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    n: int = 3, min_df: int = 2,
+                    broadcast_max: int = 2_000_000):
+    """Cross-document duplicated-n-gram metrics per document — the
+    span-level contamination/boilerplate signal (a doc whose word
+    n-grams mostly also occur in OTHER docs is templated or copied).
+
+    Pass 1: per-block df partials over within-doc-distinct n-gram
+    hashes (n-grams never shuffle as strings) -> bounded groupby ->
+    the duplicated set (df >= min_df), gathered by broadcast.
+    Pass 2: per-doc membership count.  Output: (id_col, n_ngrams,
+    n_dup_ngrams, dup_ngram_frac) where positions count multiplicity
+    and frac is NULL for docs with no n-grams.
+
+    Reference analog: none (web-curation requirement; cf. C4's
+    duplicated-span removal).
+    """
+    import ray
+
+    from .workercache import worker_state
+
+    ref = ray.put(_dup_ngram_set(ds, text_col=text_col, n=n, min_df=min_df,
+                                 broadcast_max=broadcast_max))
 
     def score(batch: pa.Table) -> pa.Table:
         s = worker_state(ref, lambda: ray.get(ref))
@@ -763,3 +775,57 @@ def decontaminate(ds, probes, *, text_col: str = "text",
         return out
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def remove_dup_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                     n: int = 3, min_df: int = 2,
+                     broadcast_max: int = 2_000_000):
+    """C4-style duplicated-span REMOVAL: drop every token covered by a
+    word n-gram that occurs in >= ``min_df`` distinct documents, then
+    reassemble the survivors in order.  Same two-pass shape as
+    ``dup_ngram_stats`` (shared ``_dup_ngram_set``); the cover mask is
+    n shifted ORs of the hit vector (a hit at start i covers
+    i..i+n-1, always within one document by construction), and
+    reassembly is the vectorized binary_join used by
+    ``remove_frequent_segments``.  Output: (id_col, text_clean,
+    n_removed) with token counts removed per doc.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from .workercache import worker_state
+
+    ref = ray.put(_dup_ngram_set(ds, text_col=text_col, n=n, min_df=min_df,
+                                 broadcast_max=broadcast_max))
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        s = worker_state(ref, lambda: ray.get(ref))
+        flat, offsets, counts = _split_segments(batch.column(text_col), " ")
+        row, gh, _ = _ngram_hashes(batch, text_col, n)
+        hit = np.zeros(len(gh), dtype=bool)
+        if s.size and len(gh):
+            idx = np.searchsorted(s, gh)
+            idx[idx == s.size] = 0
+            hit = s[idx] == gh
+        covered = np.zeros(len(flat), dtype=bool)
+        rall = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        if hit.any():
+            # _ngram_hashes returns only VALID starts (row-aligned);
+            # map them back to flat token positions
+            all_pos = np.arange(len(flat) - n + 1)
+            valid = rall[: len(rall) - n + 1] == rall[n - 1:]
+            pos = all_pos[valid][hit]
+            for j in range(n):
+                covered[pos + j] = True
+        drop = covered
+        n_kept = (np.bincount(rall[~drop], minlength=len(batch)).astype(np.int64)
+                  if len(rall) else np.zeros(len(batch), np.int64))
+        kept_flat = flat.filter(pa.array(~drop))
+        lst = pa.ListArray.from_arrays(
+            pa.array(np.r_[0, np.cumsum(n_kept)], pa.int32()), kept_flat)
+        return pa.table({id_col: batch.column(id_col),
+                         "text_clean": pc.binary_join(lst, " "),
+                         "n_removed": pa.array(counts - n_kept)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        scrub, batch_format="pyarrow")

@@ -4050,6 +4050,58 @@ FROM documents
 """
 
 
+def q_dup_span_removal(sf_dir: str):
+    """C4-style duplicated-span removal: every token covered by a
+    cross-document duplicated trigram is dropped, survivors reassemble
+    in order (ops/text.remove_dup_spans — shared DF pass with
+    dup_ngrams, broadcast dup set, vectorized binary_join
+    reassembly)."""
+    from ..ops.text import remove_dup_spans
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return remove_dup_spans(ds, n=3, min_df=2)
+
+
+def sql_dup_span_removal() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         cast(generate_subscripts(string_split(text, ' '), 1) as bigint) AS ord
+  FROM documents
+),
+ng AS (
+  SELECT doc_id, ord,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS ngram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+),
+df AS (SELECT ngram, count(DISTINCT doc_id) AS df FROM ng GROUP BY ngram),
+dup_pos AS (
+  SELECT n.doc_id, n.ord FROM ng n JOIN df f USING (ngram) WHERE f.df >= 2
+),
+covered AS (
+  SELECT DISTINCT t.doc_id, t.ord
+  FROM toks t JOIN dup_pos d
+    ON t.doc_id = d.doc_id AND t.ord BETWEEN d.ord AND d.ord + 2
+),
+kept AS (
+  SELECT t.doc_id, t.tok, t.ord
+  FROM toks t ANTI JOIN covered c
+    ON t.doc_id = c.doc_id AND t.ord = c.ord
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY ord) AS text_clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_segs FROM toks GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
+       cast(t.n_segs - coalesce(a.n_kept, 0) as bigint) AS n_removed
+FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN tot t USING (doc_id)
+"""
+
+
 DECON_IDS = (3, 77, 123, 250, 444)  # probe source docs (engine + oracle)
 
 
@@ -4247,6 +4299,7 @@ QUERIES = {
     "segment_prune": q_segment_prune,
     "char_entropy": q_char_entropy,
     "dup_ngrams": q_dup_ngrams,
+    "dup_span_removal": q_dup_span_removal,
     "decontaminate": q_decontaminate,
     "full_outer_activity": q_full_outer_activity,
     "schema_evolution": q_schema_evolution,
@@ -4369,6 +4422,7 @@ ORACLES = {
     "segment_prune": sql_segment_prune(),
     "char_entropy": sql_char_entropy(),
     "dup_ngrams": sql_dup_ngrams(),
+    "dup_span_removal": sql_dup_span_removal(),
     "decontaminate": sql_decontaminate(),
     "full_outer_activity": sql_full_outer_activity(),
     "schema_evolution": sql_schema_evolution(),

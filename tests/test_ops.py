@@ -1809,3 +1809,26 @@ def test_decontaminate_planted(ray_session):
     kept = (decontaminate(ds, ["EVALSNIPPET"], keep_only=True)
             .to_pandas().sort_values("doc_id"))
     assert kept["doc_id"].tolist() == [0, 2]
+
+
+def test_remove_dup_spans_planted(ray_session):
+    """Tokens covered by a cross-doc duplicated trigram are removed;
+    within-doc-only repeats survive; fully-duplicated docs empty."""
+    import ray.data as rd
+
+    from filda_ray.ops.text import remove_dup_spans
+
+    span = "the quick brown fox jumps"
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            f"alpha {span} beta",   # span tokens covered; alpha/beta kept
+            f"{span}",              # fully covered -> empty
+            "solo words stay put here",
+        ]),
+    })
+    out = (remove_dup_spans(rd.from_arrow(t).repartition(2), n=3, min_df=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["text_clean"].tolist() == ["alpha beta", "",
+                                          "solo words stay put here"]
+    assert out["n_removed"].tolist() == [5, 5, 0]
