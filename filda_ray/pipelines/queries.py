@@ -4102,6 +4102,70 @@ FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN tot t USING (doc_id)
 """
 
 
+PACK_BUDGET = 2048  # token budget per packed bin (engine + oracle)
+
+
+def q_pack_sequences(sf_dir: str):
+    """Training-batch sequence packing: documents in doc_id order fill
+    fixed token-budget bins, bin = floor(exclusive-prefix-tokens /
+    budget) — deterministic start-offset packing.  The global running
+    sum reuses the chunked running_aggregate machinery with a constant
+    key (one key's chunks spread across hash buckets by design — the
+    mega-key path IS the global-cumsum path)."""
+    import pyarrow.compute as pc
+
+    from ..ops import shuffle_partitions
+    from ..ops.relational import hash_join
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def tok(b: pa.Table) -> pa.Table:
+        lst = pc.split_pattern(
+            pc.fill_null(b.column("text").cast(pa.string()), ""), " ")
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "k0": pa.array(np.zeros(len(b), dtype=np.int64)),
+            "n_tokens": pc.list_value_length(lst).cast(pa.int64()),
+        })
+
+    t = ds.map_batches(tok, batch_format="pyarrow")
+    r = temporal.running_aggregate(t, key_col="k0", ts_col="doc_id",
+                                   tie_col="doc_id", value_col="n_tokens",
+                                   time_chunk_us=4096)
+    cum = r.map_batches(
+        lambda b: pa.table({"doc_id": b.column("tie"),
+                            "cum": b.column("running_sum")}),
+        batch_format="pyarrow")
+    j = hash_join(cum, t.select_columns(["doc_id", "n_tokens"]),
+                  on="doc_id", num_partitions=shuffle_partitions())
+    return j.map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": b.column("n_tokens"),
+            "bin": pc.divide(pc.subtract(b.column("cum"),
+                                         b.column("n_tokens")),
+                             PACK_BUDGET).cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def sql_pack_sequences() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, cast(len(string_split(text, ' ')) as bigint) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       cast((cum - n_tokens) // {PACK_BUDGET} as bigint) AS bin
+FROM r
+"""
+
+
 DECON_IDS = (3, 77, 123, 250, 444)  # probe source docs (engine + oracle)
 
 
@@ -4300,6 +4364,7 @@ QUERIES = {
     "char_entropy": q_char_entropy,
     "dup_ngrams": q_dup_ngrams,
     "dup_span_removal": q_dup_span_removal,
+    "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "full_outer_activity": q_full_outer_activity,
     "schema_evolution": q_schema_evolution,
@@ -4423,6 +4488,7 @@ ORACLES = {
     "char_entropy": sql_char_entropy(),
     "dup_ngrams": sql_dup_ngrams(),
     "dup_span_removal": sql_dup_span_removal(),
+    "pack_sequences": sql_pack_sequences(),
     "decontaminate": sql_decontaminate(),
     "full_outer_activity": sql_full_outer_activity(),
     "schema_evolution": sql_schema_evolution(),
