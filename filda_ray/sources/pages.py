@@ -182,11 +182,23 @@ def write_pages_parquet(sf_dir: str, out_dir: str, *, replicate: int = 1,
 
 def read_pages_parquet(pages_dir: str):
     """Read a materialized pages table (column-pruned: html/text only
-    live until the extraction stage drops them)."""
-    import ray.data as rd
+    live until the extraction stage drops them).
 
+    Read parallelism is forced to ~4x cluster CPUs: Ray's default is
+    one task per FILE, and a mid-sized table (e.g. 26 files on 32
+    CPUs) under-parallelizes the decode-heavy scan (measured 18.6 s ->
+    15.3 s at 128 blocks for the 5.12M-page flagship read)."""
+    import ray
+
+    n_blocks = 64
+    try:
+        if ray.is_initialized():
+            n_blocks = max(16, 4 * int(ray.cluster_resources().get("CPU", 16)))
+    except Exception:
+        pass
     return read_parquet_clean(
-        pages_dir, columns=["doc_id", "url", "warc_ts", "html", "text", "lang"]
+        pages_dir, columns=["doc_id", "url", "warc_ts", "html", "text", "lang"],
+        override_num_blocks=n_blocks,
     )
 
 
