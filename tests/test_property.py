@@ -247,3 +247,81 @@ def test_seg_bounds_property(pairs):
     got_lens = np.diff(np.r_[seg_start, len(pairs)]).tolist()
     assert got_lens == want_lens
     assert seg_id[-1] == len(want_lens) - 1
+
+
+@given(st.lists(st.one_of(st.none(), st.text(max_size=40)), min_size=1,
+                max_size=30))
+@settings(max_examples=80, deadline=None)
+def test_char_entropy_property(texts):
+    """char_entropy == -sum(p log2 p) from collections.Counter on any
+    unicode input (None/empty -> NaN)."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from filda_ray.kernels.textkit import char_entropy
+
+    got = char_entropy(texts)
+    for i, t in enumerate(texts):
+        if not t:
+            assert np.isnan(got[i])
+            continue
+        c = Counter(t)
+        want = -sum((v / len(t)) * math.log2(v / len(t)) for v in c.values())
+        assert abs(got[i] - want) < 1e-9
+
+
+@given(st.lists(st.one_of(st.none(), st.text(max_size=60)), min_size=1,
+                max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_compression_stats_property(texts):
+    import zlib
+
+    import numpy as np
+
+    from filda_ray.kernels.textkit import compression_stats
+
+    raw, comp, ratio = compression_stats(texts)
+    for i, t in enumerate(texts):
+        if not t:
+            assert raw[i] == 0 and comp[i] == 0 and np.isnan(ratio[i])
+            continue
+        b = t.encode("utf-8")
+        assert raw[i] == len(b)
+        assert comp[i] == len(zlib.compress(b, 6))
+        assert abs(ratio[i] - comp[i] / raw[i]) < 1e-15
+
+
+@given(st.lists(st.lists(st.sampled_from(["a", "bb", "c", "dd", "e"]),
+                         min_size=0, max_size=12), min_size=1, max_size=8),
+       st.integers(min_value=2, max_value=4))
+@settings(max_examples=60, deadline=None)
+def test_ngram_hashes_property(token_lists, n):
+    """_ngram_hashes' vectorized shifted-combine equals a per-row
+    scalar recomputation with the same primitives, and never crosses
+    document boundaries."""
+    import numpy as np
+    import pyarrow as pa
+
+    from filda_ray.kernels.hashing import col_hash64, hash_combine
+    from filda_ray.ops.text import _ngram_hashes
+
+    texts = [" ".join(toks) for toks in token_lists]
+    batch = pa.table({"text": pa.array(texts, pa.string())})
+    row, gh, n_ngrams = _ngram_hashes(batch, "text", n)
+
+    want_rows, want_hashes = [], []
+    for i, t in enumerate(texts):
+        toks = t.split(" ")  # NOTE: "" splits to [""] — same as the op
+        h = col_hash64(pa.array(toks, pa.string()))
+        for j in range(max(len(toks) - n + 1, 0)):
+            g = h[j:j + 1]
+            for k in range(1, n):
+                g = hash_combine(g, h[j + k:j + k + 1])
+            want_rows.append(i)
+            want_hashes.append(g[0])
+    assert row.tolist() == want_rows
+    assert [int(x) for x in gh] == [int(x) for x in want_hashes]
+    for i, t in enumerate(texts):
+        assert n_ngrams[i] == max(len(t.split(" ")) - n + 1, 0)
