@@ -829,3 +829,60 @@ def remove_dup_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         scrub, batch_format="pyarrow")
+
+
+def ngram_count(ds, *, text_col: str = "text", n: int = 3,
+                top_k: int | None = None):
+    """Corpus n-gram phrase counts (position multiplicity), the
+    phrase-mining analog of ``vocab_count``: n-gram STRINGS are built
+    vectorized (one split + (n-1)-way binary_join_element_wise over
+    shifted views, row-boundary masked), per-batch dict partials
+    pre-aggregate before the shuffle, bounded groupby sum, optional
+    streaming top-k by (count desc, ngram asc)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .background import HIST_BATCH_ROWS
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, offsets, counts = _split_segments(batch.column(text_col), " ")
+        L = len(flat)
+        if L < n:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        row = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        valid = row[: L - n + 1] == row[n - 1:]
+        shifted = [flat.slice(j, L - n + 1) for j in range(n)]
+        grams = pc.binary_join_element_wise(*shifted, " ")
+        grams = grams.filter(pa.array(valid))
+        vc = grams.value_counts()
+        return pa.table({"ngram": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    merged = (ds.select_columns([text_col])
+              .map_batches(partial, batch_format="pyarrow",
+                           batch_size=HIST_BATCH_ROWS)
+              .groupby("ngram", num_partitions=shuffle_partitions())
+              .aggregate(Sum("n", alias_name="n")))
+    merged = merged.map_batches(
+        lambda b: pa.table({"ngram": b.column("ngram"),
+                            "n": b.column("n").cast(pa.int64())}),
+        batch_format="pyarrow")
+    if top_k is None:
+        return merged
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["n", "ngram"],
+                                       ascending=[False, True],
+                                       kind="mergesort").head(top_k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    df = merged.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(["n", "ngram"], ascending=[False, True],
+                        kind="mergesort").head(top_k)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df.reset_index(drop=True),
+                                              preserve_index=False))

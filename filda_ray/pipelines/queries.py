@@ -4102,6 +4102,36 @@ FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN tot t USING (doc_id)
 """
 
 
+def q_ngram_top20(sf_dir: str):
+    """Corpus phrase mining: top-20 word trigrams by count.  N-gram
+    strings built vectorized (split + shifted binary_join_element_wise,
+    row-boundary masked), dict partials pre-aggregate before the
+    bounded groupby, streaming top-k merge (ops/text.ngram_count)."""
+    from ..ops.text import ngram_count
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+    return ngram_count(ds, n=3, top_k=20)
+
+
+def sql_ngram_top20() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         cast(generate_subscripts(string_split(text, ' '), 1) as bigint) AS ord
+  FROM documents
+),
+ng AS (
+  SELECT tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS ngram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+)
+SELECT ngram, cast(count(*) as bigint) AS n
+FROM ng GROUP BY ngram
+ORDER BY n DESC, ngram ASC
+LIMIT 20
+"""
+
+
 PACK_BUDGET = 2048  # token budget per packed bin (engine + oracle)
 
 
@@ -4365,6 +4395,7 @@ QUERIES = {
     "dup_ngrams": q_dup_ngrams,
     "dup_span_removal": q_dup_span_removal,
     "pack_sequences": q_pack_sequences,
+    "ngram_top20": q_ngram_top20,
     "decontaminate": q_decontaminate,
     "full_outer_activity": q_full_outer_activity,
     "schema_evolution": q_schema_evolution,
@@ -4489,6 +4520,7 @@ ORACLES = {
     "dup_ngrams": sql_dup_ngrams(),
     "dup_span_removal": sql_dup_span_removal(),
     "pack_sequences": sql_pack_sequences(),
+    "ngram_top20": sql_ngram_top20(),
     "decontaminate": sql_decontaminate(),
     "full_outer_activity": sql_full_outer_activity(),
     "schema_evolution": sql_schema_evolution(),
