@@ -4132,6 +4132,54 @@ LIMIT 20
 """
 
 
+def q_robust_scale(sf_dir: str):
+    """Per-group robust feature scaling: z = (x - group_median) /
+    group_MAD.  The per-group stats come from the exact histogram-
+    partial median/MAD aggregate (rows never shuffle), then the tiny
+    (groups x 3) stats table broadcasts back onto the row stream —
+    the canonical normalize-by-group-statistics feature-engineering
+    shape."""
+    import pyarrow.compute as pc
+
+    from ..ops import stats_agg as SA
+    from ..ops.relational import broadcast_join
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"])
+    stats = SA.grouped_median_exact(
+        ds.select_columns(["l_returnflag", "l_quantity"]),
+        group_col="l_returnflag", value_col="l_quantity")
+    small = pa.concat_tables(list(stats.iter_batches(batch_format="pyarrow",
+                                                     batch_size=None)))
+    joined = broadcast_join(ds, small, on="l_returnflag")
+
+    def z(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").cast(pa.float64())
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "l_linenumber": b.column("l_linenumber"),
+            "l_returnflag": b.column("l_returnflag"),
+            "l_quantity": b.column("l_quantity"),
+            "robust_z": pc.divide(pc.subtract(q, b.column("median_v")),
+                                  b.column("mad_v")),
+        })
+
+    return joined.map_batches(z, batch_format="pyarrow")
+
+
+def sql_robust_scale() -> str:
+    return """
+WITH m AS (
+  SELECT l_returnflag, median(l_quantity) AS med, mad(l_quantity) AS md
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_quantity,
+       (l.l_quantity - m.med) / m.md AS robust_z
+FROM lineitem l JOIN m USING (l_returnflag)
+"""
+
+
 PACK_BUDGET = 2048  # token budget per packed bin (engine + oracle)
 
 
@@ -4396,6 +4444,7 @@ QUERIES = {
     "dup_span_removal": q_dup_span_removal,
     "pack_sequences": q_pack_sequences,
     "ngram_top20": q_ngram_top20,
+    "robust_scale": q_robust_scale,
     "decontaminate": q_decontaminate,
     "full_outer_activity": q_full_outer_activity,
     "schema_evolution": q_schema_evolution,
@@ -4521,6 +4570,7 @@ ORACLES = {
     "dup_span_removal": sql_dup_span_removal(),
     "pack_sequences": sql_pack_sequences(),
     "ngram_top20": sql_ngram_top20(),
+    "robust_scale": sql_robust_scale(),
     "decontaminate": sql_decontaminate(),
     "full_outer_activity": sql_full_outer_activity(),
     "schema_evolution": sql_schema_evolution(),
