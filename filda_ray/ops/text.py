@@ -886,3 +886,37 @@ def ngram_count(ds, *, text_col: str = "text", n: int = 3,
 
     return rd.from_arrow(pa.Table.from_pandas(df.reset_index(drop=True),
                                               preserve_index=False))
+
+
+def extract_links(ds, *, html_col: str = "html", id_col: str = "doc_id"):
+    """Outlink extraction from raw HTML — the crawl-graph op: one
+    vectorized pass per batch, no per-row Python.  Arrow has no
+    extract_regex_ALL kernel, so matches come from two split_pattern
+    passes: split on ``href="`` (every element after the first starts
+    with a URL), then a max_splits=1 split on the closing quote.
+    Output: (id_col, link_ord, href) — one row per anchor, in document
+    order."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        h = batch.column(html_col)
+        if pa.types.is_binary(h.type) or pa.types.is_large_binary(h.type):
+            h = h.cast(pa.large_string() if pa.types.is_large_binary(h.type)
+                       else pa.string())
+        lst = pc.split_pattern(pc.fill_null(h, ""), 'href="')
+        counts = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lst)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        row = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        pos = np.arange(len(flat), dtype=np.int64) - np.r_[
+            0, np.cumsum(counts)][row]
+        m = pos > 0
+        sel = flat.filter(pa.array(m))
+        href = pc.list_element(pc.split_pattern(sel, '"', max_splits=1), 0)
+        ids = batch.column(id_col).take(pa.array(row[m]))
+        return pa.table({id_col: ids,
+                         "link_ord": pa.array(pos[m] - 1),
+                         "href": href})
+
+    return ds.map_batches(f, batch_format="pyarrow")

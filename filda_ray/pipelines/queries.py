@@ -4180,6 +4180,45 @@ FROM lineitem l JOIN m USING (l_returnflag)
 """
 
 
+def q_extract_links(sf_dir: str):
+    """REAL HTML outlink extraction vs a never-parsing oracle (the
+    url_canonicalize pattern): pages with 1 + doc_id%3 anchors are
+    synthesized as a pure function of doc_id, the engine string-
+    PARSES them (two vectorized split_pattern passes — Arrow has no
+    extract-all kernel), and the SQL derives the expected link set
+    from the arithmetic directly.  Any extractor bug = value
+    mismatch."""
+    from ..ops.text import extract_links
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        pages = []
+        for d in ids:
+            d = int(d)
+            anchors = "".join(
+                f'<li><a href="https://host{(d * 7 + j) % 500:04d}'
+                f'.example.com/doc/{d * 31 + j}">link {j}</a></li>'
+                for j in range(1 + d % 3))
+            pages.append(f"<html><body><ul>{anchors}</ul></body></html>")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "html": pa.array([p.encode() for p in pages],
+                                          pa.binary())})
+
+    return extract_links(ds.map_batches(synth, batch_format="pyarrow"))
+
+
+def sql_extract_links() -> str:
+    return """
+SELECT doc_id, cast(j as bigint) AS link_ord,
+       'https://host' || lpad(cast((doc_id * 7 + j) % 500 as varchar), 4, '0')
+         || '.example.com/doc/' || cast(doc_id * 31 + j as varchar) AS href
+FROM documents, unnest(range(0, 1 + doc_id % 3)) AS t(j)
+"""
+
+
 PACK_BUDGET = 2048  # token budget per packed bin (engine + oracle)
 
 
@@ -4445,6 +4484,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "ngram_top20": q_ngram_top20,
     "robust_scale": q_robust_scale,
+    "extract_links": q_extract_links,
     "decontaminate": q_decontaminate,
     "full_outer_activity": q_full_outer_activity,
     "schema_evolution": q_schema_evolution,
@@ -4571,6 +4611,7 @@ ORACLES = {
     "pack_sequences": sql_pack_sequences(),
     "ngram_top20": sql_ngram_top20(),
     "robust_scale": sql_robust_scale(),
+    "extract_links": sql_extract_links(),
     "decontaminate": sql_decontaminate(),
     "full_outer_activity": sql_full_outer_activity(),
     "schema_evolution": sql_schema_evolution(),
