@@ -4219,6 +4219,62 @@ FROM documents, unnest(range(0, 1 + doc_id % 3)) AS t(j)
 """
 
 
+def q_host_indegree(sf_dir: str):
+    """Crawl-graph in-degree: extracted outlinks -> target host (one
+    RE2 extract per batch) -> count partials -> bounded groupby ->
+    top-20 hosts.  The engine PARSES hrefs; the oracle counts the
+    arithmetic residues without parsing."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..ops import shuffle_partitions
+    from ..ops.background import HIST_BATCH_ROWS
+
+    links = q_extract_links(sf_dir)
+
+    def host_partial(b: pa.Table) -> pa.Table:
+        h = pc.extract_regex(b.column("href"), r"^https://(?P<host>[^/]+)/")
+        host = pc.struct_field(h, "host")
+        vc = host.combine_chunks().value_counts() if isinstance(
+            host, pa.ChunkedArray) else host.value_counts()
+        return pa.table({"host": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    merged = (links.map_batches(host_partial, batch_format="pyarrow",
+                                batch_size=HIST_BATCH_ROWS)
+              .groupby("host", num_partitions=shuffle_partitions())
+              .aggregate(Sum("n", alias_name="n")))
+
+    def topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["n", "host"],
+                                       ascending=[False, True],
+                                       kind="mergesort").head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    df = (merged.map_batches(
+        lambda b: pa.table({"host": b.column("host"),
+                            "n": b.column("n").cast(pa.int64())}),
+        batch_format="pyarrow")
+        .map_batches(topk, batch_format="pyarrow").to_pandas())
+    df = df.sort_values(["n", "host"], ascending=[False, True],
+                        kind="mergesort").head(20)
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def sql_host_indegree() -> str:
+    return """
+SELECT 'host' || lpad(cast((doc_id * 7 + j) % 500 as varchar), 4, '0')
+         || '.example.com' AS host,
+       cast(count(*) as bigint) AS n
+FROM documents, unnest(range(0, 1 + doc_id % 3)) AS t(j)
+GROUP BY 1
+ORDER BY n DESC, host ASC
+LIMIT 20
+"""
+
+
 PACK_BUDGET = 2048  # token budget per packed bin (engine + oracle)
 
 
@@ -4485,6 +4541,7 @@ QUERIES = {
     "ngram_top20": q_ngram_top20,
     "robust_scale": q_robust_scale,
     "extract_links": q_extract_links,
+    "host_indegree": q_host_indegree,
     "decontaminate": q_decontaminate,
     "full_outer_activity": q_full_outer_activity,
     "schema_evolution": q_schema_evolution,
@@ -4612,6 +4669,7 @@ ORACLES = {
     "ngram_top20": sql_ngram_top20(),
     "robust_scale": sql_robust_scale(),
     "extract_links": sql_extract_links(),
+    "host_indegree": sql_host_indegree(),
     "decontaminate": sql_decontaminate(),
     "full_outer_activity": sql_full_outer_activity(),
     "schema_evolution": sql_schema_evolution(),
