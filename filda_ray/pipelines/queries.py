@@ -4275,6 +4275,45 @@ LIMIT 20
 """
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """WARC archive round-trip: the synthesized page table is written
+    as member-per-record .warc.gz archives (sources.warc, ISO 28500
+    from scratch, one gzip member per record like real Common Crawl),
+    read back (one read task per archive), and the html payload is
+    re-extracted to text — byte-identical per url, proven against the
+    SQL pages CTE that never touches WARC."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from ..kernels.textkit import extract_text_arrow
+    from ..sources.pages import read_pages
+    from ..sources.warc import read_warc, write_warc
+
+    pages = read_pages(sf_dir)
+    d = tempfile.mkdtemp(prefix="warcq_", dir="/tmp")
+    write_warc(pages, d)
+    back = read_warc(d)
+
+    def extract(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": b.column("url"),
+            "warc_ts": b.column("warc_ts"),
+            "text": extract_text_arrow(b.column("html")),
+        })
+
+    return back.map_batches(extract, batch_format="pyarrow")
+
+
+def sql_warc_roundtrip() -> str:
+    from ..sources.pages import sql_pages_cte
+
+    return f"""
+WITH pages AS ({sql_pages_cte()})
+SELECT url, warc_ts, coalesce(text, '') AS text FROM pages
+"""
+
+
 PACK_BUDGET = 2048  # token budget per packed bin (engine + oracle)
 
 
@@ -4542,6 +4581,7 @@ QUERIES = {
     "robust_scale": q_robust_scale,
     "extract_links": q_extract_links,
     "host_indegree": q_host_indegree,
+    "warc_roundtrip": q_warc_roundtrip,
     "decontaminate": q_decontaminate,
     "full_outer_activity": q_full_outer_activity,
     "schema_evolution": q_schema_evolution,
@@ -4670,6 +4710,7 @@ ORACLES = {
     "robust_scale": sql_robust_scale(),
     "extract_links": sql_extract_links(),
     "host_indegree": sql_host_indegree(),
+    "warc_roundtrip": sql_warc_roundtrip(),
     "decontaminate": sql_decontaminate(),
     "full_outer_activity": sql_full_outer_activity(),
     "schema_evolution": sql_schema_evolution(),

@@ -1832,3 +1832,37 @@ def test_remove_dup_spans_planted(ray_session):
     assert out["text_clean"].tolist() == ["alpha beta", "",
                                           "solo words stay put here"]
     assert out["n_removed"].tolist() == [5, 5, 0]
+
+
+def test_warc_roundtrip_exact(ray_session, sf_dir, tmp_path):
+    """pages -> member-per-record .warc.gz -> read_warc reproduces
+    (url, warc_ts, payload) exactly; the gzip member walker and the
+    plain-stream parser agree."""
+    import gzip
+
+    from filda_ray.sources.pages import read_pages
+    from filda_ray.sources.warc import (parse_warc_members, parse_warc_plain,
+                                        read_warc, warc_record_bytes,
+                                        write_warc)
+
+    pages = read_pages(sf_dir).repartition(4)
+    d = str(tmp_path / "warcs")
+    files = write_warc(pages, d)
+    assert len(files) >= 1 and all(f.endswith(".warc.gz") for f in files)
+    back = (read_warc(d).to_pandas()
+            .sort_values("url").reset_index(drop=True))
+    orig = (pages.select_columns(["url", "warc_ts", "html"]).to_pandas()
+            .sort_values("url").reset_index(drop=True))
+    assert (back.url == orig.url).all()
+    assert (back.warc_ts == orig.warc_ts).all()
+    assert all(bytes(a) == bytes(b) for a, b in zip(back.html, orig.html))
+
+    # both parsers agree on the same records (incl. CRLF-bearing payloads)
+    recs = [("http://a/1", 1704067200000000, b"x\r\n\r\ny"),
+            ("http://a/2", 1704067201000000, b""),
+            ("http://a/3", 1704067202000000, b"z" * 1000)]
+    plain = b"".join(warc_record_bytes(u, t, p) for u, t, p in recs)
+    gz = b"".join(gzip.compress(warc_record_bytes(u, t, p), mtime=0)
+                  for u, t, p in recs)
+    assert list(parse_warc_plain(plain)) == recs
+    assert list(parse_warc_members(gz)) == recs
