@@ -2812,6 +2812,23 @@ def q_pq_topk(sf_dir: str):
     return pq_topk(codes, books, queries, k=10)
 
 
+def q_bpe_tokenize(sf_dir: str):
+    """REAL learned-vocabulary token counting: byte-level BPE trained
+    on a deterministic hash-random sample (driver-side — merge
+    selection is sequential), corpus encoded by an actor pool holding
+    the compiled rank table (ops/bpe).  Rows-only: BPE is not
+    SQL-expressible; pytest pins round-trip decode == original bytes
+    and encode-vs-reference equality (test_bpe_roundtrip_and_ratio)."""
+    from ..ops.bpe import bpe_encode_op, train_bpe_on_corpus
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    merges = train_bpe_on_corpus(ds, n_merges=100, sample_size=300, seed=0)
+    out = bpe_encode_op(ds, merges)
+    return out.select_columns(["doc_id", "n_tokens", "n_bytes",
+                               "tokens_per_byte"])
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means over the embedding corpus (streaming
     sum-partials; vectors never shuffle) + cluster-balanced curation
@@ -4673,6 +4690,7 @@ QUERIES = {
     "embedding_neardup_pairs": q_embedding_neardup,
     "ivf_topk": q_ivf_topk,
     "kmeans_clusters": q_kmeans_clusters,
+    "bpe_tokenize": q_bpe_tokenize,
     "pq_topk": q_pq_topk,
     "compression_signal": q_compression_signal,
     "langid": q_langid,

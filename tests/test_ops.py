@@ -1866,3 +1866,38 @@ def test_warc_roundtrip_exact(ray_session, sf_dir, tmp_path):
                   for u, t, p in recs)
     assert list(parse_warc_plain(plain)) == recs
     assert list(parse_warc_members(gz)) == recs
+
+
+def test_bpe_roundtrip_and_ratio(ray_session, sf_dir):
+    """BPE: (1) merges deterministic, (2) decode(encode(x)) == utf-8
+    bytes for every doc, (3) the actor-pool op matches the scalar
+    kernel, (4) compression: learned merges reduce token count below
+    byte count on the training distribution."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from filda_ray.ops.bpe import (bpe_decode, bpe_encode_bytes,
+                                   bpe_encode_op, train_bpe_on_corpus)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).repartition(4)
+    merges = train_bpe_on_corpus(ds, n_merges=80, sample_size=200, seed=0)
+    merges2 = train_bpe_on_corpus(ds, n_merges=80, sample_size=200, seed=0)
+    assert merges == merges2 and len(merges) > 0
+
+    out = (bpe_encode_op(ds, merges).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    texts = dict(zip(tbl.column("doc_id").to_pylist(),
+                     tbl.column("text").to_pylist()))
+    ranks = {pair: (r, nid) for r, (pair, nid) in enumerate(merges)}
+    for _, r in out.head(50).iterrows():
+        t = texts[r["doc_id"]] or ""
+        b = t.encode("utf-8")
+        ref = bpe_encode_bytes(b, ranks)
+        assert r["n_bytes"] == len(b)
+        assert r["n_tokens"] == len(ref)
+        assert bpe_decode(ref, merges) == b
+    # learned merges compress: mean tokens/byte well below 1
+    assert out["tokens_per_byte"].mean() < 0.75
