@@ -179,3 +179,185 @@ def connected_components(edges, *, src: str = "doc_a", dst: str = "doc_b",
                          out_comp: b.column(out_comp).cast(pa.int64())})
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+def pagerank(edges, *, src: str = "src", dst: str = "dst",
+             iters: int = 10, damping: float = 0.85):
+    """Distributed PageRank over an edge Dataset — the crawl-graph
+    authority score.  Per iteration: one tagged-union + bucketed
+    groupby joins ranks onto edges (contribution = rank/outdeg per
+    edge), one bounded groupby sums contributions by target, one
+    tagged-union merge updates ranks; a tiny aggregate collects the
+    dangling mass.  rank' = (1-d)/N + d*(in-sum + dangling/N).
+
+    Ranks/nodes are Datasets throughout (never driver-resident) and
+    every merge is a TAGGED UNION into a hash-bucketed groupby with
+    one vectorized searchsorted pass per bucket — the engine's halo /
+    running-aggregate shuffle shape.  (Ray's native JoinOperator is
+    avoided deliberately: a groupby output with empty partitions
+    yields zero-column blocks that its per-partition builders cannot
+    re-schema, and map_batches cannot repair them because empty blocks
+    skip UDFs.)  Synchronous iterations materialize the rank table
+    each round (bounds lineage depth).  Pytest oracle: numpy power
+    iteration with identical dangling handling
+    (test_pagerank_matches_numpy).
+    """
+    import pyarrow.compute as pc
+
+    from ..kernels.hashing import splitmix64
+    from . import pd_table
+    from .relational import distinct_rows
+
+    nb = shuffle_partitions()
+
+    def bucket_of(arr):
+        return (splitmix64(arr.astype(np.uint64)) % np.uint64(16 * nb)).astype(np.int64)
+
+    e = edges.select_columns([src, dst]).map_batches(
+        lambda b: pa.table({"s": b.column(src).cast(pa.int64()),
+                            "d": b.column(dst).cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    # out-degree partials per block (multiplicity-weighted), merged in
+    # the same tagged union that builds the node table
+    def outdeg_partial(b: pa.Table) -> pa.Table:
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        u, c = np.unique(s, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "outdeg": pa.array(c.astype(np.int64))})
+
+    ends = e.map_batches(
+        lambda b: pa.table({"node": pa.concat_arrays(
+            [b.column("s").combine_chunks(), b.column("d").combine_chunks()]),
+        }), batch_format="pyarrow")
+    nodes_u = distinct_rows(ends, ["node"]).map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "outdeg": pa.array(np.zeros(len(b), np.int64))}),
+        batch_format="pyarrow")
+    both = e.map_batches(outdeg_partial, batch_format="pyarrow").union(nodes_u)
+
+    def merge_deg(b: pa.Table) -> pa.Table:
+        n = b.column("node").to_numpy(zero_copy_only=False)
+        o = b.column("outdeg").to_numpy(zero_copy_only=False)
+        return b.append_column("bk", pa.array(bucket_of(n)))
+
+    def deg_bucket(g):
+        n = g["node"].to_numpy(np.int64)
+        o = g["outdeg"].to_numpy(np.int64)
+        order = np.argsort(n, kind="stable")
+        n, o = n[order], o[order]
+        starts = np.flatnonzero(np.r_[True, n[1:] != n[:-1]])
+        deg = np.add.reduceat(o, starts)
+        return pd_table(pd.DataFrame({"node": n[starts], "outdeg": deg}))
+
+    nodes = (both.map_batches(merge_deg, batch_format="pyarrow")
+             .groupby("bk", num_partitions=nb)
+             .map_groups(deg_bucket, batch_format="pandas")).materialize()
+    n = nodes.count()
+
+    ranks = nodes.map_batches(
+        lambda b: b.append_column("rank", pa.array(np.full(len(b), 1.0 / n))),
+        batch_format="pyarrow").materialize()
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        return pa.table({"k": b.column("s"), "d": b.column("d"),
+                         "rank": pa.array(np.zeros(len(b))),
+                         "outdeg": pa.array(np.zeros(len(b), np.int64)),
+                         "is_rank": pa.array(np.zeros(len(b), np.int8)),
+                         "bk": pa.array(bucket_of(s))})
+
+    def tag_ranks(b: pa.Table) -> pa.Table:
+        k = b.column("node").to_numpy(zero_copy_only=False)
+        return pa.table({"k": b.column("node"),
+                         "d": pa.array(np.zeros(len(b), np.int64)),
+                         "rank": b.column("rank"),
+                         "outdeg": b.column("outdeg"),
+                         "is_rank": pa.array(np.ones(len(b), np.int8)),
+                         "bk": pa.array(bucket_of(k))})
+
+    def contrib_bucket(g):
+        """Per-bucket: resolve each edge's source rank/outdeg by one
+        searchsorted against the bucket's rank rows (same bucket by
+        construction), then PRE-REDUCE contributions by target — the
+        output is per-bucket (node, insum-partial), consumed directly
+        by the update merge (no separate global sum shuffle)."""
+        isr = g["is_rank"].to_numpy(np.int8) == 1
+        kr = g["k"].to_numpy(np.int64)[isr]
+        rv = g["rank"].to_numpy(np.float64)[isr]
+        od = g["outdeg"].to_numpy(np.int64)[isr]
+        order = np.argsort(kr, kind="stable")
+        kr, rv, od = kr[order], rv[order], od[order]
+        ke = g["k"].to_numpy(np.int64)[~isr]
+        de = g["d"].to_numpy(np.int64)[~isr]
+        idx = np.searchsorted(kr, ke)
+        # every edge source IS a node with outdeg >= 1 by construction
+        c = rv[idx] / od[idx]
+        if len(de) == 0:
+            return pd_table(pd.DataFrame({"node": np.array([], np.int64),
+                                          "insum": np.array([], np.float64)}))
+        order = np.argsort(de, kind="stable")
+        de, c = de[order], c[order]
+        starts = np.flatnonzero(np.r_[True, de[1:] != de[:-1]])
+        return pd_table(pd.DataFrame({"node": de[starts],
+                                      "insum": np.add.reduceat(c, starts)}))
+
+    for _ in range(iters):
+        dang = ranks.map_batches(
+            lambda b: pa.table({"x": pa.array([pc.sum(pc.if_else(
+                pc.equal(b.column("outdeg"), 0), b.column("rank"),
+                pa.scalar(0.0))).as_py() or 0.0])}),
+            batch_format="pyarrow").sum("x")
+        tagged = e.map_batches(tag_edges, batch_format="pyarrow").union(
+            ranks.map_batches(tag_ranks, batch_format="pyarrow"))
+        sums = tagged.groupby("bk", num_partitions=nb).map_groups(
+            contrib_bucket, batch_format="pandas")
+
+        base = (1.0 - damping) / n + damping * dang / n
+
+        def tag_nodes(b: pa.Table) -> pa.Table:
+            k = b.column("node").to_numpy(zero_copy_only=False)
+            return pa.table({"node": b.column("node"),
+                             "outdeg": b.column("outdeg"),
+                             "insum": pa.array(np.zeros(len(b))),
+                             "is_node": pa.array(np.ones(len(b), np.int8)),
+                             "bk": pa.array(bucket_of(k))})
+
+        def tag_sums(b: pa.Table) -> pa.Table:
+            k = b.column("node").to_numpy(zero_copy_only=False)
+            return pa.table({"node": b.column("node"),
+                             "outdeg": pa.array(np.zeros(len(b), np.int64)),
+                             "insum": b.column("insum"),
+                             "is_node": pa.array(np.zeros(len(b), np.int8)),
+                             "bk": pa.array(bucket_of(k))})
+
+        def update_bucket(g, _base=base):
+            isn = g["is_node"].to_numpy(np.int8) == 1
+            kn = g["node"].to_numpy(np.int64)[isn]
+            od = g["outdeg"].to_numpy(np.int64)[isn]
+            ks = g["node"].to_numpy(np.int64)[~isn]
+            sv = g["insum"].to_numpy(np.float64)[~isn]
+            order = np.argsort(ks, kind="stable")
+            ks, sv = ks[order], sv[order]
+            if len(ks) == 0:
+                s = np.zeros(len(kn))
+            else:
+                # partials arrive unmerged (one per contrib bucket):
+                # reduce to unique keys first, then one searchsorted
+                starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+                ks = ks[starts]
+                sv = np.add.reduceat(sv, starts)
+                idx = np.searchsorted(ks, kn)
+                hit = idx < len(ks)
+                idx2 = np.where(hit, idx, 0)
+                s = np.where(hit & (ks[idx2] == kn), sv[idx2], 0.0)
+            return pd_table(pd.DataFrame({
+                "node": kn, "outdeg": od,
+                "rank": _base + damping * s}))
+
+        merged = nodes.map_batches(tag_nodes, batch_format="pyarrow").union(
+            sums.map_batches(tag_sums, batch_format="pyarrow"))
+        ranks = merged.groupby("bk", num_partitions=nb).map_groups(
+            update_bucket, batch_format="pandas").materialize()
+
+    return ranks.select_columns(["node", "rank"])

@@ -4292,6 +4292,38 @@ LIMIT 20
 """
 
 
+def q_pagerank_hosts(sf_dir: str):
+    """Crawl-graph PageRank over host->host link edges (source host =
+    the page's own host, targets from the synthetic anchor arithmetic;
+    ops/graph.pagerank — tagged-union merge iterations, ranks never
+    driver-resident).  Rows-only: iterative float PageRank is not
+    SQL-expressible; pinned against numpy power iteration
+    (test_pagerank_matches_numpy)."""
+    from ..ops.graph import pagerank
+    from ..sources.pages import host_id_of
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def edges_of(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        k = (1 + (ids % 3)).astype(np.int64)
+        rep_ids = np.repeat(ids, k)
+        src = np.repeat(host_id_of(ids), k)
+        off = np.arange(len(rep_ids)) - np.repeat(
+            np.r_[0, np.cumsum(k)][:-1], k)
+        dst = (rep_ids * 7 + off) % 500
+        return pa.table({"src": pa.array(src.astype(np.int64)),
+                         "dst": pa.array(dst.astype(np.int64))})
+
+    e = ds.map_batches(edges_of, batch_format="pyarrow")
+    ranks = pagerank(e, iters=5)
+    df = (ranks.to_pandas()
+          .sort_values(["rank", "node"], ascending=[False, True]).head(20)
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_warc_roundtrip(sf_dir: str):
     """WARC archive round-trip: the synthesized page table is written
     as member-per-record .warc.gz archives (sources.warc, ISO 28500
@@ -4599,6 +4631,7 @@ QUERIES = {
     "extract_links": q_extract_links,
     "host_indegree": q_host_indegree,
     "warc_roundtrip": q_warc_roundtrip,
+    "pagerank_hosts": q_pagerank_hosts,
     "decontaminate": q_decontaminate,
     "full_outer_activity": q_full_outer_activity,
     "schema_evolution": q_schema_evolution,

@@ -1901,3 +1901,35 @@ def test_bpe_roundtrip_and_ratio(ray_session, sf_dir):
         assert bpe_decode(ref, merges) == b
     # learned merges compress: mean tokens/byte well below 1
     assert out["tokens_per_byte"].mean() < 0.75
+
+
+def test_pagerank_matches_numpy(ray_session):
+    """Distributed PageRank == numpy power iteration (same dangling
+    handling) on a graph with a dangling node and parallel edges."""
+    import ray.data as rd
+
+    from filda_ray.ops.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (0, 1)]  # 4 is absent;
+    # add node 4 as dangling via an in-edge only
+    edges.append((2, 4))
+    t = pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                  "dst": pa.array([e[1] for e in edges], pa.int64())})
+    iters, d = 6, 0.85
+    got = (pagerank(rd.from_arrow(t).repartition(3), iters=iters, damping=d)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    n = 5
+    outdeg = np.zeros(n)
+    for s, _ in edges:
+        outdeg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dang = r[outdeg == 0].sum()
+        new = np.full(n, (1 - d) / n + d * dang / n)
+        for s, dd in edges:
+            new[dd] += d * r[s] / outdeg[s]
+        r = new
+    assert got["node"].tolist() == [0, 1, 2, 3, 4]
+    assert np.allclose(got["rank"].to_numpy(), r, atol=1e-9)
+    assert abs(got["rank"].sum() - 1.0) < 1e-6
