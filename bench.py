@@ -200,6 +200,21 @@ def run_bench() -> dict:
                                  min_df=2, max_df_frac=0.5).count()
         timings["segment_prune_320k"] = round(time.time() - t0, 3)
 
+        # WARC round-trip at 320k pages: distributed member-per-record
+        # .warc.gz write (one archive per block) + full parse-back read
+        import shutil
+        import tempfile
+
+        from filda_ray.sources.pages import read_pages
+        from filda_ray.sources.warc import read_warc, write_warc
+
+        wd = tempfile.mkdtemp(prefix="warc_bench_", dir="/tmp")
+        t0 = time.time()
+        write_warc(read_pages(SF_DIR, replicate=max(REPLICATE // 16, 1)), wd)
+        n_warc = read_warc(wd).count()
+        timings["warc_roundtrip_320k"] = round(time.time() - t0, 3)
+        shutil.rmtree(wd, ignore_errors=True)
+
         # PQ ANN end-to-end at 64x the embedding corpus (128k vecs):
         # sample train + uint8 encode + 16-query ADC scan
         from filda_ray.ops.embed import pq_encode, pq_topk, pq_train
