@@ -102,3 +102,24 @@ def stratified_sample(ds, strata_col: str, key_col: str, n: int, *, seed: int = 
         return b.drop_columns(["__u"])
 
     return out.map_batches(drop_u, batch_format="pyarrow")
+
+
+def weighted_sample(ds, key_col: str, weight_col: str, *, scale: float,
+                    seed: int = 3):
+    """Importance sampling for data mixing: keep a row with probability
+    min(1, scale * weight) — deterministic Bernoulli by key hash, so
+    the sample is repartition/resume-stable and exactly SQL-mirrorable
+    (u < least(1.0, scale * w)).  The classic quality-upweighting
+    draw (higher-quality documents kept at higher rate); expected kept
+    fraction = mean(min(1, scale*w)).  No shuffle; one vectorized
+    filter per batch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        u = hash_uniform(batch.column(key_col).to_numpy(), seed)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        p = np.minimum(1.0, scale * w)
+        return batch.filter(pa.array(u < p))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -4363,6 +4363,31 @@ SELECT url, warc_ts, coalesce(text, '') AS text FROM pages
 """
 
 
+WS_SCALE = 0.001  # weighted-sample scale (engine + oracle)
+
+
+def q_weighted_sample(sf_dir: str):
+    """Quality-weighted importance sampling (data mixing): keep doc
+    with probability min(1, scale * n_chars) via the deterministic
+    key-hash Bernoulli — repartition/resume-stable, no shuffle
+    (ops/sample.weighted_sample)."""
+    from ..ops.sample import weighted_sample
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+    return weighted_sample(ds, "doc_id", "n_chars", scale=WS_SCALE, seed=3)
+
+
+def sql_weighted_sample() -> str:
+    from ..ops.sample import sql_hash_uniform
+
+    u = sql_hash_uniform("doc_id", 3)
+    return f"""
+SELECT doc_id, n_chars FROM documents
+WHERE {u} < least(1.0, {WS_SCALE} * n_chars)
+"""
+
+
 PACK_BUDGET = 2048  # token budget per packed bin (engine + oracle)
 
 
@@ -4626,6 +4651,7 @@ QUERIES = {
     "dup_ngrams": q_dup_ngrams,
     "dup_span_removal": q_dup_span_removal,
     "pack_sequences": q_pack_sequences,
+    "weighted_sample": q_weighted_sample,
     "ngram_top20": q_ngram_top20,
     "robust_scale": q_robust_scale,
     "extract_links": q_extract_links,
@@ -4757,6 +4783,7 @@ ORACLES = {
     "dup_ngrams": sql_dup_ngrams(),
     "dup_span_removal": sql_dup_span_removal(),
     "pack_sequences": sql_pack_sequences(),
+    "weighted_sample": sql_weighted_sample(),
     "ngram_top20": sql_ngram_top20(),
     "robust_scale": sql_robust_scale(),
     "extract_links": sql_extract_links(),
