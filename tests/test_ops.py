@@ -1933,3 +1933,60 @@ def test_pagerank_matches_numpy(ray_session):
     assert got["node"].tolist() == [0, 1, 2, 3, 4]
     assert np.allclose(got["rank"].to_numpy(), r, atol=1e-9)
     assert abs(got["rank"].sum() - 1.0) < 1e-6
+
+
+def test_new_ops_edge_cases(ray_session):
+    """Edge paths: empty frequent set (passthrough reconstruction),
+    emit_total sentinel, single-file unify read, sub-n docs in
+    ngram_count, anchor-free html in extract_links."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from filda_ray.ops.text import (extract_links, ngram_count,
+                                    remove_frequent_segments, segment_df)
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["a b", "c d e", "f"])})
+    ds = rd.from_arrow(t).repartition(2)
+
+    # no segment reaches min_df=99 -> passthrough, text preserved
+    out = (remove_frequent_segments(ds, delimiter=" ", min_df=99)
+           .to_pandas().sort_values("doc_id"))
+    assert out["text_clean"].tolist() == ["a b", "c d e", "f"]
+    assert out["n_removed"].tolist() == [0, 0, 0]
+
+    # emit_total sentinel carries the doc count through the DF pass
+    m = segment_df(ds, delimiter=" ", emit_total=True).to_pandas()
+    assert int(m[m.is_total == 1]["df"].sum()) == 3
+    assert (m[m.is_total == 0]["df"] >= 1).all()
+
+    # docs shorter than n contribute zero trigrams
+    ng = ngram_count(ds, n=3).to_pandas()
+    assert ng["n"].sum() == 1  # only "c d e"
+
+    # anchor-free html yields zero link rows
+    h = pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "html": pa.array([b"<html><body>none</body></html>"],
+                                   pa.binary())})
+    links = extract_links(rd.from_arrow(h)).to_pandas()
+    assert len(links) == 0
+
+
+def test_read_parquet_unify_single_and_conflict(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import pytest
+
+    from filda_ray.sources import read_parquet_unify
+
+    a = tmp_path / "a.parquet"
+    pq.write_table(pa.table({"k": pa.array([1, 2], pa.int64()),
+                             "x": pa.array(["p", "q"])}), a)
+    one = read_parquet_unify(str(a)).to_pandas()
+    assert one["k"].tolist() == [1, 2]
+
+    # conflicting types for a shared column raise, never corrupt
+    b = tmp_path / "b.parquet"
+    pq.write_table(pa.table({"k": pa.array([3], pa.int64()),
+                             "x": pa.array([1.5], pa.float64())}), b)
+    with pytest.raises(Exception):
+        read_parquet_unify([str(a), str(b)])
