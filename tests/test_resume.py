@@ -264,3 +264,33 @@ def test_bbox_partition_pruned_read(ray_session, tmp_path):
     n_parts = df["pc_tile"].nunique()
     assert len(cover) < n_parts  # the scan really is pruned
     assert set(pruned["pc_tile"]) <= set(cover.tolist())
+
+
+def test_pipeline_survives_worker_death(ray_session, tmp_path):
+    """Kill one map worker mid-run (os._exit — a system failure, the
+    lost-node analog): Ray retries the task and the pipeline completes
+    with exactly-once output semantics.  A marker file makes only the
+    FIRST execution die."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    marker = str(tmp_path / "died_once")
+
+    def flaky(batch: pa.Table) -> pa.Table:
+        ids = batch.column("k").to_numpy()
+        if 7 in ids and not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("x")
+            os._exit(1)  # simulate node/worker loss, not a user error
+        return pa.table({"k": ids, "sq": pa.array(ids * ids)})
+
+    t = pa.table({"k": pa.array(np.arange(64), pa.int64())})
+    out = (rd.from_arrow(t).repartition(16)
+           .map_batches(flaky, batch_format="pyarrow")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert os.path.exists(marker)  # the death actually happened
+    assert out["k"].tolist() == list(range(64))
+    assert (out["sq"].to_numpy() == np.arange(64) ** 2).all()
