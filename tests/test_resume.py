@@ -294,3 +294,37 @@ def test_pipeline_survives_worker_death(ray_session, tmp_path):
     assert os.path.exists(marker)  # the death actually happened
     assert out["k"].tolist() == list(range(64))
     assert (out["sq"].to_numpy() == np.arange(64) ** 2).all()
+
+
+def test_actor_pool_survives_actor_death(ray_session, tmp_path):
+    """Same worker-loss drill for a STATEFUL actor-pool stage (the
+    flagship's geocode/scorer shape): the killed actor restarts, state
+    rebuilds in __init__, output is exactly-once."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    marker = str(tmp_path / "actor_died_once")
+
+    class Stage:
+        def __init__(self):
+            self.offset = 100  # per-actor state rebuilt on restart
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("k").to_numpy()
+            if 5 in ids and not os.path.exists(marker):
+                with open(marker, "w") as f:
+                    f.write("x")
+                os._exit(1)
+            return pa.table({"k": ids,
+                             "v": pa.array(ids + self.offset)})
+
+    t = pa.table({"k": pa.array(np.arange(32), pa.int64())})
+    out = (rd.from_arrow(t).repartition(8)
+           .map_batches(Stage, batch_format="pyarrow", concurrency=(1, 2))
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert os.path.exists(marker)
+    assert out["k"].tolist() == list(range(32))
+    assert (out["v"].to_numpy() == np.arange(32) + 100).all()
