@@ -942,3 +942,60 @@ def range_aggregate(ds, *, key_col: str, ts_col: str, tie_col: str,
 
     return tagged.groupby("bk", num_partitions=shuffle_partitions(nb)).map_groups(
         emit_bucket, batch_format="pandas")
+
+
+def session_funnel(ds, *, key_col: str, ts_col: str, type_col: str,
+                   steps: tuple, gap_s: int, num_buckets: int | None = None):
+    """Ordered-funnel conversion per session (streaming analytics op):
+    a session CONVERTS when the step events occur in strict temporal
+    order within it (t1 = min ts of step1, t2 = min ts of step2 after
+    t1, ...).  Same hash-bucket-by-key shuffle as ``sessionize`` (a
+    key's events co-locate, so per-user results are exact); per bucket
+    one sort + vectorized session cumsum + one masked
+    ``np.minimum.reduceat`` pass PER STEP over (key, session)
+    segments — no per-session Python.  Output: (key, n_sessions,
+    n_converted)."""
+    if num_buckets is None:
+        from . import derive_buckets
+
+        num_buckets = derive_buckets(ds, default=16)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "__bucket", pa.array((k % num_buckets).astype(np.int32)))
+
+    narrow = ds.select_columns([key_col, ts_col, type_col]).map_batches(
+        add_bucket, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        from . import pd_table as _pd_table
+
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        k = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ty = g[type_col].to_numpy()
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        gap = np.r_[0, ts[1:] - ts[:-1]]
+        new_session = new_key | (gap > gap_s * 1_000_000)
+        sess = np.cumsum(new_session)  # global session id within bucket
+        seg_start = np.flatnonzero(new_session)
+        seg_id = np.cumsum(new_session) - 1
+        prev_t = np.full(len(seg_start), -np.inf)
+        for step in steps:
+            vals = np.where((ty == step) & (ts > prev_t[seg_id]),
+                            ts.astype(np.float64), np.inf)
+            prev_t = np.minimum.reduceat(vals, seg_start)
+        conv = np.isfinite(prev_t)
+        seg_key = k[seg_start]
+        starts = np.flatnonzero(np.r_[True, seg_key[1:] != seg_key[:-1]])
+        n_sess = np.diff(np.r_[starts, len(seg_key)])
+        n_conv = np.add.reduceat(conv.astype(np.int64), starts)
+        return _pd_table(pd.DataFrame({
+            key_col: seg_key[starts],
+            "n_sessions": n_sess.astype(np.int64),
+            "n_converted": n_conv,
+        }))
+
+    return narrow.groupby("__bucket", num_partitions=shuffle_partitions()).map_groups(
+        per_bucket, batch_format="pandas")

@@ -4363,6 +4363,59 @@ SELECT url, warc_ts, coalesce(text, '') AS text FROM pages
 """
 
 
+def q_funnel_sessions(sf_dir: str):
+    """Session funnel (view -> click -> purchase in strict temporal
+    order within a 30-min-gap session): per-user session and
+    conversion counts (ops/temporal.session_funnel — one bucketed
+    shuffle, masked reduceat chain per step)."""
+    from ..ops.temporal import session_funnel
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+    out = session_funnel(ds, key_col="user_id", ts_col="ts",
+                         type_col="event_type",
+                         steps=("view", "click", "purchase"), gap_s=1800)
+    return out.map_batches(
+        lambda b: pa.table({"user_id": b.column("user_id").cast(pa.int64()),
+                            "n_sessions": b.column("n_sessions").cast(pa.int64()),
+                            "n_converted": b.column("n_converted").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def sql_funnel_sessions() -> str:
+    return """
+WITH o AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+),
+t1 AS (SELECT user_id, sess, min(ts) AS t FROM s
+       WHERE event_type = 'view' GROUP BY 1, 2),
+t2 AS (SELECT s.user_id, s.sess, min(s.ts) AS t
+       FROM s JOIN t1 ON s.user_id = t1.user_id AND s.sess = t1.sess
+       WHERE s.event_type = 'click' AND s.ts > t1.t GROUP BY 1, 2),
+t3 AS (SELECT s.user_id, s.sess, min(s.ts) AS t
+       FROM s JOIN t2 ON s.user_id = t2.user_id AND s.sess = t2.sess
+       WHERE s.event_type = 'purchase' AND s.ts > t2.t GROUP BY 1, 2),
+per AS (
+  SELECT user_id, count(DISTINCT sess) AS n_sessions FROM s GROUP BY 1
+),
+conv AS (SELECT user_id, cast(count(*) as bigint) AS n_converted
+         FROM t3 GROUP BY 1)
+SELECT p.user_id, cast(p.n_sessions as bigint) AS n_sessions,
+       cast(coalesce(c.n_converted, 0) as bigint) AS n_converted
+FROM per p LEFT JOIN conv c USING (user_id)
+"""
+
+
 WS_SCALE = 0.001  # weighted-sample scale (engine + oracle)
 
 
@@ -4652,6 +4705,7 @@ QUERIES = {
     "dup_span_removal": q_dup_span_removal,
     "pack_sequences": q_pack_sequences,
     "weighted_sample": q_weighted_sample,
+    "funnel_sessions": q_funnel_sessions,
     "ngram_top20": q_ngram_top20,
     "robust_scale": q_robust_scale,
     "extract_links": q_extract_links,
@@ -4784,6 +4838,7 @@ ORACLES = {
     "dup_span_removal": sql_dup_span_removal(),
     "pack_sequences": sql_pack_sequences(),
     "weighted_sample": sql_weighted_sample(),
+    "funnel_sessions": sql_funnel_sessions(),
     "ngram_top20": sql_ngram_top20(),
     "robust_scale": sql_robust_scale(),
     "extract_links": sql_extract_links(),

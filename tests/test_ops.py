@@ -1990,3 +1990,43 @@ def test_read_parquet_unify_single_and_conflict(ray_session, tmp_path):
                              "x": pa.array([1.5], pa.float64())}), b)
     with pytest.raises(Exception):
         read_parquet_unify([str(a), str(b)])
+
+
+def test_session_funnel_planted(ray_session):
+    """Hand-built sessions: ordered view->click->purchase converts;
+    out-of-order or cross-session chains do not."""
+    import ray.data as rd
+
+    from filda_ray.ops.temporal import session_funnel
+
+    us = 1_000_000
+    base = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+
+    def ev(u, t_s, typ):
+        return (u, base + t_s * us, typ)
+
+    rows = [
+        # user 1 session A: converts in order
+        ev(1, 0, "view"), ev(1, 10, "click"), ev(1, 20, "purchase"),
+        # user 1 session B (gap > 1800s): out of order -> no conversion
+        ev(1, 10000, "purchase"), ev(1, 10010, "click"), ev(1, 10020, "view"),
+        # user 2: click before view in one session -> no conversion
+        ev(2, 0, "click"), ev(2, 5, "view"), ev(2, 9, "purchase"),
+        # user 3: chain split ACROSS sessions -> no conversion
+        ev(3, 0, "view"), ev(3, 10, "click"), ev(3, 10000, "purchase"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64)).cast(
+            pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+    })
+    out = (session_funnel(rd.from_arrow(t).repartition(3), key_col="user_id",
+                          ts_col="ts", type_col="event_type",
+                          steps=("view", "click", "purchase"), gap_s=1800)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert out["user_id"].tolist() == [1, 2, 3]
+    assert out["n_sessions"].tolist() == [2, 1, 2]
+    # user 2: view(5) then purchase(9) — but no click AFTER view... click
+    # is at 0 < view, so chain fails at step 2
+    assert out["n_converted"].tolist() == [1, 0, 0]
