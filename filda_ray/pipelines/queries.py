@@ -3042,6 +3042,45 @@ GROUP BY w.window_id
 """
 
 
+def q_hopping_distinct(sf_dir: str):
+    """Sliding-window DISTINCT users (overlapping 6h windows): events
+    probe the broadcast window table (range_join, no event shuffle),
+    (window, user) pairs dedup in bounded buckets, then a tiny count
+    per window — streaming sliding-cardinality composition."""
+    from ray.data.aggregate import Count
+
+    from ..ops.relational import distinct_rows
+    from ..ops.temporal import range_join
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+    j = range_join(ev, _hop_windows_table())
+    d = distinct_rows(j.select_columns(["window_id", "user_id"]),
+                      ["window_id", "user_id"])
+    out = d.groupby("window_id", num_partitions=shuffle_partitions()).aggregate(
+        Count(alias_name="n_users"))
+    return out.map_batches(
+        lambda b: pa.table({"window_id": b.column("window_id").cast(pa.int64()),
+                            "n_users": b.column("n_users").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def sql_hopping_distinct() -> str:
+    return f"""
+WITH w AS (
+  SELECT i AS window_id,
+         {WINDOW_START_US} + i * {HOP_STEP_US} AS start_us,
+         {WINDOW_START_US} + i * {HOP_STEP_US} + {HOP_SPAN_US} AS end_us
+  FROM (SELECT unnest(range(0, {N_HOP})) AS i)
+)
+SELECT cast(w.window_id as bigint) AS window_id,
+       cast(count(DISTINCT e.user_id) as bigint) AS n_users
+FROM events e JOIN w
+  ON epoch_us(e.ts) >= w.start_us AND epoch_us(e.ts) < w.end_us
+GROUP BY w.window_id
+"""
+
+
 def q_top_anomalies(sf_dir: str):
     """Global top-20 pages by anomaly score: per-batch partial top-k
     inside map_batches, then one tiny final sort+limit — streaming
@@ -4706,6 +4745,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "weighted_sample": q_weighted_sample,
     "funnel_sessions": q_funnel_sessions,
+    "hopping_distinct_users": q_hopping_distinct,
     "ngram_top20": q_ngram_top20,
     "robust_scale": q_robust_scale,
     "extract_links": q_extract_links,
@@ -4839,6 +4879,7 @@ ORACLES = {
     "pack_sequences": sql_pack_sequences(),
     "weighted_sample": sql_weighted_sample(),
     "funnel_sessions": sql_funnel_sessions(),
+    "hopping_distinct_users": sql_hopping_distinct(),
     "ngram_top20": sql_ngram_top20(),
     "robust_scale": sql_robust_scale(),
     "extract_links": sql_extract_links(),
