@@ -3081,6 +3081,59 @@ GROUP BY w.window_id
 """
 
 
+DECAY_HALF_LIFE_US = 86400.0 * 1e6  # 1-day half-life (engine + oracle)
+
+
+def q_decayed_value(sf_dir: str):
+    """Time-decayed per-user value (feature-store op): sum of
+    value * 0.5^((t_last - t)/half_life) at each user's LATEST event —
+    one bucketed shuffle of (user, ts, value), per-bucket vectorized
+    segment max + decay-weighted reduceat.  Order-independent (the
+    aggregate is a plain sum), so the oracle hash is exact to float
+    rounding."""
+    from ..kernels.hashing import splitmix64
+    from ..ops import pd_table as _pdt
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+    nb = shuffle_partitions()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = (splitmix64(k.astype(np.uint64)) % np.uint64(16 * nb)).astype(np.int64)
+        return b.append_column("bk", pa.array(bk))
+
+    def per_bucket(g):
+        k = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g["value"].to_numpy(np.float64)
+        order = np.lexsort((ts, k))
+        k, ts, v = k[order], ts[order], v[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        seg_id = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        tmax = np.maximum.reduceat(ts, starts)
+        w = v * np.power(0.5, (tmax[seg_id] - ts) / DECAY_HALF_LIFE_US)
+        return _pdt(pd.DataFrame({
+            "user_id": k[starts],
+            "decayed_value": np.add.reduceat(w, starts)}))
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bk", num_partitions=nb)
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
+def sql_decayed_value() -> str:
+    return f"""
+WITH m AS (SELECT user_id, max(ts) AS tmax FROM events GROUP BY 1)
+SELECT e.user_id,
+       sum(e.value * power(0.5,
+           (epoch_us(m.tmax) - epoch_us(e.ts)) / {DECAY_HALF_LIFE_US!r}))
+         AS decayed_value
+FROM events e JOIN m USING (user_id)
+GROUP BY e.user_id
+"""
+
+
 def q_top_anomalies(sf_dir: str):
     """Global top-20 pages by anomaly score: per-batch partial top-k
     inside map_batches, then one tiny final sort+limit — streaming
@@ -4746,6 +4799,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "funnel_sessions": q_funnel_sessions,
     "hopping_distinct_users": q_hopping_distinct,
+    "decayed_user_value": q_decayed_value,
     "ngram_top20": q_ngram_top20,
     "robust_scale": q_robust_scale,
     "extract_links": q_extract_links,
@@ -4880,6 +4934,7 @@ ORACLES = {
     "weighted_sample": sql_weighted_sample(),
     "funnel_sessions": sql_funnel_sessions(),
     "hopping_distinct_users": sql_hopping_distinct(),
+    "decayed_user_value": sql_decayed_value(),
     "ngram_top20": sql_ngram_top20(),
     "robust_scale": sql_robust_scale(),
     "extract_links": sql_extract_links(),
