@@ -2829,6 +2829,59 @@ def q_bpe_tokenize(sf_dir: str):
                                "tokens_per_byte"])
 
 
+def q_group_centroids(sf_dir: str):
+    """Per-label embedding centroid (vector aggregate): one zero-copy
+    matrix sum per (block, label) — vectors never shuffle, only
+    (label, dim-sum blob, count) partials — merged in a bounded
+    groupby; output EXPLODED as (label, pos, v) so the SQL mirror is a
+    plain per-dimension avg over unnest WITH ORDINALITY."""
+    from ..ops import pd_table as _pdt
+    from ..ops.embed import _to_matrix
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = _to_matrix(b.column("embedding"), np.float64)
+        lab = b.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.unique(lab)
+        sums, ns = [], []
+        for L in u:
+            m = lab == L
+            sums.append(v[m].sum(axis=0).tobytes())
+            ns.append(int(m.sum()))
+        return pa.table({"label": pa.array(u),
+                         "s": pa.array(sums, pa.large_binary()),
+                         "n": pa.array(np.array(ns, np.int64))})
+
+    def merge(g):
+        s = np.stack([np.frombuffer(x, np.float64) for x in g["s"]]).sum(axis=0)
+        n = int(g["n"].sum())
+        mean = s / n
+        return _pdt(pd.DataFrame({
+            "label": np.full(len(mean), int(g["label"].iloc[0]), np.int64),
+            "pos": np.arange(len(mean), dtype=np.int64),
+            "v": mean}))
+
+    from ..ops import shuffle_partitions
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("label", num_partitions=shuffle_partitions())
+            .map_groups(merge, batch_format="pandas"))
+
+
+def sql_group_centroids() -> str:
+    return """
+WITH x AS (
+  SELECT label,
+         cast(generate_subscripts(embedding, 1) - 1 as bigint) AS pos,
+         cast(unnest(embedding) as double) AS v
+  FROM embeddings
+)
+SELECT label, pos, avg(v) AS v FROM x GROUP BY label, pos
+"""
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means over the embedding corpus (streaming
     sum-partials; vectors never shuffle) + cluster-balanced curation
@@ -4800,6 +4853,7 @@ QUERIES = {
     "funnel_sessions": q_funnel_sessions,
     "hopping_distinct_users": q_hopping_distinct,
     "decayed_user_value": q_decayed_value,
+    "group_centroids": q_group_centroids,
     "ngram_top20": q_ngram_top20,
     "robust_scale": q_robust_scale,
     "extract_links": q_extract_links,
@@ -4935,6 +4989,7 @@ ORACLES = {
     "funnel_sessions": sql_funnel_sessions(),
     "hopping_distinct_users": sql_hopping_distinct(),
     "decayed_user_value": sql_decayed_value(),
+    "group_centroids": sql_group_centroids(),
     "ngram_top20": sql_ngram_top20(),
     "robust_scale": sql_robust_scale(),
     "extract_links": sql_extract_links(),
