@@ -2882,6 +2882,64 @@ SELECT label, pos, avg(v) AS v FROM x GROUP BY label, pos
 """
 
 
+def q_centroid_distance(sf_dir: str):
+    """Prototype-distance curation signal: cosine of every embedding
+    to its OWN label's centroid (far-from-prototype rows are label
+    noise).  Centroids from the same matrix-sum partials as
+    group_centroids, broadcast once; per batch one GEMM row-gather —
+    vectors never shuffle."""
+    import ray
+
+    from ..ops import shuffle_partitions
+    from ..ops.embed import _to_matrix
+    from ..ops.workercache import worker_state
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "label", "embedding"])
+    cent_tbl = q_group_centroids(sf_dir).to_pandas()
+    labels = np.sort(cent_tbl["label"].unique())
+    dim = int(cent_tbl["pos"].max()) + 1
+    C = np.zeros((labels.max() + 1, dim))
+    for L in labels:
+        sub = cent_tbl[cent_tbl.label == L].sort_values("pos")
+        C[L] = sub["v"].to_numpy()
+    ref = ray.put(C)
+
+    def f(b: pa.Table) -> pa.Table:
+        c = worker_state(ref, lambda: ray.get(ref))
+        v = _to_matrix(b.column("embedding"), np.float64)
+        lab = b.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        cv = c[lab]
+        dot = (v * cv).sum(axis=1)
+        cos = dot / (np.linalg.norm(v, axis=1) * np.linalg.norm(cv, axis=1))
+        return pa.table({"vec_id": b.column("vec_id"),
+                         "label": b.column("label").cast(pa.int64()),
+                         "cos_to_centroid": pa.array(cos)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def sql_centroid_distance() -> str:
+    return """
+WITH x AS (
+  SELECT vec_id, label,
+         cast(generate_subscripts(embedding, 1) - 1 as bigint) AS pos,
+         cast(unnest(embedding) as double) AS v
+  FROM embeddings
+),
+c AS (SELECT label, pos, avg(v) AS cv FROM x GROUP BY 1, 2),
+cn AS (SELECT label, sqrt(sum(cv * cv)) AS nc FROM c GROUP BY 1),
+d AS (
+  SELECT x.vec_id, x.label, sum(x.v * c.cv) AS dot, sqrt(sum(x.v * x.v)) AS nv
+  FROM x JOIN c ON x.label = c.label AND x.pos = c.pos
+  GROUP BY 1, 2
+)
+SELECT d.vec_id, cast(d.label as bigint) AS label,
+       d.dot / (d.nv * cn.nc) AS cos_to_centroid
+FROM d JOIN cn USING (label)
+"""
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means over the embedding corpus (streaming
     sum-partials; vectors never shuffle) + cluster-balanced curation
@@ -4854,6 +4912,7 @@ QUERIES = {
     "hopping_distinct_users": q_hopping_distinct,
     "decayed_user_value": q_decayed_value,
     "group_centroids": q_group_centroids,
+    "centroid_distance": q_centroid_distance,
     "ngram_top20": q_ngram_top20,
     "robust_scale": q_robust_scale,
     "extract_links": q_extract_links,
@@ -4990,6 +5049,7 @@ ORACLES = {
     "hopping_distinct_users": sql_hopping_distinct(),
     "decayed_user_value": sql_decayed_value(),
     "group_centroids": sql_group_centroids(),
+    "centroid_distance": sql_centroid_distance(),
     "ngram_top20": sql_ngram_top20(),
     "robust_scale": sql_robust_scale(),
     "extract_links": sql_extract_links(),
