@@ -2940,6 +2940,72 @@ FROM d JOIN cn USING (label)
 """
 
 
+def q_label_margin(sf_dir: str):
+    """Label-noise margin: cos(own-label centroid) minus the BEST
+    cosine to any OTHER label's centroid — negative margin = the
+    embedding sits closer to another class's prototype (mislabeled
+    candidate).  Same broadcast-centroid GEMM as centroid_distance,
+    one (rows x labels) matmul per batch."""
+    import ray
+
+    from ..ops.embed import _to_matrix
+    from ..ops.workercache import worker_state
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "label", "embedding"])
+    cent_tbl = q_group_centroids(sf_dir).to_pandas()
+    labels = np.sort(cent_tbl["label"].unique())
+    dim = int(cent_tbl["pos"].max()) + 1
+    C = np.zeros((labels.max() + 1, dim))
+    for L in labels:
+        C[L] = cent_tbl[cent_tbl.label == L].sort_values("pos")["v"].to_numpy()
+    ref = ray.put(C)
+
+    def f(b: pa.Table) -> pa.Table:
+        c = worker_state(ref, lambda: ray.get(ref))
+        cn = np.linalg.norm(c, axis=1)
+        v = _to_matrix(b.column("embedding"), np.float64)
+        lab = b.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        cos = (v @ c.T) / (np.linalg.norm(v, axis=1, keepdims=True) * cn[None])
+        own = cos[np.arange(len(v)), lab]
+        masked = cos.copy()
+        masked[np.arange(len(v)), lab] = -np.inf
+        best_other = masked.max(axis=1)
+        return pa.table({"vec_id": b.column("vec_id"),
+                         "label": b.column("label").cast(pa.int64()),
+                         "margin": pa.array(own - best_other)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def sql_label_margin() -> str:
+    return """
+WITH x AS (
+  SELECT vec_id, label,
+         cast(generate_subscripts(embedding, 1) - 1 as bigint) AS pos,
+         cast(unnest(embedding) as double) AS v
+  FROM embeddings
+),
+c AS (SELECT label, pos, avg(v) AS cv FROM x GROUP BY 1, 2),
+cn AS (SELECT label, sqrt(sum(cv * cv)) AS nc FROM c GROUP BY 1),
+nv AS (SELECT vec_id, sqrt(sum(v * v)) AS nv FROM x GROUP BY 1),
+allcos AS (
+  SELECT x.vec_id, x.label AS own_label, c.label AS c_label,
+         sum(x.v * c.cv) / (any_value(nv.nv) * any_value(cn.nc)) AS cos
+  FROM x
+  JOIN c ON x.pos = c.pos
+  JOIN cn ON c.label = cn.label
+  JOIN nv ON x.vec_id = nv.vec_id
+  GROUP BY 1, 2, 3
+)
+SELECT a.vec_id, cast(a.own_label as bigint) AS label,
+       max(CASE WHEN a.c_label = a.own_label THEN a.cos END)
+         - max(CASE WHEN a.c_label <> a.own_label THEN a.cos END) AS margin
+FROM allcos a
+GROUP BY 1, 2
+"""
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means over the embedding corpus (streaming
     sum-partials; vectors never shuffle) + cluster-balanced curation
@@ -4913,6 +4979,7 @@ QUERIES = {
     "decayed_user_value": q_decayed_value,
     "group_centroids": q_group_centroids,
     "centroid_distance": q_centroid_distance,
+    "label_margin": q_label_margin,
     "ngram_top20": q_ngram_top20,
     "robust_scale": q_robust_scale,
     "extract_links": q_extract_links,
@@ -5050,6 +5117,7 @@ ORACLES = {
     "decayed_user_value": sql_decayed_value(),
     "group_centroids": sql_group_centroids(),
     "centroid_distance": sql_centroid_distance(),
+    "label_margin": sql_label_margin(),
     "ngram_top20": sql_ngram_top20(),
     "robust_scale": sql_robust_scale(),
     "extract_links": sql_extract_links(),
