@@ -4565,8 +4565,13 @@ def q_pagerank_hosts(sf_dir: str):
     """Crawl-graph PageRank over host->host link edges (source host =
     the page's own host, targets from the synthetic anchor arithmetic;
     ops/graph.pagerank — tagged-union merge iterations, ranks never
-    driver-resident).  Rows-only: iterative float PageRank is not
-    SQL-expressible; pinned against numpy power iteration
+    driver-resident).  Full SQL oracle (sql_pagerank_hosts): the
+    fixed-iteration power iteration is expressed as 5 chained CTEs in
+    DuckDB, each carrying (node, rank) — same dangling-mass handling,
+    same per-edge multiplicity.  Returns the COMPLETE rank table (no
+    top-k: a float-rank selection boundary would make cross-engine
+    membership fragile; the driver's sorted-hash compare handles the
+    full set exactly).  Also pinned against numpy power iteration
     (test_pagerank_matches_numpy)."""
     from ..ops.graph import pagerank
     from ..sources.pages import host_id_of
@@ -4587,10 +4592,53 @@ def q_pagerank_hosts(sf_dir: str):
 
     e = ds.map_batches(edges_of, batch_format="pyarrow")
     ranks = pagerank(e, iters=5)
-    df = (ranks.to_pandas()
-          .sort_values(["rank", "node"], ascending=[False, True]).head(20)
-          .reset_index(drop=True))
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return ranks
+
+
+def sql_pagerank_hosts() -> str:
+    """Fixed-iteration (5) PageRank as chained CTEs — same semantics
+    as ops/graph.pagerank: nodes = distinct endpoints, outdeg counts
+    parallel edges, rank' = (1-d)/N + d*dangling/N + d*sum(rank/outdeg
+    over in-edges), dangling mass from the PRE-update ranks of
+    outdeg-0 nodes."""
+    from ..sources.pages import sql_host_id
+
+    d = 0.85
+    parts = [f"""
+WITH edges AS (
+  SELECT {sql_host_id('doc_id')} AS src,
+         cast((doc_id * 7 + j) % 500 AS bigint) AS dst
+  FROM documents, unnest(range(0, 1 + doc_id % 3)) AS t(j)
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), deg AS (
+  SELECT n.node, cast(coalesce(c.cnt, 0) AS bigint) AS outdeg
+  FROM nodes n LEFT JOIN (
+    SELECT src AS node, count(*) AS cnt FROM edges GROUP BY src) c
+  ON n.node = c.node
+), nn AS (
+  SELECT cast(count(*) AS double) AS n FROM nodes
+), r0 AS (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+)"""]
+    for it in range(1, 6):
+        p, c = f"r{it - 1}", f"r{it}"
+        parts.append(f""", {c} AS (
+  SELECT dg.node,
+         (1.0 - {d}) / (SELECT n FROM nn)
+         + {d} * (SELECT coalesce(sum(p.rank), 0)
+                  FROM {p} p JOIN deg g ON p.node = g.node
+                  WHERE g.outdeg = 0) / (SELECT n FROM nn)
+         + {d} * coalesce(s.insum, 0) AS rank
+  FROM deg dg LEFT JOIN (
+    SELECT e.dst AS node, sum(p.rank / g.outdeg) AS insum
+    FROM edges e
+    JOIN {p} p ON p.node = e.src
+    JOIN deg g ON g.node = e.src
+    GROUP BY e.dst) s ON dg.node = s.node
+)""")
+    parts.append("\nSELECT node, rank FROM r5")
+    return "".join(parts)
 
 
 def q_warc_roundtrip(sf_dir: str):
@@ -5122,6 +5170,7 @@ ORACLES = {
     "robust_scale": sql_robust_scale(),
     "extract_links": sql_extract_links(),
     "host_indegree": sql_host_indegree(),
+    "pagerank_hosts": sql_pagerank_hosts(),
     "warc_roundtrip": sql_warc_roundtrip(),
     "decontaminate": sql_decontaminate(),
     "full_outer_activity": sql_full_outer_activity(),
