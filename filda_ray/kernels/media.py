@@ -1,14 +1,18 @@
-"""Pure-numpy codecs for UNCOMPRESSED media containers.
+"""Pure-numpy/stdlib codecs for media containers.
 
-No media library ships in this environment, but the classic
-uncompressed formats need none: RIFF/WAVE PCM is a fixed 44-byte
-header + int16 samples, and binary PNM (P5 grayscale / P6 RGB) is an
-ASCII header + raw bytes.  These are real, spec-conformant encoders
-and decoders (public formats: RIFF/WAVE per the Microsoft/IBM 1991
-spec, PNM per the netpbm format docs), so the engine's media decode
-stage is a REAL kernel for wav/ppm/pgm payloads — the
-NotImplementedError integration point remains only for COMPRESSED
-codecs (jpeg/mp3/h264), which genuinely need external libraries.
+No media library ships in this environment, but every format whose
+compression is stdlib-expressible needs none: RIFF/WAVE PCM is a
+fixed 44-byte header + int16 samples, binary PNM (P5/P6) is an ASCII
+header + raw bytes, PNG is zlib DEFLATE + five scanline filters
+(unfiltered here in numpy), and GIF is LZW implemented from scratch.
+These are real, spec-conformant encoders and decoders (public
+formats: RIFF/WAVE per the Microsoft/IBM 1991 spec, PNM per the
+netpbm docs, PNG per RFC 2083 / the W3C PNG spec, GIF per the
+CompuServe GIF89a spec), so the engine's media decode stage is a
+REAL kernel for wav/ppm/pgm/png/gif payloads — the
+NotImplementedError integration point remains only for DCT/
+entropy-coded codecs (jpeg/mp3/h264), which genuinely need external
+libraries.
 
 Reference analog: the raster ingest readers (FILDA_IO.py:570-706)
 — binary blobs -> typed arrays + QA, decoded with per-batch
@@ -330,3 +334,221 @@ def decode_png(payload: bytes) -> np.ndarray:
         prev = rec
     img = out.reshape(h, w, ch)
     return img[:, :, 0] if ch == 1 else img
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF89a, LZW) — public spec: GIF89a specification, CompuServe 1990
+# ---------------------------------------------------------------------------
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
+    """GIF-variant LZW over palette indices.  Variable-width codes
+    (mcs+1 .. 12 bits, LSB-first packing), CLEAR emitted up front and
+    again whenever the code table fills at 4096 — the exact stream a
+    conforming decoder expects.  Dictionary keyed by
+    (prefix_code, next_index); the encoder's width bump lags its own
+    table by one entry so it always matches the width the DECODER has
+    when reading that code (the classic off-by-one of this format)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    code_size = mcs + 1
+    emit(clear, code_size)
+    table: dict[tuple[int, int], int] = {}
+    nxt = eoi + 1
+    it = iter(indices.tolist())
+    prefix = next(it)
+    for k in it:
+        key = (prefix, k)
+        got = table.get(key)
+        if got is not None:
+            prefix = got
+            continue
+        emit(prefix, code_size)
+        table[key] = nxt
+        nxt += 1
+        if nxt == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        elif nxt == 4096:
+            emit(clear, code_size)
+            table.clear()
+            nxt = eoi + 1
+            code_size = mcs + 1
+        prefix = k
+    emit(prefix, code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int, n_pixels: int) -> np.ndarray:
+    """Inverse of ``_lzw_encode``: LSB-first variable-width code read,
+    table rebuilt per the spec (incl. the KwKwK self-reference case
+    and deferred-clear handling).  Per-code Python loop — inherently
+    sequential table growth; bounded by the image's pixel count and
+    run inside the actor-pool decode stage, never on the driver."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    roots = [bytes([i]) for i in range(1 << mcs)]
+    out = bytearray()
+    table = list(roots) + [b"", b""]
+    code_size = mcs + 1
+    acc = nbits = pos = 0
+    prev: int | None = None
+    while len(out) < n_pixels:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(roots) + [b"", b""]
+            code_size = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first GIF code")
+            out += table[code]
+            prev = code
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = table[prev] + table[prev][:1]
+        else:
+            raise ValueError("GIF code out of range")
+        out += entry
+        if len(table) < 4096:
+            table.append(table[prev] + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = code
+    if len(out) < n_pixels:
+        raise ValueError("GIF pixel data short")
+    return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """uint8 (h,w) gray / (h,w,3) RGB with <=256 distinct colors ->
+    single-frame GIF89a bytes (exact palette, non-interlaced).  Images
+    with more colors must be quantized by the CALLER (posterize) —
+    this encoder never silently loses color information."""
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.stack([a, a, a], axis=2)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("expected (h,w) or (h,w,3) uint8")
+    h, w = a.shape[:2]
+    flat = a.reshape(-1, 3)
+    # palette = unique colors in first-appearance order, via a packed key
+    key = (flat[:, 0].astype(np.uint32) << 16) \
+        | (flat[:, 1].astype(np.uint32) << 8) | flat[:, 2]
+    uniq, first, inv = np.unique(key, return_index=True, return_inverse=True)
+    if len(uniq) > 256:
+        raise ValueError(f"{len(uniq)} colors > 256; quantize first")
+    order = np.argsort(first, kind="stable")
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[order] = np.arange(len(uniq))
+    indices = rank[inv].astype(np.uint16)
+    palette = flat[np.sort(first)]
+    bits = max(1, int(len(palette) - 1).bit_length())
+    gct = np.zeros(((1 << bits), 3), dtype=np.uint8)
+    gct[: len(palette)] = palette
+    mcs = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    out += gct.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(mcs)
+    lzw = _lzw_encode(indices, mcs)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i:i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF bytes -> uint8 (h,w,3) RGB of the FIRST image frame.  Real
+    decoder: screen descriptor + global/local color table, extension
+    blocks skipped, LZW inflate, interlaced row reorder when flagged."""
+    if payload[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated GIF")
+            ln = payload[p]
+            p += 1 + ln
+            if ln == 0:
+                return p
+
+    while pos < len(payload):
+        intro = payload[pos]
+        if intro == 0x21:                    # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 2)
+        elif intro == 0x2C:                  # image descriptor
+            _l, _t, w, h, ipack = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            ct = gct
+            if ipack & 0x80:
+                n = 2 << (ipack & 0x07)
+                ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF image with no color table")
+            mcs = payload[pos]
+            pos += 1
+            chunks = []
+            while True:
+                ln = payload[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                chunks.append(payload[pos:pos + ln])
+                pos += ln
+            idx = _lzw_decode(b"".join(chunks), mcs, w * h)
+            if idx.max(initial=0) >= len(ct):
+                raise ValueError("GIF index outside color table")
+            img = ct[idx].reshape(h, w, 3)
+            if ipack & 0x40:                 # interlaced: 8/8/4/2 pass order
+                rows = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                                       np.arange(2, h, 4), np.arange(1, h, 2)])
+                out = np.empty_like(img)
+                out[rows] = img
+                img = out
+            return img
+        elif intro == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{intro:02x}")
+    raise ValueError("GIF contains no image data")

@@ -2,17 +2,18 @@
 
 The engine treats media as ``binary`` columns with typed metadata and
 runs decode / feature-extract / resize / frame-sample as actor-pool
-map_batches stages.  Decode is REAL for the uncompressed container
-formats that need no external library — RIFF/WAVE PCM16, binary PNM
-(P5/P6), and the RVID raw-video container (``kernels.media``):
+map_batches stages.  Decode is REAL for every format expressible with
+the stdlib + numpy — RIFF/WAVE PCM16, binary PNM (P5/P6), PNG
+(zlib inflate + scanline unfilter), GIF (from-scratch LZW), and the
+RVID raw-video container (``kernels.media``):
 ``RawMediaDecoder`` sniffs the payload magic, decodes, and extracts
 numeric features (RMS/peak/ZCR for audio; mean/std + block-averaged
 thumbnail for images; first-frame image features for video), with a
-decode QA flag for undecodable payloads.  COMPRESSED codecs
-(jpeg/mp3/h264) genuinely require external libraries this container
-does not ship — ``NotImplementedDecoder`` marks that integration
-point, and ``DeterministicFakeDecoder`` remains as a seeded
-plumbing-only stand-in.
+decode QA flag for undecodable payloads.  Only DCT/entropy-coded
+codecs (jpeg/mp3/h264) genuinely require external libraries this
+container does not ship — ``NotImplementedDecoder`` marks that
+integration point, and ``DeterministicFakeDecoder`` remains as a
+seeded plumbing-only stand-in.
 
 Reference analog: the per-granule raster ingest stages (READ_IMG /
 READ_DNB, FILDA_IO.py:383-567) — heavy binary blobs decoded once per
@@ -40,15 +41,17 @@ MEDIA_SCHEMA = pa.schema(
 
 
 class NotImplementedDecoder:
-    """Integration point for COMPRESSED codecs (jpeg/mp3/h264).
-    __init__ is where PIL / libsndfile / pyav handles would be created
-    (once per actor); uncompressed formats need no such library — use
+    """Integration point for DCT/entropy-coded codecs (jpeg/mp3/h264),
+    which need libjpeg/libsndfile/ffmpeg-class libraries this container
+    does not ship.  __init__ is where those handles would be created
+    (once per actor).  Everything stdlib-expressible — wav, pnm, PNG
+    (zlib), GIF (LZW), rvid — is decoded for REAL by
     ``RawMediaDecoder``."""
 
     def __init__(self, target_size: tuple[int, int] = (64, 64)):
         raise NotImplementedError(
-            "no compressed-codec libraries in this environment; "
-            "RawMediaDecoder handles wav/pnm/rvid payloads for real"
+            "no jpeg/mp3/h264 codec libraries in this environment; "
+            "RawMediaDecoder handles wav/pnm/png/gif/rvid payloads for real"
         )
 
 
@@ -85,6 +88,8 @@ class RawMediaDecoder:
                 if img.ndim == 3 and img.shape[2] == 4:
                     img = img[:, :, :3]  # drop alpha for the feature grid
                 f = m.image_features(img, self.grid)
+            elif payload[:6] in m.GIF_MAGICS:
+                f = m.image_features(m.decode_gif(payload), self.grid)
             elif payload[:1] == b"P" and payload[1:2] in b"56":
                 f = m.image_features(m.decode_ppm(payload), self.grid)
             elif payload[:4] == m.RVID_MAGIC:
@@ -221,11 +226,12 @@ def _synth_audio(doc_id: int) -> np.ndarray:
 
 
 def synth_media_raw(sf_dir: str, kind: str = "image"):
-    """Deterministic media table with REAL encoded payloads: PNG/P6
-    images (alternating containers and PNG scanline filters), PCM16
-    WAV audio, or RVID raw video (frame f = the doc's image rolled by
-    f rows) — decodable end-to-end by ``RawMediaDecoder`` with no
-    media library."""
+    """Deterministic media table with REAL encoded payloads: PNG/P6/GIF
+    images (containers cycle by id, PNG cycling its scanline filter,
+    GIF over a posterized copy so the exact-palette encoder applies),
+    PCM16 WAV audio, or RVID raw video (frame f = the doc's image
+    rolled by f rows) — decodable end-to-end by ``RawMediaDecoder``
+    with no media library."""
     import ray.data as rd
 
     from ..kernels import media
@@ -247,13 +253,17 @@ def synth_media_raw(sf_dir: str, kind: str = "image"):
                 w.append(VID_SIZE); h.append(VID_SIZE); sr.append(0)
             else:
                 img = _synth_image(i)
-                # alternate containers so the decoder's magic sniffing
-                # is exercised on real mixed corpora: even ids PNG
-                # (cycling the scanline filter), odd ids binary PPM
-                if i % 2 == 0:
-                    payloads.append(media.encode_png(img, filter_type=(i // 2) % 5))
-                else:
+                # cycle containers so the decoder's magic sniffing is
+                # exercised on real mixed corpora: PNG (cycling the
+                # scanline filter), binary PPM, GIF (posterized to fit
+                # the exact-palette encoder)
+                r = i % 3
+                if r == 0:
+                    payloads.append(media.encode_png(img, filter_type=(i // 3) % 5))
+                elif r == 1:
                     payloads.append(media.encode_ppm(img))
+                else:
+                    payloads.append(media.encode_gif(img & 0xC0))
                 w.append(IMG_SIZE); h.append(IMG_SIZE); sr.append(0)
         return pa.table(
             {

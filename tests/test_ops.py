@@ -1505,6 +1505,82 @@ def test_png_decoder_features_match_ppm():
     assert np.array_equal(np.stack(out2["features"].to_numpy())[0], a[0])
 
 
+def test_gif_codec_roundtrip():
+    """From-scratch GIF89a LZW codec: decode(encode(img)) is the
+    identity for palettes of 1..256 colors, grayscale inputs, and
+    images large enough to force 12-bit codes + a mid-stream table
+    reset (the 4096-entry CLEAR path)."""
+    import pytest as _pt
+
+    from filda_ray.kernels import media
+
+    rng = np.random.RandomState(3)
+    for ncol in (1, 2, 3, 17, 255, 256):
+        pal = rng.randint(0, 256, (ncol, 3), dtype=np.uint8)
+        img = pal[rng.randint(0, ncol, (19, 23))]
+        assert np.array_equal(media.decode_gif(media.encode_gif(img)), img)
+    # grayscale in -> (h,w,3) with equal channels
+    g = rng.randint(0, 256, (9, 7), dtype=np.uint8)
+    out = media.decode_gif(media.encode_gif(g))
+    assert np.array_equal(out, np.stack([g, g, g], axis=2))
+    # 300x300 @ 256 colors exceeds 4096 dict entries -> table reset
+    pal = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+    big = pal[rng.randint(0, 256, (300, 300))]
+    assert np.array_equal(media.decode_gif(media.encode_gif(big)), big)
+    with _pt.raises(ValueError):
+        media.encode_gif(rng.randint(0, 256, (40, 40, 3), dtype=np.uint8))
+    with _pt.raises(ValueError):
+        media.decode_gif(b"not a gif")
+    with _pt.raises(ValueError):
+        media.decode_gif(b"GIF89a" + b"\x00" * 16)
+
+
+def test_gif_interlaced_decode():
+    """Interlace flag: rows written in the 8/8/4/2 pass order decode
+    back to the original top-to-bottom image."""
+    import struct
+
+    from filda_ray.kernels import media
+
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    img = pal[rng.randint(0, 16, (21, 6))]
+    h = img.shape[0]
+    rows = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                           np.arange(2, h, 4), np.arange(1, h, 2)])
+    plain = bytearray(media.encode_gif(img[rows]))
+    # image descriptor sits right after header+LSD+GCT; set interlace bit
+    idesc = 13 + 16 * 3
+    assert plain[idesc] == 0x2C
+    plain[idesc + 9] |= 0x40
+    assert np.array_equal(media.decode_gif(bytes(plain)), img)
+
+
+def test_gif_decoder_features_match_ppm(ray_session):
+    """RawMediaDecoder sniffs GIF payloads and produces IDENTICAL
+    features to the PPM encoding of the same (palette-sized) image."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from filda_ray.kernels import media
+    from filda_ray.ops.multimodal import RawMediaDecoder, decode_media
+
+    rng = np.random.RandomState(13)
+    pal = rng.randint(0, 256, (64, 3), dtype=np.uint8)
+    imgs = [pal[rng.randint(0, 64, (24, 24))] for _ in range(5)]
+    tbl = pa.table({
+        "media_id": pa.array(list(range(10)), pa.int64()),
+        "kind": pa.array(["image"] * 10),
+        "payload": pa.array([media.encode_gif(im) for im in imgs]
+                            + [media.encode_ppm(im) for im in imgs], pa.binary()),
+    })
+    out = decode_media(rd.from_arrow(tbl), decoder=RawMediaDecoder).to_pandas()
+    assert out["decode_ok"].all()
+    a = np.stack(out[out.media_id < 5].sort_values("media_id")["features"].to_numpy())
+    b = np.stack(out[out.media_id >= 5].sort_values("media_id")["features"].to_numpy())
+    assert np.array_equal(a, b)
+
+
 def test_edit_distance_pairs_planted(ray_session):
     """Prefix-candidate + Levenshtein verify: planted same-prefix docs
     pair up with the exact edit distance; different-prefix docs never
