@@ -81,7 +81,26 @@ def run_bench() -> dict:
     from filda_ray.sources.pages import read_pages
 
     timings: dict[str, float] = {}
+    entry_meta: dict[str, dict] = {}
     stat0 = _cpu_stat()
+
+    def timed(name: str, fn, *, rerun_under: float = 3.0, max_reps: int = 3):
+        """Time one bench entry with its own steal window.  Entries
+        whose first run lands under ``rerun_under`` seconds are re-run
+        (n=3 total) and report min + spread — r3's 1-3 s entries swung
+        +/-50% between sessions on this shared box, and a single short
+        timing cannot distinguish a regression from a neighbor burst."""
+        s0 = _cpu_stat()
+        reps = []
+        t0 = time.time()
+        fn()
+        reps.append(round(time.time() - t0, 3))
+        while reps[0] < rerun_under and len(reps) < max_reps:
+            t0 = time.time()
+            fn()
+            reps.append(round(time.time() - t0, 3))
+        timings[name] = min(reps)
+        entry_meta[name] = {"runs": reps, "steal_pct": _steal_pct(s0, _cpu_stat())}
 
     # warm the page cache (untimed read) so we measure compute + shuffle
     read_pages(SF_DIR).count()
@@ -91,6 +110,7 @@ def run_bench() -> dict:
     # estimator for the machine's actual capability (all runs recorded)
     runs = []
     n_pages = 0
+    s0_flag = _cpu_stat()
     for _ in range(3):
         t0 = time.time()
         det = flagship.detect_pipeline(SF_DIR, replicate=REPLICATE)
@@ -98,6 +118,8 @@ def run_bench() -> dict:
         runs.append(round(time.time() - t0, 3))
     t_flagship = min(runs)
     timings["flagship_detect"] = t_flagship
+    entry_meta["flagship_detect"] = {"runs": runs,
+                                     "steal_pct": _steal_pct(s0_flag, _cpu_stat())}
 
     if not os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY"):
         # production-shaped flagship: read a MATERIALIZED pages Parquet
@@ -108,9 +130,8 @@ def run_bench() -> dict:
 
         pdir = write_pages_parquet(SF_DIR, "/tmp/graft_pages_bench",
                                    replicate=REPLICATE)
-        t0 = time.time()
-        flagship.detect_pipeline(None, pages_dir=pdir).count()
-        timings["flagship_from_parquet"] = round(time.time() - t0, 3)
+        timed("flagship_from_parquet",
+              lambda: flagship.detect_pipeline(None, pages_dir=pdir).count())
 
     secondary = {} if os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY") else {
         "dedup_exact": Q.q_dedup,
@@ -128,12 +149,13 @@ def run_bench() -> dict:
         "range_window_sum": Q.q_range_window,
         "radius_join": Q.q_radius_join,
     }
-    for name, fn in secondary.items():
-        t0 = time.time()
+    def consume(fn):
         res = fn(SF_DIR)
         if hasattr(res, "count"):
             res.count()
-        timings[name] = round(time.time() - t0, 3)
+
+    for name, fn in secondary.items():
+        timed(name, lambda fn=fn: consume(fn))
 
     if not os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY"):
         # control for bloom_semi_join: the SAME exact semi join as a
@@ -143,13 +165,15 @@ def run_bench() -> dict:
         from filda_ray.ops.relational import distinct_rows
         from filda_ray.sources import read_parquet_clean as _rpc
 
-        t0 = time.time()
-        li = _rpc(f"{SF_DIR}/lineitem.parquet",
-                  columns=["l_orderkey", "l_linenumber", "l_quantity"])
-        rk = distinct_rows(Q._high_orders(SF_DIR), ["o_orderkey"])
-        li.join(rk, join_type="left_semi", num_partitions=shuffle_partitions(),
-                on=("l_orderkey",), right_on=("o_orderkey",)).count()
-        timings["semi_join_hash_control"] = round(time.time() - t0, 3)
+        def semi_control():
+            li = _rpc(f"{SF_DIR}/lineitem.parquet",
+                      columns=["l_orderkey", "l_linenumber", "l_quantity"])
+            rk = distinct_rows(Q._high_orders(SF_DIR), ["o_orderkey"])
+            li.join(rk, join_type="left_semi",
+                    num_partitions=shuffle_partitions(),
+                    on=("l_orderkey",), right_on=("o_orderkey",)).count()
+
+        timed("semi_join_hash_control", semi_control)
 
         # dedup worst case: every document unique (64x corpus with
         # distinct texts).  The bounded-bucket first-wins design must
@@ -177,12 +201,10 @@ def run_bench() -> dict:
                                       columns=["doc_id", "text"])
             return docs.map_batches(explode64, batch_format="pyarrow")
 
-        t0 = time.time()
-        n_dedup = dedup_exact(distinct_corpus()).count()
-        timings["dedup_distinct_320k"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        distinct_rows(distinct_corpus(), ["doc_id"]).count()
-        timings["distinct_rows_320k"] = round(time.time() - t0, 3)
+        timed("dedup_distinct_320k",
+              lambda: dedup_exact(distinct_corpus()).count())
+        timed("distinct_rows_320k",
+              lambda: distinct_rows(distinct_corpus(), ["doc_id"]).count())
 
         # cross-document frequent-segment removal on the same 320k
         # corpus (paragraph-dedup machinery at token granularity):
@@ -195,10 +217,9 @@ def run_bench() -> dict:
         from filda_ray.ops.text import remove_frequent_segments
 
         seg_corpus = distinct_corpus().repartition(128).materialize()
-        t0 = time.time()
-        remove_frequent_segments(seg_corpus, delimiter=" ",
-                                 min_df=2, max_df_frac=0.5).count()
-        timings["segment_prune_320k"] = round(time.time() - t0, 3)
+        timed("segment_prune_320k",
+              lambda: remove_frequent_segments(seg_corpus, delimiter=" ",
+                                               min_df=2, max_df_frac=0.5).count())
 
         # WARC round-trip at 320k pages: distributed member-per-record
         # .warc.gz write (one archive per block) + full parse-back read
@@ -208,12 +229,15 @@ def run_bench() -> dict:
         from filda_ray.sources.pages import read_pages
         from filda_ray.sources.warc import read_warc, write_warc
 
-        wd = tempfile.mkdtemp(prefix="warc_bench_", dir="/tmp")
-        t0 = time.time()
-        write_warc(read_pages(SF_DIR, replicate=max(REPLICATE // 16, 1)), wd)
-        n_warc = read_warc(wd).count()
-        timings["warc_roundtrip_320k"] = round(time.time() - t0, 3)
-        shutil.rmtree(wd, ignore_errors=True)
+        def warc_roundtrip():
+            wd = tempfile.mkdtemp(prefix="warc_bench_", dir="/tmp")
+            try:
+                write_warc(read_pages(SF_DIR, replicate=max(REPLICATE // 16, 1)), wd)
+                read_warc(wd).count()
+            finally:
+                shutil.rmtree(wd, ignore_errors=True)
+
+        timed("warc_roundtrip_320k", warc_roundtrip)
 
         # PQ ANN end-to-end at 64x the embedding corpus (128k vecs):
         # sample train + uint8 encode + 16-query ADC scan
@@ -240,25 +264,25 @@ def run_bench() -> dict:
         qt = _pq.read_table(f"{SF_DIR}/embeddings.parquet",
                             columns=["embedding"]).slice(0, 16)
         Qm = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
-        t0 = time.time()
-        books = pq_train(rep_embeddings(), m=8, nbits=8, sample_size=2000,
-                         seed=0)
-        pq_topk(pq_encode(rep_embeddings(), books), books, Qm, k=10).count()
-        timings["pq_ann_128k"] = round(time.time() - t0, 3)
+        def pq_ann():
+            books = pq_train(rep_embeddings(), m=8, nbits=8, sample_size=2000,
+                             seed=0)
+            pq_topk(pq_encode(rep_embeddings(), books), books, Qm, k=10).count()
+
+        timed("pq_ann_128k", pq_ann)
 
         # distributed hex background at replicate scale: no driver
         # materialization of the (cell x value) histogram
         from filda_ray.ops.background import background_stats_hex
         from filda_ray.pipelines.flagship import narrow_pages
 
-        t0 = time.time()
-        # materialize the narrow stream first (the flagship's own
-        # materialize_narrow design): a min-rows partial fused across
-        # the bench replicator would bundle by PRE-expansion rows and
-        # collapse to one task (see sources/pages.py read_pages caveat)
-        narrow = narrow_pages(SF_DIR, replicate=max(REPLICATE // 4, 1)).materialize()
-        background_stats_hex(narrow, "n_chars").count()
-        timings["hex_background_1.3M"] = round(time.time() - t0, 3)
+        # streams end-to-end fused: the range-driven replicator counts
+        # post-expansion rows, so the hist partial's min-rows bundling
+        # no longer collapses the chain (see read_pages)
+        timed("hex_background_1.3M",
+              lambda: background_stats_hex(
+                  narrow_pages(SF_DIR, replicate=max(REPLICATE // 4, 1)),
+                  "n_chars").count())
 
         # adversarial near-dup verify (fresh subprocess so the driver
         # peak RSS is attributable): templated corpus -> LSH emits far
@@ -290,6 +314,7 @@ def run_bench() -> dict:
         "pages": int(n_pages),
         "pages_per_sec": round(n_pages / max(timings["flagship_detect"], 1e-9), 1),
         "flagship_runs": runs,
+        "entries": entry_meta,
         "steal_pct": _steal_pct(stat0, _cpu_stat()),
     }
     ray.shutdown()

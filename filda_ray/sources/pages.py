@@ -125,32 +125,49 @@ def read_pages(sf_dir: str, *, replicate: int = 1):
     """
     import ray.data as rd
 
+    if replicate > 1:
+        # RANGE-DRIVEN replication: the source Dataset has one row per
+        # OUTPUT page (rd.range), with the tiny base corpus broadcast
+        # once via ray.put and gathered per task.  This keeps Ray's
+        # row accounting truthful — a downstream stage's min-rows
+        # bundling counts REAL pages, not pre-expansion documents.
+        # (The previous in-stream expander multiplied rows inside
+        # map_batches; any fused consumer with a large batch_size —
+        # the histogram/count partials — then bundled by PRE-expansion
+        # rows and collapsed the whole chain to ONE task: a 1.27M-page
+        # hex background measured as one 29.8 s task.  Range-driven
+        # synthesis removes that hazard class: fused-chain bundles are
+        # post-expansion by construction, no materialize barrier
+        # needed.)  Bench-synthesis path only; replicate=1 production
+        # reads stream straight from parquet.
+        import pyarrow.parquet as pq
+        import ray
+
+        base = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "lang"])
+        ref = ray.put(base)
+        nb = len(base)
+        total = nb * replicate
+
+        def synth_range(batch: pa.Table) -> pa.Table:
+            t = ray.get(ref)      # zero-copy plasma read, per task
+            ids = batch.column("id").to_numpy()
+            i = (ids % nb).astype(np.int64)
+            r = (ids // nb).astype(np.int64)
+            rows = t.take(pa.array(i))
+            doc = rows.column("doc_id").to_numpy() + r * REPLICA_STRIDE
+            rows = rows.set_column(
+                rows.schema.get_field_index("doc_id"), "doc_id",
+                pa.array(doc, pa.int64()))
+            return synth_pages_batch(rows)
+
+        ds = rd.range(total,
+                      override_num_blocks=int(np.clip(total // 65536, 32, 2048)))
+        return ds.map_batches(synth_range, batch_format="pyarrow")
+
     ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    if replicate > 1:
-        def expand(batch: pa.Table) -> pa.Table:
-            tables = []
-            ids = batch.column("doc_id").to_numpy()
-            for r in range(replicate):
-                tables.append(batch.set_column(
-                    batch.schema.get_field_index("doc_id"), "doc_id",
-                    pa.array(ids + r * REPLICA_STRIDE, pa.int64())))
-            return pa.concat_tables(tables)
-
-        # small input bundles: Ray bundles map tasks by PRE-expansion
-        # bytes, so without this the tiny documents table collapses the
-        # whole fused chain into one task; 128 docs/task * replicate
-        # keeps post-expansion blocks at a few MB and parallelism wide
-        # CAVEAT (measured): a downstream stage with a large batch_size
-        # (the histogram/count partials) fused across this expansion
-        # has its row demand counted in PRE-expansion rows and can
-        # collapse the whole chain into one task (1.27M-page hex
-        # background as ONE 29.8 s task).  Consumers of a replicated
-        # stream must materialize (or otherwise cut the plan) before a
-        # min-rows stage — the flagship's materialize_narrow does; the
-        # production parquet path has no row multiplier, so it is safe.
-        ds = ds.map_batches(expand, batch_format="pyarrow", batch_size=128)
     return ds.map_batches(synth_pages_batch, batch_format="pyarrow", batch_size=None)
 
 
