@@ -5,11 +5,13 @@ vocabulary instead of a whitespace heuristic).
 Scale shape mirrors ``embed.kmeans_distributed``: training reads a
 hash-random sample (canonical order) and runs driver-side — BPE merge
 selection is inherently sequential and the sample is small — while the
-ENCODE pass is the distributed part: an actor pool holds the compiled
-merge table once per worker and maps the corpus.  At 100 TB you swap
-the per-doc Python merge loop for a C tokenizer behind the same stage
-signature; the Ray-side plumbing (broadcast vocab, actor pool, output
-layout) is the part this engine owns.
+ENCODE pass is the distributed part: an actor pool holds the merge
+list once per worker and maps the corpus through the VECTORIZED
+rank-by-rank numpy kernel (``bpe_encode_batch``): one boolean
+scan + compress over the whole concatenated batch per merge, no
+per-document Python loop.  A C tokenizer could still swap in behind
+the same stage signature, but the numpy path is itself a production
+hot path, not a placeholder.
 
 Public-knowledge algorithm (Sennrich et al. 2016, byte-level per
 GPT-2's public description); no external tokenizer code.
@@ -66,7 +68,11 @@ def bpe_train(texts, n_merges: int = 200):
 def bpe_encode_bytes(data: bytes, ranks: dict) -> list:
     """Encode one byte string: repeatedly merge ALL occurrences of the
     lowest-rank adjacent pair present (the standard BPE apply order;
-    ``ranks`` maps pair -> (rank, new_id))."""
+    ``ranks`` maps pair -> (rank, new_id)).
+
+    Per-doc pure-Python REFERENCE implementation — kept as the oracle
+    for ``bpe_encode_batch`` (the vectorized production path) and for
+    single-string use; the distributed encode stage does not call it."""
     s = list(data)
     while len(s) > 1:
         best = None
@@ -87,6 +93,60 @@ def bpe_encode_bytes(data: bytes, ranks: dict) -> list:
                 i += 1
         s = out
     return s
+
+
+def bpe_encode_batch(docs: list[bytes], merges) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized BPE encode of a whole batch at once: all docs are
+    concatenated into one int32 symbol array with a -1 separator
+    between docs (no pair can span it), then the merge list is applied
+    RANK BY RANK with numpy masks across every doc simultaneously —
+    one boolean scan + compress per merge instead of a Python loop per
+    document.
+
+    Rank-ascending global passes are EXACTLY equivalent to the
+    per-doc "merge the lowest rank present, repeat" reference
+    (``bpe_encode_bytes``, property-tested equal): merging pair r
+    only creates adjacencies involving its new id, and any pair over
+    that id was learned later in training, so every pair created by
+    rank r has rank > r — lower ranks can never reappear.  Greedy
+    left-to-right overlap handling (runs of a repeated symbol merge
+    every other position) is reproduced by parity-within-run masks.
+
+    Returns (values, offsets): token ids for doc i are
+    values[offsets[i]:offsets[i+1]] — zero-copy constructible into an
+    Arrow list<int32> column."""
+    k = len(docs)
+    if k == 0:
+        return np.empty(0, np.int32), np.zeros(1, np.int64)
+    parts = []
+    for d in docs:
+        parts.append(np.frombuffer(d, dtype=np.uint8).astype(np.int32))
+        parts.append(np.array([-1], np.int32))
+    s = np.concatenate(parts)
+    for (a, b), nid in merges:
+        if len(s) < 2:
+            break
+        m = np.flatnonzero((s[:-1] == a) & (s[1:] == b))
+        if len(m) == 0:
+            continue
+        if a == b:
+            # overlapping matches only occur for (x, x) pairs: within
+            # each run of consecutive match positions, greedy
+            # left-to-right takes every other one
+            run_start = np.r_[True, np.diff(m) > 1]
+            starts = m[run_start]
+            run_id = np.cumsum(run_start) - 1
+            m = m[((m - starts[run_id]) % 2) == 0]
+        s[m] = nid
+        keep = np.ones(len(s), dtype=bool)
+        keep[m + 1] = False
+        s = s[keep]
+    sep = np.flatnonzero(s == -1)
+    starts = np.r_[0, sep[:-1] + 1]
+    lengths = sep - starts
+    offsets = np.zeros(k + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    return s[s != -1], offsets
 
 
 def bpe_decode(ids, merges) -> bytes:
@@ -128,33 +188,31 @@ def train_bpe_on_corpus(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
 def bpe_encode_op(ds, merges, *, text_col: str = "text",
                   id_col: str = "doc_id", concurrency: int | None = None):
-    """Distributed encode: an actor pool compiles the rank table once
-    per worker (__init__), each batch encodes per doc and emits
-    (id_col, token ids list<int32>, n_tokens, n_bytes, tok-per-byte).
-    The per-doc merge loop is the documented C-kernel swap point."""
+    """Distributed encode: an actor pool holds the merge list once per
+    worker (__init__), each batch is encoded by the VECTORIZED
+    rank-by-rank numpy kernel (``bpe_encode_batch`` — no per-doc
+    Python loop) and emits (id_col, token ids list<int32>, n_tokens,
+    n_bytes, tok-per-byte)."""
     merges = list(merges)
 
     class Encoder:
         def __init__(self):
-            self.ranks = {pair: (r, nid)
-                          for r, (pair, nid) in enumerate(merges)}
+            self.merges = merges
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             texts = batch.column(text_col).to_pylist()
-            ids_out, n_tok, n_byte = [], [], []
-            for t in texts:
-                b = (t or "").encode("utf-8")
-                enc = bpe_encode_bytes(b, self.ranks)
-                ids_out.append(np.asarray(enc, dtype=np.int32))
-                n_tok.append(len(enc))
-                n_byte.append(len(b))
-            n_tok = np.asarray(n_tok, dtype=np.int64)
-            n_byte = np.asarray(n_byte, dtype=np.int64)
+            docs = [(t or "").encode("utf-8") for t in texts]
+            values, offsets = bpe_encode_batch(docs, self.merges)
+            tokens = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(values, pa.int32()))
+            n_tok = np.diff(offsets)
+            n_byte = np.asarray([len(d) for d in docs], dtype=np.int64)
             with np.errstate(invalid="ignore", divide="ignore"):
                 ratio = np.where(n_byte > 0, n_tok / n_byte, np.nan)
             return pa.table({
                 id_col: batch.column(id_col),
-                "tokens": pa.array(ids_out, pa.list_(pa.int32())),
+                "tokens": tokens,
                 "n_tokens": pa.array(n_tok),
                 "n_bytes": pa.array(n_byte),
                 "tokens_per_byte": pa.array(ratio),

@@ -1979,6 +1979,39 @@ def test_bpe_roundtrip_and_ratio(ray_session, sf_dir):
     assert out["tokens_per_byte"].mean() < 0.75
 
 
+def test_bpe_batch_kernel_matches_reference():
+    """The vectorized rank-by-rank batch encoder produces EXACTLY the
+    per-doc reference encoding — including overlapping-run greedy
+    behavior (aaa..., abab...), empty docs, and docs with no
+    applicable merges."""
+    from filda_ray.ops.bpe import (bpe_decode, bpe_encode_batch,
+                                   bpe_encode_bytes, bpe_train)
+
+    rng = np.random.RandomState(17)
+    # corpus with heavy repetition so training learns (x,x) pairs and
+    # chained merges
+    train_texts = ["aaaaaaabbbbab" * 4, "the the the cat cat sat",
+                   "abababab zzzz", "mississippi mississippi"] * 5
+    merges = bpe_train(train_texts, n_merges=60)
+    assert any(a == b for (a, b), _ in merges)  # (x,x) pairs learned
+    ranks = {pair: (r, nid) for r, (pair, nid) in enumerate(merges)}
+
+    docs = [t.encode("utf-8") for t in train_texts[:4]]
+    docs += [b"", b"a", b"aaaaaaaaaaaaaaaaa", b"abababababab",
+             b"\xff\xfe binary \x00 bytes", b"unrelated symbols XYZ"]
+    docs += [bytes(rng.randint(97, 123, rng.randint(0, 60)).astype(np.uint8))
+             for _ in range(40)]
+    values, offsets = bpe_encode_batch(docs, merges)
+    assert len(offsets) == len(docs) + 1
+    for i, d in enumerate(docs):
+        got = values[offsets[i]:offsets[i + 1]].tolist()
+        assert got == bpe_encode_bytes(d, ranks), (i, d)
+        assert bpe_decode(got, merges) == d
+    # empty batch
+    v, o = bpe_encode_batch([], merges)
+    assert len(v) == 0 and o.tolist() == [0]
+
+
 def test_pagerank_matches_numpy(ray_session):
     """Distributed PageRank == numpy power iteration (same dangling
     handling) on a graph with a dangling node and parallel edges."""
