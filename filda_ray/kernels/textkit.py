@@ -130,16 +130,34 @@ def tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall(text)
 
 
+def _as_string_array(texts):
+    """list/ndarray/Arrow column -> non-null pa.string() array (one C
+    conversion; the RE2 kernels below never see Python rows)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if not isinstance(texts, pa.Array):
+        texts = pa.array(texts, pa.string())
+    if pa.types.is_large_string(texts.type) or pa.types.is_binary(texts.type) \
+            or pa.types.is_large_binary(texts.type):
+        texts = texts.cast(pa.string())
+    return pc.fill_null(texts, "")
+
+
 def token_counts(texts) -> np.ndarray:
     """Whitespace/alnum token count per document (int64).
 
-    SQL mirror on space-separated corpora:
+    One RE2 run-count over the batch (the gopher_stats pattern) — no
+    per-row findall.  SQL mirror on space-separated corpora:
     ``array_length(string_split(text, ' '))``.
     """
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        out[i] = 0 if t is None else len(_TOKEN_RE.findall(t))
-    return out
+    import pyarrow.compute as pc
+
+    arr = _as_string_array(texts)
+    return pc.count_substring_regex(arr, r"[A-Za-z0-9]+").to_numpy(
+        zero_copy_only=False).astype(np.int64)
 
 
 def quality_features(texts):
@@ -269,19 +287,26 @@ def lang_id(texts) -> np.ndarray:
     """Stopword-profile language guess ('und' when no evidence).
 
     Deterministic tie-break: highest hit count, then alphabetical.
-    """
-    out = np.empty(len(texts), dtype=object)
-    for i, t in enumerate(texts):
-        if not t:
-            out[i] = "und"
-            continue
-        toks = set(w.lower() for w in _TOKEN_RE.findall(t))
-        best = ("und", 0)
-        for lang in sorted(_LANG_PROFILES):
-            hits = len(toks & _LANG_PROFILES[lang])
-            if hits > best[1]:
-                best = (lang, hits)
-        out[i] = best[0]
+
+    Vectorized (the gopher_stats one-RE2-count-per-signal pattern):
+    each stopword is ONE token-boundary presence test over the
+    lowercased batch — `(^|[^a-z0-9])word([^a-z0-9]|$)`, equivalent to
+    membership in the `[A-Za-z0-9]+` token set — giving a (docs x
+    langs) distinct-hit matrix; argmax over alphabetically ordered
+    languages reproduces the reference tie-break exactly."""
+    import pyarrow.compute as pc
+
+    arr = pc.utf8_lower(_as_string_array(texts))
+    langs = sorted(_LANG_PROFILES)
+    hits = np.zeros((len(arr), len(langs)), dtype=np.int64)
+    for j, lang in enumerate(langs):
+        for w in _LANG_PROFILES[lang]:
+            pat = rf"(^|[^a-z0-9]){re.escape(w)}([^a-z0-9]|$)"
+            present = pc.greater(pc.count_substring_regex(arr, pat), 0)
+            hits[:, j] += present.to_numpy(zero_copy_only=False)
+    best = np.argmax(hits, axis=1)
+    out = np.asarray(langs, dtype=object)[best]
+    out[hits.max(axis=1) == 0] = "und"
     return out
 
 

@@ -115,7 +115,7 @@ def normalize_op(ds, text_col: str = "text"):
 
 
 def langid_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    guess = textkit.lang_id(batch.column(text_col).to_pylist())
+    guess = textkit.lang_id(batch.column(text_col))
     return batch.append_column("lang_guess", pa.array(guess, pa.string()))
 
 

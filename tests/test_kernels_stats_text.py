@@ -81,6 +81,49 @@ def test_extract_text_inverts_render():
 def test_token_counts_matches_split():
     texts = ["a b c", "one", ""]
     assert textkit.token_counts(texts).tolist() == [3, 1, 0]
+    # RE2 kernel == per-row findall on punctuation/None/unicode edges
+    import re as _re
+
+    edge = ["a,b;c", "x--y", None, "héllo thé 42", "  ", "a1b2 c3", "ALL CAPS"]
+    want = [0 if t is None else len(_re.findall(r"[A-Za-z0-9]+", t))
+            for t in edge]
+    assert textkit.token_counts(edge).tolist() == want
+
+
+def test_lang_id_matches_per_row_reference():
+    """Vectorized lang_id == the per-row token-set reference (distinct
+    stopword hits, highest-count-then-alphabetical tie-break),
+    including ties, unicode-adjacent tokens, and no-evidence docs."""
+    import re as _re
+
+    def ref_one(t):
+        if not t:
+            return "und"
+        toks = set(w.lower() for w in _re.findall(r"[A-Za-z0-9]+", t))
+        best = ("und", 0)
+        for lang in sorted(textkit._LANG_PROFILES):
+            hits = len(toks & textkit._LANG_PROFILES[lang])
+            if hits > best[1]:
+                best = (lang, hits)
+        return best[0]
+
+    texts = [
+        "the cat and the dog of it is that for",          # en
+        "der die und das ist nicht",                      # de
+        "le la et les des est",                           # fr
+        "el que y en los una por",                        # es (overlaps fr/pt)
+        "o de que e em um uma",                           # pt
+        "il di che la per una",                           # it
+        "de la le el o",                                  # cross-language tie
+        "THE AND OF",                                     # case folding
+        "thé theé the2 the",                         # unicode/digit bounds
+        "no stopwords here xyzzy quux",
+        "", None, "   ", "42 1999 2024",
+        "the de le el il o",                              # 1-hit everywhere tie
+    ]
+    got = textkit.lang_id(texts)
+    want = [ref_one(t) for t in texts]
+    assert list(got) == want
 
 
 def test_minhash_jaccard_estimate():
