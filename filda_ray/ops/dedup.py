@@ -282,7 +282,8 @@ def _jaccard_from_sig_cols(batch: pa.Table, a_col: str, b_col: str) -> np.ndarra
 
 def verify_jaccard_op(pairs, docs, *, text_col: str = "text", id_col: str = "doc_id",
                       shingle_w: int = 3, threshold: float = 0.7,
-                      mode: str = "auto", broadcast_max_pairs: int = 100_000):
+                      mode: str = "auto", broadcast_max_pairs: int = 100_000,
+                      broadcast_max_bytes: int = 128 << 20):
     """Distributed exact-Jaccard verification of LSH candidate pairs.
 
     Scale design: the expensive work — shingling each candidate
@@ -302,17 +303,28 @@ def verify_jaccard_op(pairs, docs, *, text_col: str = "text", id_col: str = "doc
       doc_a then doc_b via two hash joins.  Driver holds only the
       pair COUNT.
 
+    Auto mode is guarded TWICE: by the measured pair count (protects
+    the driver-side pairs gather) and then by the MEASURED signature
+    bytes (``broadcast_max_bytes``, protecting the ``ray.put`` dict —
+    the real constraint: long-shingle corpora can blow the byte budget
+    well under the pair cap).  Signatures are computed once into the
+    object store; a byte overflow falls through to the join path
+    reusing them, so nothing is shingled twice.
+
     The pairs dataset is materialized once (object store, spillable —
     never the driver heap) to get the count and feed both joins.
     """
     pairs = pairs.materialize()
     n_pairs = pairs.count()
-    if mode == "auto":
+    auto = mode == "auto"
+    if auto:
         mode = "broadcast" if n_pairs <= broadcast_max_pairs else "join"
 
     sig_fn = _shingle_sig_stage(id_col, text_col, shingle_w)
+    sigs = None        # materialized signature Dataset, shared by both paths
 
     if mode == "broadcast":
+        import pyarrow.compute as pc
         import ray
 
         from .relational import semi_anti_filter
@@ -328,9 +340,22 @@ def verify_jaccard_op(pairs, docs, *, text_col: str = "text", id_col: str = "doc
         cand_docs = semi_anti_filter(
             docs.select_columns([id_col, text_col]), cand_ids, on=id_col
         )
+        sigs = cand_docs.map_batches(sig_fn, batch_format="pyarrow").materialize()
+        if auto:
+            # measured-bytes gate for the ray.put dict (mirrors
+            # derive_buckets' bytes-proportional sizing): one tiny
+            # aggregate over the materialized signatures
+            sig_bytes = int(sigs.map_batches(
+                lambda t: pa.table({"x": pa.array(
+                    [pc.sum(pc.binary_length(t.column("sig"))).as_py() or 0],
+                    pa.int64())}),
+                batch_format="pyarrow").sum("x") or 0)
+            if sig_bytes > broadcast_max_bytes:
+                mode = "join"
+
+    if mode == "broadcast":
         sig_tbl = pa.concat_tables(
-            list(cand_docs.map_batches(sig_fn, batch_format="pyarrow")
-                 .iter_batches(batch_format="pyarrow", batch_size=None))
+            list(sigs.iter_batches(batch_format="pyarrow", batch_size=None))
         )
         by_id = {int(i): np.frombuffer(s, dtype=np.uint64)
                  for i, s in zip(sig_tbl.column(id_col).to_pylist(),
@@ -363,16 +388,17 @@ def verify_jaccard_op(pairs, docs, *, text_col: str = "text", id_col: str = "doc
         ])
         return pa.table({id_col: pa.array(ids)})
 
-    ids_ds = distinct_rows(pairs.map_batches(both_sides, batch_format="pyarrow"),
-                           [id_col])
-    np_docs = derive_buckets(docs)
-    cand_docs = hash_join(
-        docs.select_columns([id_col, text_col]), ids_ds,
-        on=id_col, how="inner", num_partitions=np_docs,
-    )
-    # signatures are consumed by TWO joins below; materialize once so the
-    # shingling runs once (object store, spillable — not the driver)
-    sigs = cand_docs.map_batches(sig_fn, batch_format="pyarrow").materialize()
+    if sigs is None:
+        ids_ds = distinct_rows(pairs.map_batches(both_sides, batch_format="pyarrow"),
+                               [id_col])
+        np_docs = derive_buckets(docs)
+        cand_docs = hash_join(
+            docs.select_columns([id_col, text_col]), ids_ds,
+            on=id_col, how="inner", num_partitions=np_docs,
+        )
+        # signatures are consumed by TWO joins below; materialize once so
+        # the shingling runs once (object store, spillable — not the driver)
+        sigs = cand_docs.map_batches(sig_fn, batch_format="pyarrow").materialize()
 
     def rename(idc: str, sigc: str):
         def f(b: pa.Table) -> pa.Table:

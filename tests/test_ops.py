@@ -68,6 +68,13 @@ def test_verify_jaccard_join_mode_matches_broadcast(ray_session):
     key = lambda df: sorted(zip(df.doc_a, df.doc_b, df.jaccard.round(12)))
     assert len(bc) > 100  # templated corpus really is high-collision
     assert key(bc) == key(jn)
+    # byte-derived broadcast guard: auto mode with a tiny byte budget
+    # must fall through to the join path (long signatures can blow the
+    # ray.put dict well under the pair-count cap) and return the same
+    # result set
+    auto_small = verify_jaccard_op(pairs, ds, threshold=0.5, mode="auto",
+                                   broadcast_max_bytes=64).to_pandas()
+    assert key(auto_small) == key(bc)
 
 
 def test_derive_buckets_grows_with_input(ray_session):
