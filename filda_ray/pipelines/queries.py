@@ -4147,7 +4147,14 @@ def q_char_entropy(sf_dir: str):
     """Shannon character entropy per document (low-entropy spam
     signal): one vectorized unique-run pass per batch
     (kernels.textkit.char_entropy), no shuffle.  SQL mirror: per-char
-    unnest + -sum(p*log2(p))."""
+    unnest + -sum(p*log2(p)).
+
+    Emitted rounded to 9 dp on BOTH sides: the synthetic corpus
+    contains distinct docs with byte-identical character histograms,
+    and DuckDB's per-group summation order makes such pairs differ in
+    the last ulp — which flips their relative order under the driver's
+    sort-by-all-columns value hash (found by the sf0.1 sweep; exact at
+    any scale after rounding)."""
     from ..kernels.textkit import char_entropy
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
@@ -4155,6 +4162,7 @@ def q_char_entropy(sf_dir: str):
 
     def f(batch: pa.Table) -> pa.Table:
         ent = char_entropy(batch.column("text").to_pylist())
+        ent = np.round(ent, 9)
         return pa.table({"doc_id": batch.column("doc_id"),
                          "char_entropy": pa.array(ent)})
 
@@ -4177,7 +4185,7 @@ ent AS (
   SELECT doc_id, -sum((cnt / len) * log2(cnt / len)) AS char_entropy
   FROM freq GROUP BY doc_id
 )
-SELECT d.doc_id, e.char_entropy
+SELECT d.doc_id, round(e.char_entropy, 9) AS char_entropy
 FROM documents d LEFT JOIN ent e USING(doc_id)
 """
 
@@ -4240,7 +4248,13 @@ def q_full_outer_activity(sf_dir: str):
     totals vs error totals (days with only one activity kind survive
     with nulls on the other side).  Ray's native full_outer hash join;
     both inputs are already-reduced aggregate tables, so the join
-    moves (users x days) rows, never the event stream."""
+    moves (users x days) rows, never the event stream.
+
+    Value sums are rounded to 9 dp on BOTH sides: distinct (user, day)
+    groups can sum to the same total, and engine-vs-DuckDB summation
+    order then differs in the last ulp — flipping their relative order
+    under the driver's sort-by-all-columns hash (found by the sf0.1
+    sweep)."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
 
@@ -4268,7 +4282,8 @@ def q_full_outer_activity(sf_dir: str):
             lambda b, p=prefix: pa.table({
                 "user_id": b.column("user_id"),
                 "day": b.column("day"),
-                f"{p}_value": b.column(f"{p}_value"),
+                f"{p}_value": pa.array(np.round(
+                    b.column(f"{p}_value").to_numpy(zero_copy_only=False), 9)),
                 f"n_{p}s": b.column(f"n_{p}s").cast(pa.int64()),
             }), batch_format="pyarrow")
 
@@ -4281,12 +4296,14 @@ def q_full_outer_activity(sf_dir: str):
 def sql_full_outer_activity() -> str:
     return """
 WITH c AS (
-  SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS click_value,
+  SELECT user_id, date_trunc('day', ts) AS day,
+         round(sum(value), 9) AS click_value,
          cast(count(*) as bigint) AS n_clicks
   FROM events WHERE event_type = 'click' GROUP BY 1, 2
 ),
 e AS (
-  SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS error_value,
+  SELECT user_id, date_trunc('day', ts) AS day,
+         round(sum(value), 9) AS error_value,
          cast(count(*) as bigint) AS n_errors
   FROM events WHERE event_type = 'error' GROUP BY 1, 2
 )
