@@ -127,6 +127,21 @@ def _expand_slices(ss: np.ndarray, ll: np.ndarray, oi: np.ndarray):
     return np.repeat(oi, ll), idx
 
 
+def _merge_sorted_hist(keys: np.ndarray, sv: np.ndarray, sn: np.ndarray):
+    """Collapse equal consecutive (key, value) rows of a LEXSORTED
+    histogram, summing counts.  Partials arrive unmerged (one row per
+    distinct pair PER upstream batch), so without this the per-group
+    ring expansion grows with corpus size; after the collapse it is
+    bounded by the true histogram domain (tiles x distinct values) —
+    scale-INVARIANT.  Found at the 20M-page stress: one block group
+    expanded 50M rows / 37 s; merged, the same group is ~25x smaller."""
+    if len(keys) == 0:
+        return keys, sv, sn
+    boundary = np.r_[True, (keys[1:] != keys[:-1]) | (sv[1:] != sv[:-1])]
+    starts = np.flatnonzero(boundary)
+    return keys[starts], sv[starts], np.add.reduceat(sn, starts)
+
+
 DEFAULT_RINGS = (1, MAX_RING)
 TRIM_FRAC = 0.25  # lowest-25% background mean, FILDA.py:1362-1368
 
@@ -231,7 +246,7 @@ def background_stats(ds, value_col: str, tile_col: str = "pc_tile",
         if ot.size == 0:
             return pd.DataFrame(empty_cols)
         order = np.lexsort((vals, tiles))
-        st, sv, sn = tiles[order], vals[order], cnts[order]
+        st, sv, sn = _merge_sorted_hist(tiles[order], vals[order], cnts[order])
         return pd.DataFrame(_stats_for_tiles(ot, st, sv, sn, rings, trim_frac,
                                              tile_deg))
 
@@ -355,7 +370,7 @@ def background_stats_hex(ds, value_col: str, cell_col: str = "hex_r7",
             return pd.DataFrame({f.name: pd.Series(dtype=f.type.to_pandas_dtype())
                                  for f in _HEX_BG_SCHEMA})
         order = np.lexsort((vals, cellv))
-        sc, sv, sn = cellv[order], vals[order], cnts[order]
+        sc, sv, sn = _merge_sorted_hist(cellv[order], vals[order], cnts[order])
         out = {"cell": oc}
         for tag, k in (("bg1", k1), ("bg2", k2)):
             med, mad, n = _hex_stats_for_owned(oc, sc, sv, sn, k)
