@@ -363,6 +363,58 @@ def test_hex_detect_auto_mode_selection(ray_session):
         assert np.array_equal(bc[c].to_numpy(), au[c].to_numpy()), c
 
 
+def test_background_hist_merge_replication_invariant(ray_session):
+    """Unmerged histogram partials (the same (cell,value) pair arriving
+    from many upstream batches) must be collapsed inside the halo
+    groups: an 8x-replicated corpus in tiny blocks yields EXACTLY the
+    base medians/MADs with 8x the counts, for both the PC-tile and hex
+    paths.  Regression for the 20M-page superlinear expansion (one
+    block group expanded ~50M rows before the merge)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from filda_ray.kernels import cells
+    from filda_ray.ops.background import background_stats, background_stats_hex
+
+    rng = np.random.RandomState(21)
+    n = 400
+    lat = rng.rand(n) * 40 - 20
+    lon = rng.rand(n) * 40 - 20
+    vals = rng.randint(50, 200, n).astype(np.int64)
+    base = pa.table({
+        "pc_tile": pa.array(cells.pc_tile(lat, lon), pa.int32()),
+        "hex_r7": pa.array(cells.hex_cell(lat, lon), pa.uint64()),
+        "n_chars": pa.array(vals),
+    })
+    rep = pa.concat_tables([base] * 8)
+    ds1 = rd.from_arrow(base).repartition(3)
+    ds8 = rd.from_arrow(rep).repartition(37)  # many small blocks -> many partials
+
+    a = background_stats(ds1, "n_chars").to_pandas().set_index("pc_tile").sort_index()
+    b = background_stats(ds8, "n_chars").to_pandas().set_index("pc_tile").sort_index()
+    assert a.index.equals(b.index)
+    for c in a.columns:
+        if c.endswith("_trim"):
+            # the lowest-25% cut rounds at a different element count
+            # under 8x weights — legitimately not replication-invariant
+            # (trim correctness is oracle-covered by flagship_detect
+            # and trimmed_mean_quantity)
+            continue
+        if c.endswith("_n"):
+            assert np.array_equal(b[c].to_numpy(), 8 * a[c].to_numpy()), c
+        else:
+            assert np.allclose(a[c].to_numpy(), b[c].to_numpy(), equal_nan=True), c
+
+    ha = background_stats_hex(ds1, "n_chars").to_pandas().set_index("cell").sort_index()
+    hb = background_stats_hex(ds8, "n_chars").to_pandas().set_index("cell").sort_index()
+    assert ha.index.equals(hb.index)
+    for c in ha.columns:
+        if c.endswith("_n"):
+            assert np.array_equal(hb[c].to_numpy(), 8 * ha[c].to_numpy()), c
+        else:
+            assert np.allclose(ha[c].to_numpy(), hb[c].to_numpy(), equal_nan=True), c
+
+
 def test_knn_hotspots_exact_across_prefix_boundaries(ray_session):
     """Halo exchange must make k-ring counts exact even when neighbors
     fall in different prefix blocks (random points, brute force oracle)."""
