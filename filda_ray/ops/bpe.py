@@ -5,9 +5,10 @@ vocabulary instead of a whitespace heuristic).
 Scale shape mirrors ``embed.kmeans_distributed``: training reads a
 hash-random sample (canonical order) and runs driver-side — BPE merge
 selection is inherently sequential and the sample is small — while the
-ENCODE pass is the distributed part: an actor pool holds the merge
-list once per worker and maps the corpus through the VECTORIZED
-rank-by-rank numpy kernel (``bpe_encode_batch``): one boolean
+ENCODE pass is the distributed part: stateless tasks hold the
+broadcast merge list once per worker process (worker_state; an
+explicit actor pool via ``concurrency``) and map the corpus through
+the VECTORIZED rank-by-rank numpy kernel (``bpe_encode_batch``): one boolean
 scan + compress over the whole concatenated batch per merge, no
 per-document Python loop.  A C tokenizer could still swap in behind
 the same stage signature, but the numpy path is itself a production
