@@ -209,16 +209,26 @@ def minhash_lsh_pairs(ds, *, concurrency: int | None = None, shingle_w: int = 3)
     from . import pool_size
 
     nb = autoscale_buckets(ds)
-    banded = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"shingle_w": shingle_w},
-        batch_format="pyarrow",
-        # signature computation is the CPU-bound stage: pool scales
-        # with the cluster, and an explicit batch_size splits a
-        # few-block corpus across the whole pool
-        concurrency=autoscale(concurrency if concurrency is not None else pool_size()),
-        batch_size=256,
-    )
+    if concurrency is not None:
+        banded = ds.map_batches(
+            MinHashStage,
+            fn_constructor_kwargs={"shingle_w": shingle_w},
+            batch_format="pyarrow",
+            # signature computation is the CPU-bound stage: pool scales
+            # with the cluster, and an explicit batch_size splits a
+            # few-block corpus across the whole pool
+            concurrency=autoscale(concurrency),
+            batch_size=256,
+        )
+    else:
+        # default: stateless tasks (elastic, no pool spin-up).  The
+        # permutation params are seed-derived (microseconds), so the
+        # stage carries no broadcast state at all; the explicit
+        # batch_size still splits a few-block corpus across the
+        # cluster.
+        stage = MinHashStage(shingle_w=shingle_w)
+        banded = ds.map_batches(stage.__call__, batch_format="pyarrow",
+                                batch_size=256)
 
     def bucket(b: pa.Table) -> pa.Table:
         band = b.column("band").to_numpy().astype(np.uint64)

@@ -76,29 +76,34 @@ class CosineTopK:
         )
 
 
-def cosine_topk(ds, queries: np.ndarray, k: int = 10, *, concurrency: int = 4,
-                dtype=np.float32):
+def cosine_topk(ds, queries: np.ndarray, k: int = 10, *,
+                concurrency: int | None = None, dtype=np.float32):
     """Dataset op: embeddings -> global top-k rows per query by cosine.
 
     Per-batch partial top-k (map_batches GEMM) then one small
     sort+limit per query — the shuffle carries k rows per (batch,
     query), not the corpus.
     """
-    # the query matrix is tiny (nq x dim): capture it in the actor
-    # class closure (serialized with the task spec) — object-store
-    # constructor args make restartable actors fragile (ray#53727)
-    # and log an error-level advisory
+    # the query matrix is tiny (nq x dim): capture it in the closure
+    # (serialized with the task spec) — object-store constructor args
+    # make restartable actors fragile (ray#53727) and log an
+    # error-level advisory.  Default deployment is stateless tasks
+    # (elastic, no pool spin-up); pass ``concurrency`` for a pool.
     q = np.asarray(queries, dtype=dtype)
 
-    class Stage(CosineTopK):
-        def __init__(self):
-            super().__init__(q, k, dtype)
+    if concurrency is not None:
+        class Stage(CosineTopK):
+            def __init__(self):
+                super().__init__(q, k, dtype)
 
-    partial = ds.map_batches(
-        Stage,
-        batch_format="pyarrow",
-        concurrency=autoscale(concurrency),
-    )
+        partial = ds.map_batches(
+            Stage,
+            batch_format="pyarrow",
+            concurrency=autoscale(concurrency),
+        )
+    else:
+        st = CosineTopK(q, k, dtype)
+        partial = ds.map_batches(st.__call__, batch_format="pyarrow")
 
     def final(g: pd.DataFrame):
         from . import pd_table
