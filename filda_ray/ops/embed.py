@@ -342,10 +342,12 @@ def embedding_neardup(ds, *, threshold: float = 0.9, nbits: int = 10,
 
 
 def lsh_bucket_topk(ds, queries: np.ndarray, k: int = 10, *, nbits: int = 8,
-                    concurrency: int = 4):
+                    concurrency: int | None = None):
     """ANN scale path: probe only batches' rows in the query's sign
     bucket (multi-probe: Hamming<=1 buckets).  Recall < 1 by design;
-    the brute-force op is the exactness oracle."""
+    the brute-force op is the exactness oracle.  Default deployment is
+    stateless tasks with the (queries, planes, probe-set) broadcast
+    cached per worker; pass ``concurrency`` for an explicit pool."""
     import ray
 
     q = np.asarray(queries, dtype=np.float32)
@@ -394,7 +396,16 @@ def lsh_bucket_topk(ds, queries: np.ndarray, k: int = 10, *, nbits: int = 8,
                  "cosine": pa.array(np.concatenate(out_s))}
             )
 
-    partial = ds.map_batches(Stage, batch_format="pyarrow", concurrency=autoscale(concurrency))
+    if concurrency is not None:
+        partial = ds.map_batches(Stage, batch_format="pyarrow",
+                                 concurrency=autoscale(concurrency))
+    else:
+        from .workercache import worker_state
+
+        def fn(batch: pa.Table) -> pa.Table:
+            return worker_state(q_ref, Stage)(batch)
+
+        partial = ds.map_batches(fn, batch_format="pyarrow")
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
