@@ -4697,6 +4697,54 @@ SELECT url, warc_ts, coalesce(text, '') AS text FROM pages
 """
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL archive round-trip: the page table is written as sharded
+    ``.jsonl.gz`` (sources.jsonl — one file per block, distributed
+    sink), read back (one Arrow NDJSON parse per file), and compared
+    byte-identically per url against the SQL pages CTE that never
+    touches JSONL.  Timestamps travel as epoch-us integers so the
+    round-trip is exact (no locale formatting)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from ..sources.jsonl import read_jsonl, write_jsonl
+    from ..sources.pages import read_pages
+
+    pages = read_pages(sf_dir)
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pc.cast(b.column("url"), pa.string()),
+            "ts_us": b.column("warc_ts").cast(pa.timestamp("us")).cast(pa.int64()),
+            "text": pc.cast(b.column("text"), pa.string()),
+            "lang": pc.cast(b.column("lang"), pa.string()),
+        })
+
+    d = tempfile.mkdtemp(prefix="jsonlq_", dir="/tmp")
+    write_jsonl(pages.map_batches(narrow, batch_format="pyarrow"), d)
+    back = read_jsonl(d)
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pc.cast(b.column("url"), pa.string()),
+            "warc_ts": b.column("ts_us").cast(pa.timestamp("us")),
+            "text": pc.cast(b.column("text"), pa.string()),
+            "lang": pc.cast(b.column("lang"), pa.string()),
+        })
+
+    return back.map_batches(out, batch_format="pyarrow")
+
+
+def sql_jsonl_roundtrip() -> str:
+    from ..sources.pages import sql_pages_cte
+
+    return f"""
+WITH pages AS ({sql_pages_cte()})
+SELECT url, warc_ts, text, lang FROM pages
+"""
+
+
 def q_funnel_sessions(sf_dir: str):
     """Session funnel (view -> click -> purchase in strict temporal
     order within a 30-min-gap session): per-user session and
@@ -5050,6 +5098,7 @@ QUERIES = {
     "extract_links": q_extract_links,
     "host_indegree": q_host_indegree,
     "warc_roundtrip": q_warc_roundtrip,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
     "pagerank_hosts": q_pagerank_hosts,
     "decontaminate": q_decontaminate,
     "full_outer_activity": q_full_outer_activity,
@@ -5189,6 +5238,7 @@ ORACLES = {
     "host_indegree": sql_host_indegree(),
     "pagerank_hosts": sql_pagerank_hosts(),
     "warc_roundtrip": sql_warc_roundtrip(),
+    "jsonl_roundtrip": sql_jsonl_roundtrip(),
     "decontaminate": sql_decontaminate(),
     "full_outer_activity": sql_full_outer_activity(),
     "schema_evolution": sql_schema_evolution(),

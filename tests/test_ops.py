@@ -2038,6 +2038,37 @@ def test_bpe_roundtrip_and_ratio(ray_session, sf_dir):
     assert out["tokens_per_byte"].mean() < 0.75
 
 
+def test_jsonl_source_roundtrip(ray_session, tmp_path):
+    """JSONL sink/source: sharded .jsonl.gz written distributed, read
+    back via Arrow's NDJSON parser — identical rows/types; non-JSON-
+    native columns (timestamps) are rejected with the column name."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from filda_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    t = pa.table({
+        "url": pa.array([f"https://host{i:04d}.example.com/p/{i}" for i in range(200)]),
+        "ts_us": pa.array(np.arange(200, dtype=np.int64) * 1_000_003),
+        "text": pa.array(["päge ünïcode %d \n with newline-escapes \t" % i
+                          for i in range(200)]),
+        "score": pa.array(np.linspace(0, 1, 200)),
+        "keep": pa.array([i % 2 == 0 for i in range(200)]),
+    })
+    d = str(tmp_path / "jl")
+    paths = write_jsonl(rd.from_arrow(t).repartition(5), d)
+    assert len(paths) >= 2 and all(p.endswith(".jsonl.gz") for p in paths)
+    back = read_jsonl(d).to_pandas().sort_values("ts_us").reset_index(drop=True)
+    want = t.to_pandas().sort_values("ts_us").reset_index(drop=True)
+    for c in want.columns:
+        assert list(back[c]) == list(want[c]), c
+    # timestamps must be cast upstream — clear error, names the column
+    bad = pa.table({"ts": pa.array([0], pa.timestamp("us"))})
+    import pytest as _pt
+    with _pt.raises(Exception, match="ts"):
+        write_jsonl(rd.from_arrow(bad), str(tmp_path / "bad"))
+
+
 def test_bpe_batch_kernel_matches_reference():
     """The vectorized rank-by-rank batch encoder produces EXACTLY the
     per-doc reference encoding — including overlapping-run greedy
