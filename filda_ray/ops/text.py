@@ -429,23 +429,48 @@ def segment_df(ds, *, text_col: str = "text", delimiter: str = "\n",
                 np.r_[np.zeros(len(seg), np.int8), np.int8(1)])
         return pa.table(out)
 
-    def merge(g):
+    # bounded-bucket merge: ONE vectorized reduceat per bucket group
+    # instead of a Python pandas call per distinct segment (measured:
+    # the per-key map_groups burned ~17 s on a 500-doc corpus purely
+    # in per-group dispatch).  Bucket ids oversample partitions 16x so
+    # hash partitions stay non-empty (the _window_buckets trick).
+    from ..kernels.hashing import splitmix64
+    from . import pd_table
+
+    nb = shuffle_partitions()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = b.column("seg_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bk = (splitmix64(h) % np.uint64(16 * nb)).astype(np.int64)
+        return b.append_column("bk", pa.array(bk))
+
+    def merge_bucket(g):
         import pandas as pd
 
-        from . import pd_table
-
-        row = {"seg_hash": [g["seg_hash"].iloc[0]],
-               "df": [int(g["df"].sum())]}
+        h = g["seg_hash"].to_numpy().astype(np.uint64)
+        d = g["df"].to_numpy().astype(np.int64)
         if emit_total:
-            row["is_total"] = [np.int8(g["is_total"].iloc[0])]
-        return pd_table(pd.DataFrame(row))
+            t = g["is_total"].to_numpy().astype(np.int8)
+            order = np.lexsort((h, t))
+            h, d, t = h[order], d[order], t[order]
+            starts = np.flatnonzero(
+                np.r_[True, (h[1:] != h[:-1]) | (t[1:] != t[:-1])])
+            out = {"seg_hash": h[starts],
+                   "df": np.add.reduceat(d, starts),
+                   "is_total": t[starts]}
+        else:
+            order = np.argsort(h, kind="mergesort")
+            h, d = h[order], d[order]
+            starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+            out = {"seg_hash": h[starts], "df": np.add.reduceat(d, starts)}
+        return pd_table(pd.DataFrame(out))
 
-    keys = ["seg_hash", "is_total"] if emit_total else "seg_hash"
     return (ds.select_columns([text_col])
             .map_batches(partial, batch_format="pyarrow",
                          batch_size=HIST_BATCH_ROWS)
-            .groupby(keys, num_partitions=shuffle_partitions())
-            .map_groups(merge, batch_format="pandas"))
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bk", num_partitions=nb)
+            .map_groups(merge_bucket, batch_format="pandas"))
 
 
 def remove_frequent_segments(ds, *, text_col: str = "text",
@@ -601,19 +626,56 @@ def remove_frequent_segments(ds, *, text_col: str = "text",
                             "n_segs": pa.array(np.zeros(len(b), np.int64))}),
         batch_format="pyarrow"))
 
-    def finish(g):
+    # bounded-bucket finish: groups are hash buckets of doc ids, with
+    # ONE vectorized segmented pass per bucket — a per-doc map_groups
+    # would make a Python pandas call per document (billions of
+    # dispatches at corpus scale)
+    from ..kernels.hashing import splitmix64
+
+    nb = shuffle_partitions()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        col = b.column(id_col)
+        if pa.types.is_integer(col.type):
+            u = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            from ..kernels.hashing import col_hash64
+
+            u = col_hash64(col.cast(pa.string()).combine_chunks()
+                           if isinstance(col, pa.ChunkedArray) else col)
+        bk = (splitmix64(u) % np.uint64(16 * nb)).astype(np.int64)
+        return b.append_column("bk", pa.array(bk))
+
+    def finish_bucket(g):
         import pandas as pd
 
-        kept_rows = g[g["text_clean"].notna()]
-        txt = kept_rows["text_clean"].iloc[0] if len(kept_rows) else ""
+        ids = g[id_col].to_numpy()
+        n = g["n"].to_numpy().astype(np.int64)
+        n_segs = g["n_segs"].to_numpy().astype(np.int64)
+        txt = g["text_clean"]
+        has = txt.notna().to_numpy()
+        order = np.argsort(ids, kind="mergesort")
+        ids, n, n_segs, has = ids[order], n[order], n_segs[order], has[order]
+        txt = txt.iloc[order].reset_index(drop=True)
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        n_removed = (np.add.reduceat(n_segs, starts)
+                     - np.add.reduceat(n, starts))
+        # first non-null text_clean position per doc (or '' when the
+        # doc's every segment dropped and no joined row exists)
+        pos = np.where(has, np.arange(len(ids)), len(ids))
+        first = np.minimum.reduceat(pos, starts)
+        texts = np.where(first < len(ids),
+                         txt.reindex(np.clip(first, 0, len(ids) - 1)).to_numpy(),
+                         "")
         return pd_table(pd.DataFrame({
-            id_col: [g[id_col].iloc[0]],
-            "text_clean": [txt],
-            "n_removed": [int(g["n_segs"].sum()) - int(g["n"].sum())],
+            id_col: ids[starts],
+            "text_clean": texts,
+            "n_removed": n_removed,
         }))
 
-    return both.groupby(id_col, num_partitions=shuffle_partitions()).map_groups(
-        finish, batch_format="pandas")
+    return (both.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bk", num_partitions=nb)
+            .map_groups(finish_bucket, batch_format="pandas"))
 
 
 def compression_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -676,17 +738,35 @@ def _dup_ngram_set(ds, *, text_col: str, n: int, min_df: int,
         return pa.table({"ng_hash": pa.array(seg, pa.uint64()),
                          "df": pa.array(df.astype(np.int64))})
 
-    def merge(g):
+    # bounded-bucket DF merge — one vectorized reduceat per bucket,
+    # never a Python call per distinct n-gram (same shape as
+    # segment_df's merge_bucket)
+    from ..kernels.hashing import splitmix64
+
+    nb = shuffle_partitions()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = b.column("ng_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bk = (splitmix64(h) % np.uint64(16 * nb)).astype(np.int64)
+        return b.append_column("bk", pa.array(bk))
+
+    def merge_bucket(g):
         import pandas as pd
 
-        return pd_table(pd.DataFrame({"ng_hash": [g["ng_hash"].iloc[0]],
-                                      "df": [int(g["df"].sum())]}))
+        h = g["ng_hash"].to_numpy().astype(np.uint64)
+        d = g["df"].to_numpy().astype(np.int64)
+        order = np.argsort(h, kind="mergesort")
+        h, d = h[order], d[order]
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        return pd_table(pd.DataFrame({"ng_hash": h[starts],
+                                      "df": np.add.reduceat(d, starts)}))
 
     dup = (ds.select_columns([text_col])
            .map_batches(partial, batch_format="pyarrow",
                         batch_size=HIST_BATCH_ROWS)
-           .groupby("ng_hash", num_partitions=shuffle_partitions())
-           .map_groups(merge, batch_format="pandas")
+           .map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("bk", num_partitions=nb)
+           .map_groups(merge_bucket, batch_format="pandas")
            .map_batches(lambda b: b.filter(
                pc.greater_equal(b.column("df"), min_df)).select(["ng_hash"]),
                batch_format="pyarrow")).materialize()
