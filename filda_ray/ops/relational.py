@@ -187,23 +187,57 @@ def explode_list(ds, list_col: str, *, value_col: str = "val",
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _bucketed_groups(ds, group_col: str):
+    """Shuffle by a 16x-oversampled hash bucket of ``group_col``
+    instead of the key itself: map_groups then makes ONE call per
+    bucket (vectorized / pandas-C inside), never a Python dispatch per
+    distinct group — the dispatch alone measured tens of seconds on
+    per-doc keys.  Oversampling keeps hash partitions non-empty.
+    Group callables must drop the ``__gbk`` column themselves."""
+    from ..kernels.hashing import col_hash64, splitmix64
+
+    nb = shuffle_partitions()
+
+    def add_bk(b: pa.Table) -> pa.Table:
+        col = b.column(group_col)
+        if pa.types.is_integer(col.type):
+            u = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            u = col_hash64(col.combine_chunks().cast(pa.string())
+                           if isinstance(col, pa.ChunkedArray)
+                           else col.cast(pa.string()))
+        return b.append_column(
+            "__gbk", pa.array((splitmix64(u) % np.uint64(16 * nb)).astype(np.int64)))
+
+    return (ds.map_batches(add_bk, batch_format="pyarrow")
+            .groupby("__gbk", num_partitions=nb))
+
+
 def collect_sorted(ds, *, group_col: str, value_col: str, order_col: str,
                    sep: str = ",", out_col: str = "seq"):
     """Per-group ordered concatenation (SQL string_agg(x, sep ORDER BY
     o)): the group's full value sequence must co-locate, so this is
-    one shuffle of the three narrow columns + a vectorized sort and
-    one join per group."""
+    one bucketed shuffle of the three narrow columns + one vectorized
+    sort and ONE Arrow binary_join per bucket (per-doc keys make
+    per-group Python dispatch a scale killer)."""
     def agg(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([order_col, value_col], kind="mergesort")
         from . import pd_table
 
+        g = g.sort_values([group_col, order_col, value_col], kind="mergesort")
+        keys = g[group_col].to_numpy()
+        counts = g.groupby(group_col, sort=False).size().to_numpy()
+        offsets = np.r_[0, np.cumsum(counts)]
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.array(g[value_col].astype(str), pa.string()))
+        seq = pa.compute.binary_join(lst, sep).to_pylist()
         return pd_table(pd.DataFrame({
-            group_col: [g[group_col].iloc[0]],
-            out_col: [sep.join(map(str, g[value_col]))],
-            "n": [len(g)]}))
+            group_col: keys[offsets[:-1]],
+            out_col: seq,
+            "n": counts.astype(np.int64)}))
 
     narrow = ds.select_columns([group_col, value_col, order_col])
-    return narrow.groupby(group_col, num_partitions=shuffle_partitions()).map_groups(
+    return _bucketed_groups(narrow, group_col).map_groups(
         agg, batch_format="pandas")
 
 
@@ -211,27 +245,47 @@ def top_k_per_group(ds, *, group_col, value_col: str, k: int, ascending: bool = 
                     tie_col: str | None = None):
     """Grouped top-k (bottom-k with ascending=True): the reference's
     sorted-head selections (lowest-25% FILDA.py:1366) generalized.
-    Deterministic via the tie-break column."""
+    Deterministic via the tie-break column.  One pandas-C sort + head
+    per hash bucket (multi-group frames), no per-group dispatch."""
     by = [value_col] + ([tie_col] if tie_col else [])
     asc = [ascending] + ([True] if tie_col else [])
 
     def head(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(by, ascending=asc, kind="mergesort").head(k)
+        g = g.drop(columns="__gbk")
+        return (g.sort_values(by, ascending=asc, kind="mergesort")
+                .groupby(group_col, as_index=False, sort=False).head(k))
 
-    return ds.groupby(group_col, num_partitions=shuffle_partitions()).map_groups(head, batch_format="pandas")
+    return _bucketed_groups(ds, group_col).map_groups(head, batch_format="pandas")
 
 
 def trimmed_low_mean_per_group(ds, *, group_col: str, value_col: str, frac: float = 0.25,
                                out_col: str = "trimmed_mean"):
     """Per-group mean of the lowest ``frac`` of values
     (FILDA.py:1362-1368 trimmed FRP background, as a grouped op).
-    k = max(1, floor(n*frac)) smallest by sort order."""
+    k = max(1, floor(n*frac)) smallest by sort order.  Vectorized per
+    hash bucket: one sort + cumulative-sum pass covers every group."""
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g[value_col].to_numpy(dtype=np.float64))
-        v = v[~np.isnan(v)]
-        k = max(1, int(np.floor(v.size * frac))) if v.size else 0
-        m = float(np.mean(v[:k])) if k else np.nan
-        return pd.DataFrame({group_col: [g[group_col].iloc[0]], out_col: [m], "n_used": [k]})
+        all_keys = pd.unique(g[group_col])
+        g2 = g.dropna(subset=[value_col]).sort_values(
+            [group_col, value_col], kind="mergesort")
+        keys = g2[group_col].to_numpy()
+        v = g2[value_col].to_numpy(dtype=np.float64)
+        if len(keys):
+            starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+            n = np.diff(np.r_[starts, len(keys)])
+            k = np.maximum(1, np.floor(n * frac)).astype(np.int64)
+            cum = np.cumsum(v)
+            hi = cum[starts + k - 1]
+            lo = np.where(starts > 0, cum[np.maximum(starts - 1, 0)], 0.0)
+            m = (hi - lo) / k
+            seen = dict(zip(keys[starts].tolist(), zip(m.tolist(), k.tolist())))
+        else:
+            seen = {}
+        rows = [(key, *seen.get(key, (np.nan, 0))) for key in all_keys]
+        out = pd.DataFrame(rows, columns=[group_col, out_col, "n_used"])
+        out["n_used"] = out["n_used"].astype(np.int64)
+        return out
 
-    return ds.groupby(group_col, num_partitions=shuffle_partitions()).map_groups(agg, batch_format="pandas")
+    narrow = ds.select_columns([group_col, value_col])
+    return _bucketed_groups(narrow, group_col).map_groups(agg, batch_format="pandas")

@@ -115,8 +115,32 @@ def arg_extreme_per_group(ds, *, group_col: str, value_col: str,
 
     pre = ds.map_batches(winners, batch_format="pandas",
                          batch_size=PARTIAL_BATCH_ROWS)
-    return pre.groupby(group_col, num_partitions=shuffle_partitions()).map_groups(
-        winners, batch_format="pandas")
+
+    # bucketed final reduce: `winners` is already multi-group-safe, so
+    # the shuffle groups are 16x-oversampled hash buckets — one pandas
+    # sort per bucket instead of a Python dispatch per distinct group
+    from ..kernels.hashing import splitmix64
+
+    nb = shuffle_partitions()
+
+    def add_bk(b: pa.Table) -> pa.Table:
+        col = b.column(group_col)
+        if pa.types.is_integer(col.type):
+            u = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            from ..kernels.hashing import col_hash64
+
+            u = col_hash64(col.cast(pa.string()).combine_chunks()
+                           if isinstance(col, pa.ChunkedArray) else col)
+        return b.append_column(
+            "__bk", pa.array((splitmix64(u) % np.uint64(16 * nb)).astype(np.int64)))
+
+    def winners_drop_bk(g: pd.DataFrame) -> pd.DataFrame:
+        return winners(g.drop(columns="__bk"))
+
+    return (pre.map_batches(add_bk, batch_format="pyarrow")
+            .groupby("__bk", num_partitions=nb)
+            .map_groups(winners_drop_bk, batch_format="pandas"))
 
 
 def mode_per_group(ds, *, group_col: str, value_col: str,
