@@ -137,10 +137,14 @@ class MinHashStage:
         )
 
 
-def _pairs_from_runs(key: np.ndarray, doc: np.ndarray, extra: np.ndarray | None = None):
+def _pairs_from_runs(key: np.ndarray, doc: np.ndarray, extra: np.ndarray | None = None,
+                     max_run: int | None = None):
     """Vectorized candidate-pair extraction from (bucket-key, doc_id)
     rows: lexsort, find equal-key runs, emit all intra-run pairs.
-    Returns (doc_a, doc_b[, extra_a, extra_b]) with doc_a < doc_b."""
+    Returns (doc_a, doc_b[, extra_a, extra_b]) with doc_a < doc_b.
+    Runs longer than ``max_run`` (default MAX_BUCKET) are dropped —
+    the runaway-bucket guard."""
+    cap = MAX_BUCKET if max_run is None else max_run
     order = np.lexsort((doc, key))
     k, d = key[order], doc[order]
     ex = extra[order] if extra is not None else None
@@ -148,7 +152,7 @@ def _pairs_from_runs(key: np.ndarray, doc: np.ndarray, extra: np.ndarray | None 
     out_a, out_b, ex_a, ex_b = [], [], [], []
     for s, e in zip(boundaries[:-1], boundaries[1:]):
         n = e - s
-        if n < 2 or n > MAX_BUCKET:
+        if n < 2 or n > cap:
             continue
         ids = np.unique(d[s:e])
         if ids.size < 2:

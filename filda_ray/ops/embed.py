@@ -316,28 +316,50 @@ def embedding_neardup(ds, *, threshold: float = 0.9, nbits: int = 10,
              "emb": emb}
         )
 
+    # bucketed pair stage: groups are 16x-oversampled hash buckets of
+    # the (table, bucket) composite key, NOT the key itself — one call
+    # covers many LSH buckets (equal-key runs), so there is never a
+    # Python/pandas dispatch per distinct bucket (billions at corpus
+    # scale).  Pair cosines are row-gathered dot products — the same
+    # flops as the old per-group GEMM upper triangle.
+    from ..kernels.hashing import hash_combine, splitmix64
+    from .dedup import _dedup_pairs_ds, _pairs_from_runs
+
+    nb = shuffle_partitions()
+
+    def add_key(b: pa.Table) -> pa.Table:
+        t = b.column("table_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bk = b.column("bucket").to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = hash_combine(t, bk)
+        return pa.table(
+            {"key": pa.array(key, pa.uint64()),
+             "vec_id": b.column("vec_id"),
+             "emb": b.column("emb"),
+             "__bk": pa.array((splitmix64(key) % np.uint64(16 * nb)).astype(np.int64))}
+        )
+
     def pairs(g: pd.DataFrame):
         from . import pd_table
 
+        key = g["key"].to_numpy().astype(np.uint64)
         ids = g["vec_id"].to_numpy().astype(np.int64)
-        if len(ids) < 2 or len(ids) > max_bucket:
+        pos = np.arange(len(g), dtype=np.int64)
+        a, b, pa_, pb_ = _pairs_from_runs(key, ids, extra=pos,
+                                          max_run=max_bucket)
+        if len(a) == 0:
             return pd_table(pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
                                           "doc_b": pd.Series(dtype=np.int64),
                                           "cosine": pd.Series(dtype=np.float64)}))
         m = np.vstack(g["emb"].to_numpy()).astype(np.float32)
-        sims = (m @ m.T).astype(np.float64)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = (sims[iu, ju] >= threshold) & (ids[iu] != ids[ju])
-        a, b = ids[iu[keep]], ids[ju[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd_table(pd.DataFrame({"doc_a": lo, "doc_b": hi,
-                                      "cosine": sims[iu[keep], ju[keep]]}))
+        cos = np.einsum("ij,ij->i", m[pa_], m[pb_]).astype(np.float64)
+        keep = cos >= threshold
+        return pd_table(pd.DataFrame({"doc_a": a[keep], "doc_b": b[keep],
+                                      "cosine": cos[keep]}))
 
-    from .dedup import _dedup_pairs_ds
-
-    cand = ds.map_batches(emit, batch_format="pyarrow").groupby(
-        ["table_id", "bucket"]
-    , num_partitions=shuffle_partitions()).map_groups(pairs, batch_format="pandas")
+    cand = (ds.map_batches(emit, batch_format="pyarrow")
+            .map_batches(add_key, batch_format="pyarrow")
+            .groupby("__bk", num_partitions=nb)
+            .map_groups(pairs, batch_format="pandas"))
     return _dedup_pairs_ds(cand)
 
 
