@@ -528,6 +528,46 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
 # grouped top-k
 # ---------------------------------------------------------------------------
 
+def q_cap_per_host(sf_dir: str):
+    """Per-domain quota sampling — keep the newest 3 pages per HOST
+    (domain balancing, the standard web-corpus crawl-budget cap).
+    Exercises the bucketed grouped top-k on a HIGH-cardinality key
+    (one group per host) with a timestamp order + url tie-break."""
+    from ..sources.pages import read_pages
+
+    pages = read_pages(sf_dir)
+
+    def narrow(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "url": pc.cast(b.column("url"), pa.string()),
+            "host": pc.utf8_slice_codeunits(
+                pc.cast(b.column("url"), pa.string()), 8, 28),
+            "ts_us": b.column("warc_ts").cast(pa.timestamp("us")).cast(pa.int64()),
+        })
+
+    out = rel.top_k_per_group(
+        pages.map_batches(narrow, batch_format="pyarrow"),
+        group_col="host", value_col="ts_us", k=3,
+        ascending=False, tie_col="url")
+    return out.select_columns(["host", "url", "ts_us"])
+
+
+def sql_cap_per_host() -> str:
+    from ..sources.pages import sql_pages_cte
+
+    return f"""
+WITH pages AS ({sql_pages_cte()})
+SELECT host, url, ts_us FROM (
+  SELECT url, substring(url, 9, 20) AS host,
+         cast(epoch_us(warc_ts) as bigint) AS ts_us,
+         row_number() OVER (PARTITION BY substring(url, 9, 20)
+                            ORDER BY epoch_us(warc_ts) DESC, url) AS rn
+  FROM pages) WHERE rn <= 3
+"""
+
+
 def q_topk_orders(sf_dir: str):
     rd = _rd()
     ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
@@ -5099,6 +5139,7 @@ QUERIES = {
     "host_indegree": q_host_indegree,
     "warc_roundtrip": q_warc_roundtrip,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "cap_per_host": q_cap_per_host,
     "pagerank_hosts": q_pagerank_hosts,
     "decontaminate": q_decontaminate,
     "full_outer_activity": q_full_outer_activity,
@@ -5239,6 +5280,7 @@ ORACLES = {
     "pagerank_hosts": sql_pagerank_hosts(),
     "warc_roundtrip": sql_warc_roundtrip(),
     "jsonl_roundtrip": sql_jsonl_roundtrip(),
+    "cap_per_host": sql_cap_per_host(),
     "decontaminate": sql_decontaminate(),
     "full_outer_activity": sql_full_outer_activity(),
     "schema_evolution": sql_schema_evolution(),
