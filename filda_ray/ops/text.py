@@ -1000,3 +1000,109 @@ def extract_links(ds, *, html_col: str = "html", id_col: str = "doc_id"):
                          "href": href})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def unigram_logprob_op(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                       broadcast_max: int = 5_000_000, round_dp: int = 9):
+    """Per-document mean unigram log-probability — the CCNet-style
+    LM-perplexity proxy for corpus quality gating (a doc whose tokens
+    are all corpus-typical scores high; gibberish/rare-token spam
+    scores low).  p(w) = corpus occurrence MLE.
+
+    Pass 1 (one bucketed shuffle of HASH partials — token strings
+    never shuffle): per-block (token_hash, count) occurrence partials
+    with the corpus token TOTAL folded through the same pass as a
+    flagged sentinel row; bucketed vectorized merge.  The vocabulary
+    table (bounded; guarded by ``broadcast_max``) becomes a broadcast
+    (sorted hashes, logprob) pair.  Pass 2: per-doc searchsorted
+    gather + segmented mean.  Scores are rounded to ``round_dp`` on
+    both engine and oracle sides (duplicate texts are analytically
+    equal; summation-order ulps must not flip the driver's sorted
+    hash).
+
+    Reference analog: none (web-curation requirement; cf. CCNet's
+    LM-based quality buckets).
+    """
+    import ray
+
+    from ..kernels.hashing import col_hash64, splitmix64
+    from . import pd_table
+    from .background import HIST_BATCH_ROWS
+    from .workercache import worker_state
+
+    nb = shuffle_partitions()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _, counts = _split_segments(batch.column(text_col), " ")
+        h = col_hash64(flat)
+        uh, c = np.unique(h, return_counts=True)
+        return pa.table({
+            "h": pa.array(np.r_[uh, np.uint64(0)], pa.uint64()),
+            "n": pa.array(np.r_[c.astype(np.int64), len(h)]),
+            "is_total": pa.array(np.r_[np.zeros(len(uh), np.int8), np.int8(1)]),
+        })
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = b.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bk = (splitmix64(h) % np.uint64(16 * nb)).astype(np.int64)
+        return b.append_column("bk", pa.array(bk))
+
+    def merge_bucket(g):
+        import pandas as pd
+
+        h = g["h"].to_numpy().astype(np.uint64)
+        n = g["n"].to_numpy().astype(np.int64)
+        t = g["is_total"].to_numpy().astype(np.int8)
+        order = np.lexsort((h, t))
+        h, n, t = h[order], n[order], t[order]
+        starts = np.flatnonzero(np.r_[True, (h[1:] != h[:-1]) | (t[1:] != t[:-1])])
+        return pd_table(pd.DataFrame({"h": h[starts],
+                                      "n": np.add.reduceat(n, starts),
+                                      "is_total": t[starts]}))
+
+    vocab = (ds.select_columns([text_col])
+             .map_batches(partial, batch_format="pyarrow",
+                          batch_size=HIST_BATCH_ROWS)
+             .map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bk", num_partitions=nb)
+             .map_groups(merge_bucket, batch_format="pandas")).materialize()
+    n_vocab = vocab.count()
+    if n_vocab > broadcast_max:
+        raise ValueError("vocabulary exceeds broadcast_max; hash-join the "
+                         "scores instead of broadcasting")
+    parts_h, parts_n, total = [], [], 0
+    for b in vocab.iter_batches(batch_format="pyarrow", batch_size=None):
+        h = b.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.column("is_total").to_numpy(zero_copy_only=False).astype(np.int8)
+        total += int(n[t == 1].sum())
+        parts_h.append(h[t == 0])
+        parts_n.append(n[t == 0])
+    vh = np.concatenate(parts_h) if parts_h else np.empty(0, np.uint64)
+    vn = np.concatenate(parts_n) if parts_n else np.empty(0, np.int64)
+    order = np.argsort(vh, kind="mergesort")
+    vh, vn = vh[order], vn[order]
+    logp = np.log(vn.astype(np.float64)) - np.log(float(max(total, 1)))
+    ref = ray.put((vh, logp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        kh, kp = worker_state(ref, lambda: ray.get(ref))
+        flat, _, counts = _split_segments(batch.column(text_col), " ")
+        h = col_hash64(flat)
+        idx = np.searchsorted(kh, h)
+        idx = np.clip(idx, 0, max(len(kh) - 1, 0))
+        # every corpus token is in the vocabulary by construction
+        lp = kp[idx] if len(kh) else np.zeros(len(h))
+        offsets = np.r_[0, np.cumsum(counts)]
+        sums = np.add.reduceat(np.r_[lp, 0.0], offsets[:-1])
+        sums[counts == 0] = 0.0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = np.where(counts > 0, sums / counts, np.nan)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(counts),
+            "logprob": pa.array(np.round(mean, round_dp)),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")

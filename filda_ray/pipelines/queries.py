@@ -528,6 +528,34 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
 # grouped top-k
 # ---------------------------------------------------------------------------
 
+def q_unigram_logprob(sf_dir: str):
+    """Per-document mean unigram log-probability (CCNet-style
+    LM-perplexity proxy for quality gating): corpus-MLE token
+    probabilities from one bucketed hash shuffle, broadcast, per-doc
+    searchsorted mean (ops/text.unigram_logprob_op)."""
+    from ..ops.text import unigram_logprob_op
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return unigram_logprob_op(ds)
+
+
+def sql_unigram_logprob() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+  FROM documents
+),
+tot AS (SELECT cast(count(*) AS double) AS n FROM toks),
+vocab AS (SELECT tok, cast(count(*) AS double) AS c FROM toks GROUP BY tok)
+SELECT t.doc_id,
+       cast(count(*) AS bigint) AS n_tokens,
+       round(avg(ln(v.c / (SELECT n FROM tot))), 9) AS logprob
+FROM toks t JOIN vocab v USING (tok)
+GROUP BY t.doc_id
+"""
+
+
 def q_cap_per_host(sf_dir: str):
     """Per-domain quota sampling — keep the newest 3 pages per HOST
     (domain balancing, the standard web-corpus crawl-budget cap).
@@ -5140,6 +5168,7 @@ QUERIES = {
     "warc_roundtrip": q_warc_roundtrip,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "cap_per_host": q_cap_per_host,
+    "unigram_logprob": q_unigram_logprob,
     "pagerank_hosts": q_pagerank_hosts,
     "decontaminate": q_decontaminate,
     "full_outer_activity": q_full_outer_activity,
@@ -5281,6 +5310,7 @@ ORACLES = {
     "warc_roundtrip": sql_warc_roundtrip(),
     "jsonl_roundtrip": sql_jsonl_roundtrip(),
     "cap_per_host": sql_cap_per_host(),
+    "unigram_logprob": sql_unigram_logprob(),
     "decontaminate": sql_decontaminate(),
     "full_outer_activity": sql_full_outer_activity(),
     "schema_evolution": sql_schema_evolution(),
