@@ -155,6 +155,12 @@ def connected_components(edges, *, src: str = "doc_a", dst: str = "doc_b",
 
     prev = _edge_checksum(cur)
     for it in range(max_iter):
+        # the distinct between the stars is NOT redundant shuffle cost:
+        # the next star's per-group drop_duplicates would absorb the
+        # duplicates for correctness, but on chain-heavy graphs the
+        # large-star output duplication inflates the small-star shuffle
+        # more than the distinct costs (measured at 1M edges:
+        # 115 s with the distinct vs 130 s without — keep it)
         nxt = distinct_rows(_star(cur, large=True, n_buckets=n_buckets),
                             ["u", "v"])
         nxt = distinct_rows(_star(nxt, large=False, n_buckets=n_buckets),
