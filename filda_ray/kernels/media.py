@@ -459,6 +459,10 @@ def encode_gif(img: np.ndarray) -> bytes:
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError("expected (h,w) or (h,w,3) uint8")
     h, w = a.shape[:2]
+    if h * w == 0:
+        # explicit, like the other encoders' validation — otherwise the
+        # LZW encoder's first next(it) raises StopIteration (PEP 479)
+        raise ValueError("empty image (h*w == 0)")
     flat = a.reshape(-1, 3)
     # palette = unique colors in first-appearance order, via a packed key
     key = (flat[:, 0].astype(np.uint32) << 16) \

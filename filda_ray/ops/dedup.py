@@ -137,22 +137,54 @@ class MinHashStage:
         )
 
 
+def _report_dropped(stage: str | None, n_buckets: int, n_rows: int):
+    """Surface over-cap LSH-bucket drops through the metrics actor —
+    the no-silent-caps rule: at web scale, template/boilerplate
+    mega-buckets are exactly where the densest duplicates live, so a
+    capped run must show up in the pipeline's telemetry, not vanish."""
+    if not stage or n_buckets == 0:
+        return
+    try:
+        from ..state.metrics import get_metrics_actor
+
+        actor = get_metrics_actor()
+        actor.add.remote(f"{stage}.dropped_buckets", n_buckets)
+        actor.add.remote(f"{stage}.dropped_rows", n_rows)
+    except Exception:
+        pass  # telemetry must never fail the pair stage itself
+
+
+def neardup_dropped_stats() -> dict[str, int]:
+    """Snapshot of `<stage>.dropped_buckets` / `.dropped_rows` counters
+    accumulated by the candidate-pair stages this session (empty dict =
+    no bucket exceeded its cap; every candidate was examined)."""
+    from ..state.metrics import snapshot
+
+    return {k: v for k, v in snapshot().items()
+            if k.endswith((".dropped_buckets", ".dropped_rows"))}
+
+
 def _pairs_from_runs(key: np.ndarray, doc: np.ndarray, extra: np.ndarray | None = None,
-                     max_run: int | None = None):
+                     max_run: int | None = None, stage: str | None = None):
     """Vectorized candidate-pair extraction from (bucket-key, doc_id)
     rows: lexsort, find equal-key runs, emit all intra-run pairs.
     Returns (doc_a, doc_b[, extra_a, extra_b]) with doc_a < doc_b.
     Runs longer than ``max_run`` (default MAX_BUCKET) are dropped —
-    the runaway-bucket guard."""
+    the runaway-bucket guard; drops are COUNTED and reported to the
+    metrics actor under ``stage`` (never silent)."""
     cap = MAX_BUCKET if max_run is None else max_run
     order = np.lexsort((doc, key))
     k, d = key[order], doc[order]
     ex = extra[order] if extra is not None else None
     boundaries = np.flatnonzero(np.r_[True, k[1:] != k[:-1], True])
     out_a, out_b, ex_a, ex_b = [], [], [], []
+    dropped_buckets = dropped_rows = 0
     for s, e in zip(boundaries[:-1], boundaries[1:]):
         n = e - s
         if n < 2 or n > cap:
+            if n > cap:
+                dropped_buckets += 1
+                dropped_rows += int(n)
             continue
         ids = np.unique(d[s:e])
         if ids.size < 2:
@@ -165,6 +197,7 @@ def _pairs_from_runs(key: np.ndarray, doc: np.ndarray, extra: np.ndarray | None 
             first = {int(dd): ee for dd, ee in zip(d[s:e][::-1], ex[s:e][::-1])}
             ex_a.append(np.array([first[int(x)] for x in ids[ai]], dtype=ex.dtype))
             ex_b.append(np.array([first[int(x)] for x in ids[bi]], dtype=ex.dtype))
+    _report_dropped(stage, dropped_buckets, dropped_rows)
     if not out_a:
         empty = np.empty(0, dtype=np.int64)
         return (empty, empty) if ex is None else (empty, empty, empty.astype(ex.dtype), empty.astype(ex.dtype))
@@ -250,7 +283,8 @@ def minhash_lsh_pairs(ds, *, concurrency: int | None = None, shingle_w: int = 3)
         from . import pd_table
 
         a, b = _pairs_from_runs(
-            g["key"].to_numpy().astype(np.uint64), g["doc_id"].to_numpy().astype(np.int64)
+            g["key"].to_numpy().astype(np.uint64), g["doc_id"].to_numpy().astype(np.int64),
+            stage="minhash_lsh",
         )
         return pd_table(pd.DataFrame({"doc_a": a, "doc_b": b}))
 
@@ -504,6 +538,7 @@ def simhash_pairs(ds, *, max_hamming: int = 6):
             g["key"].to_numpy().astype(np.uint64),
             g["doc_id"].to_numpy().astype(np.int64),
             g["simhash"].to_numpy().astype(np.uint64),
+            stage="simhash",
         )
         hd = textkit.hamming64(sa, sb) if len(a) else np.empty(0, dtype=np.int64)
         keep = hd <= max_hamming
@@ -568,7 +603,8 @@ def edit_distance_pairs(docs, *, prefix_len: int = 30, id_col: str = "doc_id",
 
         a, b = _pairs_from_runs(
             g["key"].to_numpy().astype(np.uint64),
-            g[id_col].to_numpy().astype(np.int64))
+            g[id_col].to_numpy().astype(np.int64),
+            stage="prefix_editdist")
         return pd_table(pd.DataFrame({"doc_a": a, "doc_b": b}))
 
     cand = (docs.select_columns([id_col, text_col])

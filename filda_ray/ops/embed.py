@@ -345,7 +345,8 @@ def embedding_neardup(ds, *, threshold: float = 0.9, nbits: int = 10,
         ids = g["vec_id"].to_numpy().astype(np.int64)
         pos = np.arange(len(g), dtype=np.int64)
         a, b, pa_, pb_ = _pairs_from_runs(key, ids, extra=pos,
-                                          max_run=max_bucket)
+                                          max_run=max_bucket,
+                                          stage="embedding_neardup")
         if len(a) == 0:
             return pd_table(pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
                                           "doc_b": pd.Series(dtype=np.int64),

@@ -275,10 +275,15 @@ def trimmed_low_mean_per_group(ds, *, group_col: str, value_col: str, frac: floa
             starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
             n = np.diff(np.r_[starts, len(keys)])
             k = np.maximum(1, np.floor(n * frac)).astype(np.int64)
-            cum = np.cumsum(v)
-            hi = cum[starts + k - 1]
-            lo = np.where(starts > 0, cum[np.maximum(starts - 1, 0)], 0.0)
-            m = (hi - lo) / k
+            # per-group sums via reduceat over the gathered low-k
+            # slices: float64 error bounded by GROUP size, not by the
+            # bucket-wide prefix magnitude a cumsum difference carries
+            # (multi-million-row buckets exceed 9-dp oracle rounding)
+            grp_off = np.cumsum(k) - k
+            within = np.arange(int(k.sum()), dtype=np.int64) - np.repeat(grp_off, k)
+            take = np.repeat(starts, k) + within
+            sums = np.add.reduceat(v[take], grp_off)
+            m = sums / k
             seen = dict(zip(keys[starts].tolist(), zip(m.tolist(), k.tolist())))
         else:
             seen = {}

@@ -1003,7 +1003,8 @@ def extract_links(ds, *, html_col: str = "html", id_col: str = "doc_id"):
 
 
 def unigram_logprob_op(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                       broadcast_max: int = 5_000_000, round_dp: int = 9):
+                       broadcast_max: int = 5_000_000, round_dp: int = 9,
+                       oov_logprob: float | None = None):
     """Per-document mean unigram log-probability — the CCNet-style
     LM-perplexity proxy for corpus quality gating (a doc whose tokens
     are all corpus-typical scores high; gibberish/rare-token spam
@@ -1091,8 +1092,19 @@ def unigram_logprob_op(ds, *, text_col: str = "text", id_col: str = "doc_id",
         h = col_hash64(flat)
         idx = np.searchsorted(kh, h)
         idx = np.clip(idx, 0, max(len(kh) - 1, 0))
-        # every corpus token is in the vocabulary by construction
         lp = kp[idx] if len(kh) else np.zeros(len(h))
+        # tokens of the corpus the vocab was BUILT from always hit by
+        # construction, but reuse on a different dataset must not
+        # silently score OOV tokens with a neighboring hash's logprob
+        if len(kh):
+            miss = kh[idx] != h
+            if miss.any():
+                if oov_logprob is None:
+                    raise ValueError(
+                        f"unigram_logprob_op: {int(miss.sum())} tokens not in "
+                        "the vocabulary this op was built from; pass "
+                        "oov_logprob=<floor> to score a different corpus")
+                lp = np.where(miss, oov_logprob, lp)
         offsets = np.r_[0, np.cumsum(counts)]
         sums = np.add.reduceat(np.r_[lp, 0.0], offsets[:-1])
         sums[counts == 0] = 0.0

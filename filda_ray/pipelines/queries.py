@@ -3109,7 +3109,8 @@ def q_ivf_topk(sf_dir: str):
     dir), then answer 3 queries reading ONLY the probed partitions —
     the block-skipping scale path; brute-force cosine_topk is the
     recall oracle (full-probe equality is pytest-pinned)."""
-    import tempfile
+    import hashlib
+    import shutil
 
     import pyarrow.parquet as pq
 
@@ -3117,7 +3118,9 @@ def q_ivf_topk(sf_dir: str):
 
     rd = _rd()
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    idx = tempfile.mkdtemp(prefix="ivf_", dir="/tmp")
+    # fixed per-input scratch dir, wiped on entry (no mkdtemp leak)
+    idx = "/tmp/ivf_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    shutil.rmtree(idx, ignore_errors=True)
     ivf_build(ds, idx, n_centroids=16, sample_size=1000, seed=1)
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
                        columns=["vec_id", "embedding"]).slice(0, 3)
@@ -4390,8 +4393,9 @@ def q_schema_evolution(sf_dir: str):
     footer read per file, no shuffle).  The two generations are
     written deterministically from the documents table so the oracle
     is a pure CASE projection."""
+    import hashlib
     import os
-    import tempfile
+    import shutil
 
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -4400,7 +4404,10 @@ def q_schema_evolution(sf_dir: str):
 
     tbl = pq.read_table(f"{sf_dir}/documents.parquet",
                         columns=["doc_id", "text", "lang", "n_chars"])
-    d = tempfile.mkdtemp(prefix="schevo_", dir="/tmp")
+    # fixed per-input scratch dir, wiped on entry (no mkdtemp leak)
+    d = "/tmp/schevo_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
     ga = tbl.filter(pc.less(tbl.column("doc_id"), 250)).select(
         ["doc_id", "text", "n_chars"])
     gb = tbl.filter(pc.greater_equal(tbl.column("doc_id"), 250)).select(
@@ -4733,7 +4740,8 @@ def q_warc_roundtrip(sf_dir: str):
     read back (one read task per archive), and the html payload is
     re-extracted to text — byte-identical per url, proven against the
     SQL pages CTE that never touches WARC."""
-    import tempfile
+    import hashlib
+    import shutil
 
     import pyarrow.compute as pc
 
@@ -4742,9 +4750,13 @@ def q_warc_roundtrip(sf_dir: str):
     from ..sources.warc import read_warc, write_warc
 
     pages = read_pages(sf_dir)
-    d = tempfile.mkdtemp(prefix="warcq_", dir="/tmp")
-    write_warc(pages, d)
-    back = read_warc(d)
+    # fixed per-input scratch dir, wiped on entry (no mkdtemp leak);
+    # read back from the sink's manifest so a retried sink task's
+    # orphan shard can never duplicate rows
+    d = "/tmp/warcq_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    shutil.rmtree(d, ignore_errors=True)
+    files = write_warc(pages, d)
+    back = read_warc(files)
 
     def extract(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -4772,7 +4784,8 @@ def q_jsonl_roundtrip(sf_dir: str):
     byte-identically per url against the SQL pages CTE that never
     touches JSONL.  Timestamps travel as epoch-us integers so the
     round-trip is exact (no locale formatting)."""
-    import tempfile
+    import hashlib
+    import shutil
 
     import pyarrow.compute as pc
 
@@ -4789,9 +4802,14 @@ def q_jsonl_roundtrip(sf_dir: str):
             "lang": pc.cast(b.column("lang"), pa.string()),
         })
 
-    d = tempfile.mkdtemp(prefix="jsonlq_", dir="/tmp")
-    write_jsonl(pages.map_batches(narrow, batch_format="pyarrow"), d)
-    back = read_jsonl(d)
+    # fixed per-input scratch dir, wiped on entry: repeated harness
+    # runs reuse ONE directory instead of accumulating mkdtemp leaks
+    # (the lazy read below needs the files alive until consumption,
+    # so cleanup-on-exit is not an option)
+    d = "/tmp/jsonlq_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    shutil.rmtree(d, ignore_errors=True)
+    files = write_jsonl(pages.map_batches(narrow, batch_format="pyarrow"), d)
+    back = read_jsonl(files)
 
     def out(b: pa.Table) -> pa.Table:
         return pa.table({

@@ -63,8 +63,11 @@ def write_jsonl(ds, out_dir: str, *, columns: list[str] | None = None) -> list[s
                 gz.write(json.dumps(r, ensure_ascii=False,
                                     separators=(",", ":")).encode("utf-8"))
                 gz.write(b"\n")
-        with open(name, "wb") as f:
+        # temp-file + atomic rename: a task killed mid-write leaves only
+        # a .tmp the reader's glob ignores, never a truncated shard
+        with open(name + ".tmp", "wb") as f:
             f.write(buf.getvalue())
+        os.replace(name + ".tmp", name)
         return pa.table({"path": pa.array([name]),
                          "n_records": pa.array([len(batch)], pa.int64())})
 
@@ -75,7 +78,12 @@ def write_jsonl(ds, out_dir: str, *, columns: list[str] | None = None) -> list[s
 def read_jsonl(path_or_paths) -> "ray.data.Dataset":
     """JSONL source: one read task per ``.jsonl[.gz]`` file; each task
     inflates (when gzipped) and parses with Arrow's C++ NDJSON reader
-    — typed columns out, no per-row Python."""
+    — typed columns out, no per-row Python.
+
+    Prefer passing the manifest list ``write_jsonl`` returned: it names
+    exactly the shards of the successful sink attempts, so a retried
+    sink task's orphan shard can never be read twice.  The directory
+    form globs ``*.jsonl[.gz]`` for externally-produced corpora."""
     import glob
 
     import ray.data as rd

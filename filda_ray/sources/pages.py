@@ -61,10 +61,12 @@ def host_lon(host_id: np.ndarray) -> np.ndarray:
 
 
 def url_of(doc_id: np.ndarray, host_id: np.ndarray) -> np.ndarray:
-    out = np.empty(len(doc_id), dtype=object)
-    for i in range(len(doc_id)):
-        out[i] = f"https://host{host_id[i]:04d}.example.com/doc/{doc_id[i]}"
-    return out
+    host_s = pc.utf8_lpad(pc.cast(pa.array(np.asarray(host_id, np.int64)),
+                                  pa.string()), 4, "0")
+    doc_s = pc.cast(pa.array(np.asarray(doc_id, np.int64)), pa.string())
+    url = pc.binary_join_element_wise(
+        "https://host", host_s, ".example.com/doc/", doc_s, "")
+    return np.asarray(url.to_pylist(), dtype=object)
 
 
 def warc_ts_us(doc_id: np.ndarray) -> np.ndarray:
@@ -74,7 +76,13 @@ def warc_ts_us(doc_id: np.ndarray) -> np.ndarray:
 
 def render_html(host_id: np.ndarray, texts) -> np.ndarray:
     """bytes html per row; ``kernels.textkit.extract_text`` inverts it
-    byte-for-byte (the per-row invariant)."""
+    byte-for-byte (the per-row invariant).
+
+    Deliberately per-row: this is the INDEPENDENT property-test twin
+    the round-trip tests compare against.  The hot path is
+    ``synth_pages_batch`` below, which builds the same html with
+    vectorized ``pc.binary_join_element_wise`` — keeping this twin
+    loop-based means the tests are not comparing a kernel to itself."""
     out = np.empty(len(host_id), dtype=object)
     for i, t in enumerate(texts):
         pre = HTML_PREFIX.format(host_id=f"{host_id[i]:04d}")
@@ -222,11 +230,10 @@ def read_pages_parquet(pages_dir: str):
 def host_of_url(urls) -> np.ndarray:
     """host_id back out of the url (string kernel; SQL mirror uses
     regexp_extract).  Demonstrates the url-parsing ingest path."""
-    out = np.empty(len(urls), dtype=np.int64)
-    for i, u in enumerate(urls):
-        # https://host{NNNN}.example.com/doc/{id}
-        out[i] = int(u[12:16])
-    return out
+    # https://host{NNNN}.example.com/doc/{id}
+    col = urls if isinstance(urls, (pa.Array, pa.ChunkedArray)) else \
+        pa.array(list(urls), pa.string())
+    return host_of_url_arrow(col).to_numpy(zero_copy_only=False)
 
 
 def host_of_url_arrow(url_col):

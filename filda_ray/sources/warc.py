@@ -125,12 +125,15 @@ def write_warc(ds, out_dir: str, *, url_col: str = "url",
         ts = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
         payloads = batch.column(payload_col).to_pylist()
         name = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.warc.gz")
-        with open(name, "wb") as f:
+        # temp-file + atomic rename: a task killed mid-write leaves only
+        # a .tmp the reader's glob ignores, never a truncated archive
+        with open(name + ".tmp", "wb") as f:
             for u, t, p in zip(urls, ts, payloads):
                 if isinstance(p, str):
                     p = p.encode("utf-8")
                 f.write(gzip.compress(warc_record_bytes(u, int(t), p or b""),
                                       mtime=0))
+        os.replace(name + ".tmp", name)
         return pa.table({"path": pa.array([name]),
                          "n_records": pa.array([len(batch)], pa.int64())})
 

@@ -27,11 +27,21 @@ class MetricsActor:
         self.counts = {}
 
 
+_HANDLES: dict[str, "ray.actor.ActorHandle"] = {}
+
+
 def get_metrics_actor(name: str = "filda_metrics"):
     # get_if_exists makes concurrent get-or-create atomic (two stages
     # racing here used to produce a second, orphaned actor whose adds
-    # were silently lost)
-    return MetricsActor.options(name=name, get_if_exists=True).remote()
+    # were silently lost).  The handle is cached per process: a named
+    # non-detached actor dies as soon as ALL handles are dropped, so a
+    # transient `get_metrics_actor().add.remote(...)` call pattern
+    # would otherwise kill the actor (and its counters) between calls.
+    h = _HANDLES.get(name)
+    if h is None:
+        h = MetricsActor.options(name=name, get_if_exists=True).remote()
+        _HANDLES[name] = h
+    return h
 
 
 def count_stage(ds, stage: str, actor=None):

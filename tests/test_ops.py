@@ -24,6 +24,35 @@ def test_dedup_exact_keeps_min_id(ray_session):
     assert out2["doc_id"].tolist() == [1, 3]
 
 
+def test_lsh_overcap_bucket_drop_is_reported(ray_session):
+    """A template mega-bucket (more colliding docs than MAX_BUCKET) is
+    dropped by the runaway-bucket guard — but NEVER silently: the
+    stage must surface nonzero dropped_buckets/dropped_rows counters
+    through the metrics actor (the no-silent-caps rule)."""
+    import time
+
+    import ray
+
+    from filda_ray.ops import dedup
+    from filda_ray.ops.dedup import minhash_lsh_pairs, neardup_dropped_stats
+    from filda_ray.state.metrics import get_metrics_actor
+
+    ray.get(get_metrics_actor().reset.remote())
+    n = dedup.MAX_BUCKET + 1  # every band's bucket run exceeds the cap
+    text = "identical boilerplate template page body content here " * 3
+    ds = _ds({"doc_id": list(range(n)), "text": [text] * n})
+    assert minhash_lsh_pairs(ds).count() == 0  # all candidates capped away
+    stats = {}
+    for _ in range(50):  # worker->actor adds are async; poll briefly
+        stats = neardup_dropped_stats()
+        if stats.get("minhash_lsh.dropped_buckets", 0) > 0:
+            break
+        time.sleep(0.1)
+    assert stats.get("minhash_lsh.dropped_buckets", 0) > 0
+    assert stats.get("minhash_lsh.dropped_rows", 0) >= n
+    ray.get(get_metrics_actor().reset.remote())
+
+
 def test_minhash_finds_planted_neardups(ray_session):
     from filda_ray.ops.dedup import minhash_lsh_pairs, verify_jaccard
 
