@@ -160,41 +160,139 @@ def token_counts(texts) -> np.ndarray:
         zero_copy_only=False).astype(np.int64)
 
 
+def _explode_tokens(texts, *, lower: bool = False):
+    """Batch tokenizer: ONE Arrow regex split over all texts.
+
+    Returns ``(uniq, codes, counts)`` — the distinct token strings (an
+    Arrow string array; ``.to_pylist()`` it only when the strings are
+    actually needed), the factorized flat token ids in document order,
+    and tokens-per-row.  Tokens are the ``[A-Za-z0-9]+`` runs (the
+    ``_TOKEN_RE.findall`` contract); null/empty rows contribute zero
+    tokens.  The factorize is Arrow ``dictionary_encode`` — token
+    strings never materialize as Python objects — so downstream
+    per-token digests (blake2b) run once per DISTINCT token, not once
+    per occurrence: the Zipf win that makes batch fingerprinting cheap."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = _as_string_array(texts)
+    if lower:
+        arr = pc.utf8_lower(arr)
+    lists = pc.split_pattern_regex(arr, "[^A-Za-z0-9]+")
+    counts = pc.list_value_length(lists).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lists)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    # regex split emits "" artifacts where a text starts/ends with a
+    # delimiter (and for empty texts); drop them and fix the counts
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    if not keep_np.all():
+        row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        counts = np.bincount(row[keep_np], minlength=len(counts))
+        flat = flat.filter(keep)
+    enc = flat.dictionary_encode()
+    # indices stay int32 (zero-copy); arithmetic upcasts where needed
+    return enc.dictionary, enc.indices.to_numpy(zero_copy_only=False), counts
+
+
+def _ascii_byte_count(arr, lo: int, hi: int) -> np.ndarray:
+    """Per-row count of bytes in [lo, hi] straight off the Arrow UTF-8
+    data buffer (one numpy compare + cumsum + offsets gather).  Valid
+    for any ASCII byte range even on multi-byte UTF-8 text: UTF-8
+    continuation/lead bytes are all >= 0x80, so they can never alias
+    an ASCII target.  ~20x faster than an RE2 single-char-class count
+    (which walks match-by-match through millions of hits)."""
+    import pyarrow as pa
+
+    assert isinstance(arr, pa.Array) and pa.types.is_string(arr.type)
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset: arr.offset + len(arr) + 1]
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    hit = (buf >= lo) & (buf <= hi)
+    cum = np.r_[0, np.cumsum(hit, dtype=np.int64)]
+    return cum[off[1:]] - cum[off[:-1]]
+
+
 def quality_features(texts):
     """dict of vectorized quality columns per document.
 
     Engine addition (training-data quality scoring): n_chars, n_tokens,
     mean token length, digit ratio, space ratio, distinct-token ratio.
     All are SQL-expressible for oracle checks.
+
+    Vectorized (no Python row loop): ONE ``_explode_tokens`` pass gives
+    token counts, per-token lengths (utf8_length over the DICTIONARY,
+    gathered by code), and distinct-token counts (np.unique over
+    (row, token-code) pairs); digit/space counts are one RE2/substring
+    count each.  Digits are ASCII ``[0-9]`` — the SQL mirror's
+    definition.  ``_quality_features_ref`` is the scalar twin tests
+    pin against (bit-identical outputs).
     """
-    n = len(texts)
-    n_chars = np.zeros(n, dtype=np.int64)
-    n_tokens = np.zeros(n, dtype=np.int64)
-    mean_tok = np.zeros(n, dtype=np.float64)
-    digit_ratio = np.zeros(n, dtype=np.float64)
-    space_ratio = np.zeros(n, dtype=np.float64)
-    distinct_ratio = np.zeros(n, dtype=np.float64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        n_chars[i] = len(t)
-        toks = _TOKEN_RE.findall(t)
-        n_tokens[i] = len(toks)
-        if toks:
-            mean_tok[i] = sum(len(w) for w in toks) / len(toks)
-            distinct_ratio[i] = len(set(toks)) / len(toks)
-        nd = sum(c.isdigit() for c in t)
-        ns = t.count(" ")
-        digit_ratio[i] = nd / len(t)
-        space_ratio[i] = ns / len(t)
+    import pyarrow.compute as pc
+
+    arr = _as_string_array(texts)
+    n = len(arr)
+    n_chars = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    digits = _ascii_byte_count(arr, 0x30, 0x39)   # '0'..'9'
+    spaces = _ascii_byte_count(arr, 0x20, 0x20)   # ' '
+
+    uniq, codes, counts = _explode_tokens(texts)
+    n_tokens = counts
+    row = np.repeat(np.arange(n, dtype=np.int64), counts)
+    if len(codes):
+        # alnum chars per row = segmented sum of token lengths; lengths
+        # computed once per DISTINCT token and gathered by code
+        tok_len = pc.utf8_length(uniq).to_numpy(
+            zero_copy_only=False).astype(np.int64)[codes]
+        offsets = np.r_[0, np.cumsum(counts)]
+        has = counts > 0
+        alnum_chars = np.zeros(n, dtype=np.int64)
+        alnum_chars[has] = np.add.reduceat(tok_len, offsets[:-1][has])
+        # distinct (row, token) pairs in one hashtable pass (pd.unique
+        # is O(N); np.unique would pay a full sort)
+        import pandas as pd
+
+        upairs = pd.unique(row * np.int64(len(uniq) + 1) + codes)
+        n_distinct = np.bincount(upairs // np.int64(len(uniq) + 1),
+                                 minlength=n)
+    else:
+        alnum_chars = np.zeros(n, dtype=np.int64)
+        n_distinct = np.zeros(n, dtype=np.int64)
+
+    nt = np.where(n_tokens > 0, n_tokens, 1).astype(np.float64)
+    nc = np.where(n_chars > 0, n_chars, 1).astype(np.float64)
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
-        "mean_token_len": mean_tok,
-        "digit_ratio": digit_ratio,
-        "space_ratio": space_ratio,
-        "distinct_ratio": distinct_ratio,
+        "mean_token_len": np.where(n_tokens > 0, alnum_chars / nt, 0.0),
+        "digit_ratio": np.where(n_chars > 0, digits / nc, 0.0),
+        "space_ratio": np.where(n_chars > 0, spaces / nc, 0.0),
+        "distinct_ratio": np.where(n_tokens > 0, n_distinct / nt, 0.0),
     }
+
+
+def _quality_features_ref(texts):
+    """Scalar reference twin of ``quality_features`` (per-row loop) —
+    kept ONLY for tests to pin the vectorized kernel against."""
+    n = len(texts)
+    out = {k: np.zeros(n, d) for k, d in (
+        ("n_chars", np.int64), ("n_tokens", np.int64),
+        ("mean_token_len", np.float64), ("digit_ratio", np.float64),
+        ("space_ratio", np.float64), ("distinct_ratio", np.float64))}
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        out["n_chars"][i] = len(t)
+        toks = _TOKEN_RE.findall(t)
+        out["n_tokens"][i] = len(toks)
+        if toks:
+            out["mean_token_len"][i] = sum(len(w) for w in toks) / len(toks)
+            out["distinct_ratio"][i] = len(set(toks)) / len(toks)
+        out["digit_ratio"][i] = sum(c in "0123456789" for c in t) / len(t)
+        out["space_ratio"][i] = t.count(" ") / len(t)
+    return out
 
 
 def line_stats(texts):
@@ -318,11 +416,51 @@ _FP_BASE = np.uint64(1099511628211)        # FNV prime as rolling base
 _FP_MOD_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+_FP_OFFSET = np.uint64(14695981039346656037)  # FNV-1a 64-bit offset basis
+
+
 def fingerprint64(texts) -> np.ndarray:
     """Order-sensitive rolling token hash (document fingerprint).
 
     h = fold(h * base + token_hash) over tokens, in uint64 arithmetic.
-    """
+
+    Vectorized, bit-identical to ``_fingerprint64_ref``: the rolling
+    fold has the closed form h = OFFSET*B^n + sum_i th_i * B^(n-1-i)
+    (mod 2^64), so one batch-wide tokenize (``_explode_tokens``), one
+    blake2b pass over DISTINCT tokens only, a power table to the max
+    doc length, and one np.add.reduceat over the per-row segments
+    replace the per-row/per-token Python loops."""
+    from .hashing import content_hash64
+
+    import pyarrow.compute as pc
+
+    uniq, codes, counts = _explode_tokens(texts)
+    n = len(counts)
+    out = np.zeros(n, dtype=np.uint64)
+    # empty/None texts stay 0; tokenless non-empty texts get OFFSET
+    nonempty = pc.greater(pc.utf8_length(_as_string_array(texts)), 0).to_numpy(
+        zero_copy_only=False)
+    out[nonempty] = _FP_OFFSET
+    if len(codes) == 0:
+        return out
+    th = content_hash64(uniq.to_pylist())[codes]
+    with np.errstate(over="ignore"):
+        pow_b = np.empty(int(counts.max()) + 1, dtype=np.uint64)
+        pow_b[0] = np.uint64(1)
+        np.multiply.accumulate(np.full(len(pow_b) - 1, _FP_BASE), out=pow_b[1:])
+        offsets = np.r_[0, np.cumsum(counts)]
+        local = np.arange(len(codes), dtype=np.int64) - np.repeat(offsets[:-1], counts)
+        exp = np.repeat(counts, counts) - 1 - local
+        terms = th * pow_b[exp]
+        has = counts > 0
+        sums = np.add.reduceat(terms, offsets[:-1][has])
+        out[has] = _FP_OFFSET * pow_b[counts[has]] + sums
+    return out
+
+
+def _fingerprint64_ref(texts) -> np.ndarray:
+    """Scalar reference twin (per-row/per-token rolling fold) — kept
+    ONLY for tests to pin the vectorized kernel against."""
     from .hashing import content_hash64
 
     out = np.zeros(len(texts), dtype=np.uint64)
@@ -331,7 +469,7 @@ def fingerprint64(texts) -> np.ndarray:
             continue
         toks = _TOKEN_RE.findall(t)
         th = content_hash64(toks)
-        h = np.uint64(14695981039346656037)
+        h = _FP_OFFSET
         with np.errstate(over="ignore"):
             for x in th:
                 h = h * _FP_BASE + x
@@ -430,7 +568,36 @@ def jaccard(h1: np.ndarray, h2: np.ndarray) -> float:
 
 
 def simhash64(texts) -> np.ndarray:
-    """64-bit SimHash over token hashes (unweighted)."""
+    """64-bit SimHash over token hashes (unweighted).
+
+    Vectorized, bit-identical to ``_simhash64_ref``: one batch-wide
+    lowercased tokenize, blake2b over DISTINCT tokens only, then per
+    bit one segmented np.add.reduceat vote over the per-row token
+    runs — 64 vectorized passes total, no per-row Python."""
+    from .hashing import content_hash64
+
+    uniq, codes, counts = _explode_tokens(texts, lower=True)
+    n = len(counts)
+    out = np.zeros(n, dtype=np.uint64)
+    if len(codes) == 0:
+        return out
+    th = content_hash64(uniq.to_pylist())[codes]
+    offsets = np.r_[0, np.cumsum(counts)]
+    has = counts > 0
+    starts = offsets[:-1][has]
+    nh = counts[has]
+    acc = np.zeros(len(starts), dtype=np.uint64)
+    for b in range(64):
+        ones = np.add.reduceat(
+            ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64), starts)
+        acc |= (2 * ones - nh > 0).astype(np.uint64) << np.uint64(b)
+    out[has] = acc
+    return out
+
+
+def _simhash64_ref(texts) -> np.ndarray:
+    """Scalar reference twin (per-row bit matrix) — kept ONLY for
+    tests to pin the vectorized kernel against."""
     from .hashing import content_hash64
 
     out = np.zeros(len(texts), dtype=np.uint64)

@@ -37,8 +37,7 @@ def extract_text_op(ds):
 
 
 def quality_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    texts = batch.column(text_col).to_pylist()
-    feats = textkit.quality_features(texts)
+    feats = textkit.quality_features(batch.column(text_col))
     out = batch
     for name, arr in feats.items():
         out = out.append_column(name, pa.array(arr))
@@ -123,6 +122,35 @@ def langid_op(ds, text_col: str = "text"):
     return ds.map_batches(lambda b: langid_stage(b, text_col), batch_format="pyarrow")
 
 
+def _space_token_codes(col):
+    """Batch space-split tokenizer for the vocab/df partials: ONE
+    Arrow split + dictionary_encode over the whole batch (token
+    strings never materialize as Python objects).  Empty/null texts
+    contribute no tokens — matching the scalar partials' ``if not t:
+    continue``.  Returns (dictionary, codes, row)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_large_string(col.type):
+        col = col.cast(pa.string())
+    col = pc.fill_null(col, "")
+    valid = pc.greater(pc.utf8_length(col), 0).to_numpy(zero_copy_only=False)
+    lists = pc.split_pattern(col, " ")
+    counts = pc.list_value_length(lists).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lists)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    row = np.repeat(np.arange(len(col), dtype=np.int64), counts)
+    keep = valid[row]
+    if not keep.all():
+        flat = flat.filter(pa.array(keep))
+        row = row[keep]
+    enc = flat.dictionary_encode()
+    return enc.dictionary, enc.indices.to_numpy(zero_copy_only=False), row
+
+
 def vocab_count(ds, text_col: str = "text", *, top_k: int | None = None):
     """Corpus vocabulary counts (training-data op): per-batch token
     count partials (one row per distinct token per batch — the
@@ -134,19 +162,12 @@ def vocab_count(ds, text_col: str = "text", *, top_k: int | None = None):
     import pandas as pd
 
     def partial(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        counts: dict[str, int] = {}
-        for t in texts:
-            if not t:
-                continue
-            for w in t.split(" "):
-                counts[w] = counts.get(w, 0) + 1
-        if not counts:
+        uniq, codes, _row = _space_token_codes(batch.column(text_col))
+        if len(codes) == 0:
             return pa.table({"token": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
-        return pa.table({"token": pa.array(list(counts.keys()), pa.string()),
-                         "n": pa.array(np.fromiter(counts.values(), dtype=np.int64,
-                                                   count=len(counts)))})
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"token": uniq, "n": pa.array(n)})
 
     from ray.data.aggregate import Sum
 
@@ -180,7 +201,7 @@ def vocab_count(ds, text_col: str = "text", *, top_k: int | None = None):
 
 
 def fingerprint_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    texts = batch.column(text_col).to_pylist()
+    texts = batch.column(text_col)
     fp = textkit.fingerprint64(texts)
     sh = textkit.simhash64(texts)
     return (
@@ -203,15 +224,18 @@ def document_frequency(ds, doc_col: str = "doc_id", text_col: str = "text"):
     from .background import HIST_BATCH_ROWS
 
     def partial(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for t in batch.column(text_col).to_pylist():
-            if not t:
-                continue
-            for w in set(t.split(" ")):
-                counts[w] = counts.get(w, 0) + 1
-        return pa.table({"token": pa.array(list(counts.keys()), pa.string()),
-                         "df": pa.array(np.fromiter(counts.values(), dtype=np.int64,
-                                                    count=len(counts)))})
+        import pandas as pd
+
+        uniq, codes, row = _space_token_codes(batch.column(text_col))
+        if len(codes) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        # distinct (doc, token) pairs (set semantics) in one hashtable
+        # pass, then df per token code
+        nu = np.int64(len(uniq))
+        upairs = pd.unique(row * nu + codes)
+        df = np.bincount(upairs % nu, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"token": uniq, "df": pa.array(df)})
 
     merged = ds.map_batches(partial, batch_format="pyarrow",
                             batch_size=HIST_BATCH_ROWS).groupby(
@@ -268,32 +292,62 @@ def tfidf_top_terms(ds, doc_col: str = "doc_id", text_col: str = "text", *,
     scale = 10.0 ** round_decimals
 
     def score(batch: pa.Table) -> pa.Table:
+        """Vectorized per-doc tf + vocab lookup + top-k: ONE Arrow
+        space-split over the batch, per-(row, token) counts from one
+        np.unique pass, vocab probed once per DISTINCT token, and the
+        per-doc (-score, token) top-k via a single lexsort + segmented
+        rank (token order == vocab-position order since the broadcast
+        vocab is alphabetically sorted) — no per-row Python."""
+        import pyarrow.compute as pc
+
         toks, idfs = worker_state(ref, lambda: ray.get(ref))
         ids = batch.column(doc_col)
-        out_doc, out_tok, out_score = [], [], []
-        for i, t in enumerate(batch.column(text_col).to_pylist()):
-            if not t:
-                continue
-            tf: dict[str, int] = {}
-            for w in t.split(" "):
-                tf[w] = tf.get(w, 0) + 1
-            wlist = np.array(list(tf.keys()), dtype=object)
-            pos = np.searchsorted(toks, wlist)
-            pos = np.clip(pos, 0, len(toks) - 1)
-            hit = toks[pos] == wlist
-            if not hit.any():
-                continue
-            wl, pz = wlist[hit], pos[hit]
-            tfs = np.fromiter((tf[w] for w in wl), dtype=np.float64, count=len(wl))
-            sc = np.floor(tfs * idfs[pz] * scale + 0.5) / scale  # half-up
-            top = np.lexsort((wl, -sc))[:per_doc]
-            out_doc.extend([ids[i].as_py()] * len(top))
-            out_tok.extend(wl[top])
-            out_score.extend(sc[top])
+        empty = pa.table({doc_col: pa.array([], ids.type),
+                          "token": pa.array([], pa.string()),
+                          "tfidf": pa.array([], pa.float64())})
+        txt = batch.column(text_col)
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        valid = pc.greater(pc.utf8_length(txt), 0).to_numpy(zero_copy_only=False)
+        lists = pc.split_pattern(txt, " ")
+        counts = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        row = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        keep = valid[row]
+        if not keep.all():
+            flat = flat.filter(pa.array(keep))
+            row = row[keep]
+        if len(row) == 0:
+            return empty
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        pos_u = np.clip(np.searchsorted(toks, uniq), 0, len(toks) - 1)
+        hit_u = toks[pos_u] == uniq
+        nu = np.int64(len(uniq))
+        ukey, tf = np.unique(row * nu + codes, return_counts=True)
+        urow, ucode = ukey // nu, ukey % nu
+        m = hit_u[ucode]
+        if not m.any():
+            return empty
+        urow, tf, pz = urow[m], tf[m], pos_u[ucode[m]]
+        sc = np.floor(tf.astype(np.float64) * idfs[pz] * scale + 0.5) / scale
+        order = np.lexsort((pz, -sc, urow))
+        urow, pz, sc = urow[order], pz[order], sc[order]
+        starts = np.flatnonzero(np.r_[True, urow[1:] != urow[:-1]])
+        seg = np.diff(np.r_[starts, len(urow)])
+        rank = np.arange(len(urow), dtype=np.int64) - np.repeat(starts, seg)
+        sel = rank < per_doc
         return pa.table({
-            doc_col: pa.array(out_doc, ids.type),
-            "token": pa.array(out_tok, pa.string()),
-            "tfidf": pa.array(np.array(out_score, dtype=np.float64)),
+            doc_col: ids.take(pa.array(urow[sel])),
+            "token": pa.array(toks[pz[sel]], pa.string()),
+            "tfidf": pa.array(sc[sel], pa.float64()),
         })
 
     return ds.map_batches(score, batch_format="pyarrow")

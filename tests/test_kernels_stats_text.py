@@ -142,6 +142,34 @@ def test_minhash_jaccard_estimate():
     )
 
 
+def test_vectorized_text_kernels_match_scalar_twins():
+    """The batch fingerprint/simhash/quality kernels (one Arrow
+    tokenize + segmented numpy reductions) must be BIT-identical to
+    their per-row scalar twins on edge-case-heavy input."""
+    import pyarrow as pa
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog 123",
+        "", None, "!!!", "   ", "a", "a a a b b c",
+        "word1 word2-word3,word4;word1",
+        "Digits 007 and 42 mixed with text 3.14159",
+        "repeat repeat repeat repeat",
+        "tab\tseparated\nnewline lines\nlines",
+        "CaseSensitive casesensitive CASESENSITIVE",
+        "trailing punctuation!", "!leading", "mid!!dle",
+        "unicode café straße 中文 123 mixed",
+        "x" * 500 + " " + "y z " * 50,
+    ]
+    for inp in (texts, pa.array(texts, pa.string())):
+        assert np.array_equal(textkit.fingerprint64(inp),
+                              textkit._fingerprint64_ref(texts))
+        assert np.array_equal(textkit.simhash64(inp),
+                              textkit._simhash64_ref(texts))
+        ref = textkit._quality_features_ref(texts)
+        for k, v in textkit.quality_features(inp).items():
+            assert np.allclose(v, ref[k]), k
+
+
 def test_simhash_similarity():
     t1 = ["alpha beta gamma delta epsilon zeta eta theta"] * 1
     t2 = ["alpha beta gamma delta epsilon zeta eta iota"]
