@@ -8,11 +8,12 @@ header + raw bytes, PNG is zlib DEFLATE + five scanline filters
 These are real, spec-conformant encoders and decoders (public
 formats: RIFF/WAVE per the Microsoft/IBM 1991 spec, PNM per the
 netpbm docs, PNG per RFC 2083 / the W3C PNG spec, GIF per the
-CompuServe GIF89a spec), so the engine's media decode stage is a
-REAL kernel for wav/ppm/pgm/png/gif payloads — the
-NotImplementedError integration point remains only for DCT/
-entropy-coded codecs (jpeg/mp3/h264), which genuinely need external
-libraries.
+CompuServe GIF89a spec, JPEG baseline sequential DCT per ITU-T T.81
+with the Annex K tables), so the engine's media decode stage is a
+REAL kernel for wav/ppm/pgm/png/gif/jpeg payloads — the
+NotImplementedError integration point remains only for the
+perceptual-audio/motion-video codecs (mp3/h264), which genuinely
+need external libraries.
 
 Reference analog: the raster ingest readers (FILDA_IO.py:570-706)
 — binary blobs -> typed arrays + QA, decoded with per-batch
@@ -556,3 +557,525 @@ def decode_gif(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unknown GIF block 0x{intro:02x}")
     raise ValueError("GIF contains no image data")
+
+
+# ---------------------------------------------------------------------------
+# JPEG (real, from scratch: ITU-T T.81 baseline sequential DCT).
+# Public spec only — Annex K quantization/Huffman tables, JFIF YCbCr.
+# Encoder: 4:4:4 or 4:2:0, optional restart intervals.  Decoder:
+# baseline SOF0, 8-bit, sampling factors 1-2, DRI/RSTn.  The entropy
+# scan is the one per-symbol Python loop (the honest no-libjpeg
+# boundary); everything after it — dequant, IDCT, upsample, color —
+# is batched numpy over all blocks at once.
+# ---------------------------------------------------------------------------
+
+JPEG_MAGIC = b"\xff\xd8"
+
+_JPG_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_JPG_QL = np.array([  # Annex K.1 luminance
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+_JPG_QC = np.array([  # Annex K.2 chrominance
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# Annex K.3 typical Huffman tables: (BITS[1..16], HUFFVAL)
+_JPG_HUFF = {
+    ("dc", 0): ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12))),
+    ("dc", 1): ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                list(range(12))),
+    ("ac", 0): ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA]),
+    ("ac", 1): ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA]),
+}
+
+
+def _jpg_dct_matrix() -> np.ndarray:
+    k = np.arange(8, dtype=np.float64)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    C[0] /= np.sqrt(2.0)
+    return C
+
+
+def _jpg_quality_tables(quality: int):
+    """IJG quality scaling (public libjpeg formula) of the Annex K
+    tables."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    ql = np.clip((_JPG_QL * scale + 50) // 100, 1, 255).astype(np.int64)
+    qc = np.clip((_JPG_QC * scale + 50) // 100, 1, 255).astype(np.int64)
+    return ql, qc
+
+
+def _jpg_huff_encode_table(bits, vals):
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} per T.81 C.2."""
+    out, code = {}, 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpgBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing (T.81 F.1.2.3)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            self.write(0x7F >> (7 - ((8 - self.nbits) % 8)), (8 - self.nbits) % 8)
+
+
+def _jpg_magnitude(v: int) -> tuple[int, int]:
+    """value -> (category, appended-bits) per T.81 F.1.2.1."""
+    s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    if v < 0:
+        v = v + (1 << s) - 1
+    return s, v
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90, *,
+                subsample: str = "444", restart_interval: int = 0) -> bytes:
+    """uint8 (h,w) gray / (h,w,3) RGB -> baseline JPEG bytes.
+
+    ``subsample``: '444' (1x1 chroma) or '420' (2x2 Y, chroma box-mean
+    downsampled — the common web layout).  ``restart_interval`` > 0
+    emits DRI + RSTn markers every that-many MCUs."""
+    import struct
+
+    a = np.asarray(img, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError("expected (h,w) or (h,w,3) uint8")
+    if a.size == 0:
+        raise ValueError("empty image (h*w == 0)")
+    h, w = a.shape[:2]
+    ql, qc = _jpg_quality_tables(quality)
+    C = _jpg_dct_matrix()
+
+    if gray:
+        comps = [(1, 1, a.astype(np.float64) - 128.0, ql, 0)]
+        hmax = vmax = 1
+    else:
+        x = a.astype(np.float64)
+        r, g, b = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+        if subsample == "444":
+            comps = [(1, 1, y - 128.0, ql, 0), (1, 1, cb - 128.0, qc, 1),
+                     (1, 1, cr - 128.0, qc, 1)]
+            hmax = vmax = 1
+        elif subsample == "420":
+            def down2(p):
+                hh, ww = (p.shape[0] + 1) // 2 * 2, (p.shape[1] + 1) // 2 * 2
+                q = np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])),
+                           mode="edge")
+                return (q[0::2, 0::2] + q[0::2, 1::2]
+                        + q[1::2, 0::2] + q[1::2, 1::2]) / 4.0
+            comps = [(2, 2, y - 128.0, ql, 0),
+                     (1, 1, down2(cb) - 128.0, qc, 1),
+                     (1, 1, down2(cr) - 128.0, qc, 1)]
+            hmax = vmax = 2
+        else:
+            raise ValueError("subsample in ('444', '420')")
+
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    # pad each plane to its own MCU-aligned size and pre-DCT+quantize
+    # ALL blocks per component in one einsum (the vectorized half)
+    zz = _JPG_ZZ
+    plane_q = []
+    for hi, vi, plane, qt, _tc in comps:
+        ph, pw = 8 * vi * mcus_y, 8 * hi * mcus_x
+        p = np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+                   mode="edge")
+        blocks = p.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,abjk,lk->abil", C, blocks, C)
+        q = np.round(coef / qt).astype(np.int64)
+        # reshape(..., 64)[:, :, zz] zigzags every block at once
+        plane_q.append(q.reshape(ph // 8, pw // 8, 64)[:, :, zz])
+
+    enc = {k: _jpg_huff_encode_table(*v) for k, v in _JPG_HUFF.items()}
+    bw = _JpgBitWriter()
+    pred = [0] * len(comps)
+    out = bytearray()
+    n_rst = 0
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                out += bw.buf
+                bw = _JpgBitWriter()
+                out += bytes([0xFF, 0xD0 + (n_rst % 8)])
+                n_rst += 1
+                pred = [0] * len(comps)
+            for ci, (hi, vi, _p, _qt, tc) in enumerate(comps):
+                dctab = enc[("dc", tc)]
+                actab = enc[("ac", tc)]
+                for by in range(vi):
+                    for bx in range(hi):
+                        blk = plane_q[ci][my * vi + by, mx * hi + bx]
+                        diff = int(blk[0]) - pred[ci]
+                        pred[ci] = int(blk[0])
+                        s, bitsv = _jpg_magnitude(diff) if diff else (0, 0)
+                        c, ln = dctab[s]
+                        bw.write(c, ln)
+                        if s:
+                            bw.write(bitsv, s)
+                        run = 0
+                        nz = np.nonzero(blk[1:])[0]
+                        last = nz[-1] + 1 if len(nz) else 0
+                        for k in range(1, last + 1):
+                            v = int(blk[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                c, ln = actab[0xF0]  # ZRL
+                                bw.write(c, ln)
+                                run -= 16
+                            s, bitsv = _jpg_magnitude(v)
+                            c, ln = actab[(run << 4) | s]
+                            bw.write(c, ln)
+                            bw.write(bitsv, s)
+                            run = 0
+                        if last < 63:
+                            c, ln = actab[0x00]  # EOB
+                            bw.write(c, ln)
+            mcu_count += 1
+    bw.flush()
+    out += bw.buf
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    hdr = bytearray(JPEG_MAGIC)
+    hdr += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    hdr += seg(0xDB, bytes([0x00]) + bytes(ql.reshape(64)[zz].astype(np.uint8)))
+    if not gray:
+        hdr += seg(0xDB, bytes([0x01]) + bytes(qc.reshape(64)[zz].astype(np.uint8)))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, len(comps)))
+    for ci, (hi, vi, _p, _qt, tc) in enumerate(comps):
+        sof += bytes([ci + 1, (hi << 4) | vi, tc])
+    hdr += seg(0xC0, bytes(sof))
+    for (kind, tid), (bits, vals) in _JPG_HUFF.items():
+        if gray and tid == 1:
+            continue
+        tc = 0 if kind == "dc" else 1
+        hdr += seg(0xC4, bytes([(tc << 4) | tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        hdr += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([len(comps)])
+    for ci, (_hi, _vi, _p, _qt, tc) in enumerate(comps):
+        sos += bytes([ci + 1, (tc << 4) | tc])
+    sos += b"\x00\x3f\x00"
+    hdr += seg(0xDA, bytes(sos))
+    return bytes(hdr) + bytes(out) + b"\xff\xd9"
+
+
+def _jpg_huff_decode_table(bits, vals):
+    """(BITS, HUFFVAL) -> (mincode, maxcode, valptr, vals) arrays per
+    T.81 F.2.2.3 (maxcode[l] = -1 for empty lengths)."""
+    mincode = np.zeros(17, dtype=np.int64)
+    maxcode = np.full(17, -1, dtype=np.int64)
+    valptr = np.zeros(17, dtype=np.int64)
+    code, k = 0, 0
+    for ln in range(1, 17):
+        n = bits[ln - 1]
+        if n:
+            valptr[ln] = k
+            mincode[ln] = code
+            code += n
+            maxcode[ln] = code - 1
+            k += n
+        code <<= 1
+    return mincode, maxcode, valptr, np.asarray(vals, dtype=np.int64)
+
+
+class _JpgBitReader:
+    """MSB-first bit reader over an UNSTUFFED entropy segment (numpy
+    unpackbits once per segment; per-symbol reads are int slices)."""
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        e = self.pos + n
+        if e > len(self.bits):
+            raise ValueError("JPEG entropy segment truncated")
+        v = 0
+        for b in self.bits[self.pos:e]:
+            v = (v << 1) | int(b)
+        self.pos = e
+        return v
+
+    def huff(self, tab) -> int:
+        mincode, maxcode, valptr, vals = tab
+        code = self.read(1)
+        ln = 1
+        while code > maxcode[ln]:
+            ln += 1
+            if ln > 16:
+                raise ValueError("invalid JPEG Huffman code")
+            code = (code << 1) | self.read(1)
+        return int(vals[valptr[ln] + code - mincode[ln]])
+
+
+def _jpg_extend(v: int, s: int) -> int:
+    """appended-bits -> signed value per T.81 F.2.2.1 EXTEND."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> uint8 ndarray (h,w) gray / (h,w,3) RGB.
+
+    Real decoder per ITU-T T.81: marker walk, DQT/DHT/SOF0/DRI/SOS,
+    Huffman+magnitude entropy decode (the per-symbol Python loop),
+    then dequant, zigzag-inverse, IDCT, chroma upsample (sampling
+    factors 1-2, pixel replication) and BT.601 YCbCr->RGB — all
+    batched numpy over every block at once.  Progressive (SOF2),
+    arithmetic coding, and 12-bit depth raise ValueError."""
+    import struct
+
+    if payload[:2] != JPEG_MAGIC:
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], tuple] = {}
+    restart = 0
+    frame = None
+    zz = _JPG_ZZ
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2: pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0x0F
+                bp += 1
+                if pq:
+                    vals = np.frombuffer(body, dtype=">u2", count=64, offset=bp)
+                    bp += 128
+                else:
+                    vals = np.frombuffer(body, dtype=np.uint8, count=64, offset=bp)
+                    bp += 64
+                qt = np.zeros(64, dtype=np.int64)
+                qt[zz] = vals.astype(np.int64)
+                qtabs[tq] = qt.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0x0F
+                bits = list(body[bp + 1: bp + 17])
+                n = sum(bits)
+                vals = list(body[bp + 17: bp + 17 + n])
+                htabs[(tc, th)] = _jpg_huff_decode_table(bits, vals)
+                bp += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline(-ext) sequential
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci: 9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG supported")
+        elif marker == 0xDA:  # SOS -> entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            sel = {}
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si: 3 + 2 * si]
+                sel[cs] = (tt >> 4, tt & 0x0F)
+            fh, fw, comps = frame
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
+                raise ValueError("sampling factors 1-2 supported")
+            mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+            # split entropy data into restart segments, unstuffing FF00
+            data = payload[pos:]
+            end = data.find(b"\xff\xd9")
+            if end < 0:
+                raise ValueError("missing EOI")
+            ecs, segs = data[:end], []
+            if restart:
+                parts = []
+                cur = bytearray()
+                i = 0
+                while i < len(ecs):
+                    b = ecs[i]
+                    if b == 0xFF and i + 1 < len(ecs):
+                        nxt = ecs[i + 1]
+                        if nxt == 0x00:
+                            cur.append(0xFF)
+                            i += 2
+                            continue
+                        if 0xD0 <= nxt <= 0xD7:
+                            parts.append(bytes(cur))
+                            cur = bytearray()
+                            i += 2
+                            continue
+                    cur.append(b)
+                    i += 1
+                parts.append(bytes(cur))
+                segs = parts
+            else:
+                segs = [ecs.replace(b"\xff\x00", b"\xff")]
+            n_mcu = mcus_x * mcus_y
+            per_seg = restart or n_mcu
+            # decode every MCU into per-component zigzag block arrays
+            blocks = [np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
+                               dtype=np.int64) for c in comps]
+            mcu = 0
+            for seg_i, seg_bytes in enumerate(segs):
+                br = _JpgBitReader(seg_bytes)
+                pred = [0] * len(comps)
+                for _k in range(min(per_seg, n_mcu - mcu)):
+                    my, mx = divmod(mcu, mcus_x)
+                    for ci, c in enumerate(comps):
+                        dct = htabs[(0, sel[c["id"]][0])]
+                        act = htabs[(1, sel[c["id"]][1])]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = blocks[ci][my * c["v"] + by,
+                                                 mx * c["h"] + bx]
+                                s = br.huff(dct)
+                                diff = _jpg_extend(br.read(s), s) if s else 0
+                                pred[ci] += diff
+                                blk[0] = pred[ci]
+                                k = 1
+                                while k <= 63:
+                                    rs = br.huff(act)
+                                    r, s = rs >> 4, rs & 0x0F
+                                    if s == 0:
+                                        if r == 15:
+                                            k += 16  # ZRL
+                                            continue
+                                        break     # EOB
+                                    k += r
+                                    if k > 63:
+                                        raise ValueError("AC index overflow")
+                                    blk[k] = _jpg_extend(br.read(s), s)
+                                    k += 1
+                    mcu += 1
+            if mcu != n_mcu:
+                raise ValueError("JPEG scan ended early")
+            # vectorized tail: dequant + inverse zigzag + IDCT per comp
+            C = _jpg_dct_matrix()
+            planes = []
+            for ci, c in enumerate(comps):
+                q = qtabs[c["tq"]].reshape(64)[zz]
+                coef = np.zeros(blocks[ci].shape[:2] + (64,), dtype=np.float64)
+                coef[:, :, zz] = blocks[ci] * q
+                coef = coef.reshape(coef.shape[0], coef.shape[1], 8, 8)
+                pix = np.einsum("ji,abjk,kl->abil", C, coef, C) + 128.0
+                by, bx = pix.shape[:2]
+                plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+                plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                                  hmax // c["h"], axis=1)
+                planes.append(plane[:fh, :fw])
+            if len(planes) == 1:
+                return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+            y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+            r = y + 1.402 * cr
+            g = y - 0.344136286 * cb - 0.714136286 * cr
+            b = y + 1.772 * cb
+            rgb = np.stack([r, g, b], axis=2)
+            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        elif marker == 0xD9:
+            break
+        # APPn/COM and anything else: skipped via seglen above
+    raise ValueError("JPEG contains no scan")

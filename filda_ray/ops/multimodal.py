@@ -41,17 +41,17 @@ MEDIA_SCHEMA = pa.schema(
 
 
 class NotImplementedDecoder:
-    """Integration point for DCT/entropy-coded codecs (jpeg/mp3/h264),
-    which need libjpeg/libsndfile/ffmpeg-class libraries this container
-    does not ship.  __init__ is where those handles would be created
-    (once per actor).  Everything stdlib-expressible — wav, pnm, PNG
-    (zlib), GIF (LZW), rvid — is decoded for REAL by
-    ``RawMediaDecoder``."""
+    """Integration point for perceptual-audio/motion-video codecs
+    (mp3/h264), which need libsndfile/ffmpeg-class libraries this
+    container does not ship.  __init__ is where those handles would be
+    created (once per actor).  Everything spec-expressible from
+    scratch — wav, pnm, PNG (zlib), GIF (LZW), JPEG (baseline T.81),
+    rvid — is decoded for REAL by ``RawMediaDecoder``."""
 
     def __init__(self, target_size: tuple[int, int] = (64, 64)):
         raise NotImplementedError(
-            "no jpeg/mp3/h264 codec libraries in this environment; "
-            "RawMediaDecoder handles wav/pnm/png/gif/rvid payloads for real"
+            "no mp3/h264 codec libraries in this environment; "
+            "RawMediaDecoder handles wav/pnm/png/gif/jpeg/rvid payloads for real"
         )
 
 
@@ -90,6 +90,8 @@ class RawMediaDecoder:
                 f = m.image_features(img, self.grid)
             elif payload[:6] in m.GIF_MAGICS:
                 f = m.image_features(m.decode_gif(payload), self.grid)
+            elif payload[:2] == m.JPEG_MAGIC:
+                f = m.image_features(m.decode_jpeg(payload), self.grid)
             elif payload[:1] == b"P" and payload[1:2] in b"56":
                 f = m.image_features(m.decode_ppm(payload), self.grid)
             elif payload[:4] == m.RVID_MAGIC:
@@ -256,14 +258,19 @@ def synth_media_raw(sf_dir: str, kind: str = "image"):
                 # cycle containers so the decoder's magic sniffing is
                 # exercised on real mixed corpora: PNG (cycling the
                 # scanline filter), binary PPM, GIF (posterized to fit
-                # the exact-palette encoder)
-                r = i % 3
+                # the exact-palette encoder), JPEG (alternating 4:4:4
+                # and the common web 4:2:0 layout)
+                r = i % 4
                 if r == 0:
-                    payloads.append(media.encode_png(img, filter_type=(i // 3) % 5))
+                    payloads.append(media.encode_png(img, filter_type=(i // 4) % 5))
                 elif r == 1:
                     payloads.append(media.encode_ppm(img))
-                else:
+                elif r == 2:
                     payloads.append(media.encode_gif(img & 0xC0))
+                else:
+                    payloads.append(media.encode_jpeg(
+                        img, quality=90,
+                        subsample="420" if (i // 4) % 2 else "444"))
                 w.append(IMG_SIZE); h.append(IMG_SIZE); sr.append(0)
         return pa.table(
             {

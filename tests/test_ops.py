@@ -1593,6 +1593,87 @@ def test_png_decoder_features_match_ppm():
     assert np.array_equal(np.stack(out2["features"].to_numpy())[0], a[0])
 
 
+def test_jpeg_codec_roundtrip():
+    """From-scratch baseline JPEG (ITU-T T.81): decode(encode(img))
+    reconstructs within lossy-codec tolerance for 4:4:4, 4:2:0 (with
+    chroma upsampling), grayscale, restart intervals, and
+    non-block-aligned sizes; unsupported modes raise cleanly."""
+    from filda_ray.kernels import media
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.stack([(yy * 2) % 256, (xx * 3) % 256,
+                    ((yy + xx) * 2) % 256], axis=2).astype(np.uint8)
+    for ss in ("444", "420"):
+        for ri in (0, 4):
+            out = media.decode_jpeg(media.encode_jpeg(
+                img, quality=92, subsample=ss, restart_interval=ri))
+            assert out.shape == img.shape
+            err = np.abs(out.astype(int) - img.astype(int)).mean()
+            assert err < (1.0 if ss == "444" else 3.0), (ss, ri, err)
+    # grayscale + odd (non multiple of 8/16) sizes
+    g = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    out = media.decode_jpeg(media.encode_jpeg(g, quality=95))
+    assert out.shape == g.shape
+    assert np.abs(out.astype(int) - g.astype(int)).mean() < 1.0
+    odd = img[:45, :61]
+    for ss in ("444", "420"):
+        out = media.decode_jpeg(media.encode_jpeg(odd, quality=90, subsample=ss))
+        assert out.shape == odd.shape
+    # validation paths
+    with pytest.raises(ValueError):
+        media.decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError):
+        media.encode_jpeg(np.zeros((0, 4, 3), np.uint8))
+    with pytest.raises(ValueError):  # truncated scan
+        media.decode_jpeg(media.encode_jpeg(img)[:-40])
+
+
+def test_jpeg_pinned_fixture_matches_committed_golden():
+    """encode_jpeg-free regression pin: decoding the COMMITTED fixture
+    bytes (4:2:0 + restart intervals) must byte-match the committed
+    decoded golden — catches any decoder drift independently of the
+    encoder."""
+    import os
+
+    from filda_ray.kernels import media
+
+    d = os.path.join(os.path.dirname(__file__), "goldens")
+    payload = open(os.path.join(d, "jpeg_fixture.jpg"), "rb").read()
+    expected = np.load(os.path.join(d, "jpeg_fixture_decoded.npy"))
+    out = media.decode_jpeg(payload)
+    assert out.dtype == np.uint8 and out.shape == expected.shape
+    assert np.array_equal(out, expected)
+
+
+def test_jpeg_decoder_features_via_dispatch(ray_session):
+    """RawMediaDecoder sniffs the ffd8 magic and decodes JPEG payloads
+    for real; features track the lossless PPM features of the same
+    image within codec tolerance."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from filda_ray.kernels import media
+    from filda_ray.ops.multimodal import RawMediaDecoder, decode_media
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    imgs = [np.stack([(yy * k) % 256, (xx * k) % 256, ((yy + xx) * k) % 256],
+                     axis=2).astype(np.uint8) for k in range(2, 8)]
+    tbl = pa.table({
+        "media_id": pa.array(list(range(12)), pa.int64()),
+        "kind": pa.array(["image"] * 12),
+        "payload": pa.array(
+            [media.encode_jpeg(im, quality=95,
+                               subsample="420" if i % 2 else "444")
+             for i, im in enumerate(imgs)]
+            + [media.encode_ppm(im) for im in imgs], pa.binary()),
+    })
+    out = decode_media(rd.from_arrow(tbl), decoder=RawMediaDecoder).to_pandas()
+    assert out["decode_ok"].all()
+    jpg = np.stack(out[out.media_id < 6].sort_values("media_id")["features"].to_numpy())
+    ppm = np.stack(out[out.media_id >= 6].sort_values("media_id")["features"].to_numpy())
+    assert np.abs(jpg - ppm).max() < 0.05
+
+
 def test_gif_codec_roundtrip():
     """From-scratch GIF89a LZW codec: decode(encode(img)) is the
     identity for palettes of 1..256 colors, grayscale inputs, and
