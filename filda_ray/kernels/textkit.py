@@ -500,6 +500,114 @@ def shingle_hashes(text: str, w: int = 3) -> np.ndarray:
     return np.unique(h)
 
 
+def shingle_hashes_batch(texts, w: int = 3):
+    """Batched ``shingle_hashes`` over a whole column: returns
+    ``(flat, offsets)`` where ``flat[offsets[i]:offsets[i+1]]`` is
+    BIT-identical to ``shingle_hashes(texts[i], w)``.
+
+    One Arrow tokenize for the batch (``_explode_tokens``), blake2b
+    once per DISTINCT token, the w-wide rolling ``hash_combine`` over
+    flat positions (shingle starts never cross row boundaries), and
+    per-row sorted-unique via one lexsort — the per-document Python
+    loop of the scalar twin disappears, which is the hot cost of the
+    MinHash signature and Jaccard-verify stages."""
+    from .hashing import content_hash64, hash_combine
+
+    uniq, codes, counts = _explode_tokens(texts, lower=True)
+    th = content_hash64(uniq.to_pylist())[codes]
+    n = len(counts)
+    offsets = np.r_[0, np.cumsum(counts)]
+    out_counts = np.zeros(n, dtype=np.int64)
+
+    # rows shorter than w fold ALL their tokens into one hash
+    short = (counts > 0) & (counts < w)
+    hs = np.empty(0, dtype=np.uint64)
+    if short.any():
+        off_s = offsets[:-1][short]
+        l_s = counts[short]
+        hs = th[off_s].copy()
+        for k in range(1, w):
+            msk = l_s > k
+            if msk.any():
+                hs[msk] = hash_combine(hs[msk], th[off_s[msk] + k])
+        out_counts[short] = 1
+
+    # rows with >= w tokens: every start position, rolled w-wide
+    long = counts >= w
+    rr = hh = np.empty(0, dtype=np.uint64)
+    if long.any():
+        m = counts[long] - w + 1
+        base = np.repeat(offsets[:-1][long], m)
+        within = np.arange(int(m.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(m) - m, m)
+        starts = base + within
+        h = th[starts].copy()
+        for k in range(1, w):
+            h = hash_combine(h, th[starts + k])
+        row_g = np.repeat(np.flatnonzero(long), m)
+        order = np.lexsort((h, row_g))
+        h, row_g = h[order], row_g[order]
+        keep = np.r_[True, (h[1:] != h[:-1]) | (row_g[1:] != row_g[:-1])]
+        hh, rr = h[keep], row_g[keep]
+        out_counts[long] = np.bincount(rr, minlength=n)[long]
+
+    out_off = np.r_[0, np.cumsum(out_counts)]
+    flat = np.empty(int(out_counts.sum()), dtype=np.uint64)
+    if short.any():
+        flat[out_off[:-1][short]] = hs
+    if len(hh):
+        seg = np.flatnonzero(np.r_[True, rr[1:] != rr[:-1]])
+        rank = np.arange(len(rr), dtype=np.int64) - np.repeat(
+            seg, np.diff(np.r_[seg, len(rr)]))
+        flat[out_off[rr] + rank] = hh
+    return flat, out_off
+
+
+def minhash_signature_matrix(flat: np.ndarray, offsets: np.ndarray,
+                             a: np.ndarray, b: np.ndarray,
+                             perm_chunk: int = 32) -> np.ndarray:
+    """(rows, num_perm) MinHash signatures over per-row shingle-hash
+    segments — BIT-identical to stacking ``minhash_signature`` per
+    row.  The (perm x shingle) affine map runs in perm chunks (bounded
+    memory) with one ``np.minimum.reduceat`` per chunk for the per-row
+    mins; empty rows get the scalar code's all-ones sentinel."""
+    num_perm = a.shape[0]
+    n = len(offsets) - 1
+    out = np.full((n, num_perm), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    counts = np.diff(offsets)
+    has = counts > 0
+    if not has.any():
+        return out
+    starts = offsets[:-1][has]
+    # affine-map DISTINCT shingle hashes only, then gather per
+    # occurrence: template/boilerplate corpora (the adversarial
+    # near-dup shape) share most shingles across documents, so the
+    # expensive permutation arithmetic shrinks by the duplication
+    # factor while the reduceat still sees every occurrence
+    uh, inv = np.unique(flat, return_inverse=True)
+    if len(uh) > (2 * len(flat)) // 3:
+        uh, inv = flat, None   # low duplication: gather would be pure loss
+    h = (uh & _MERSENNE61).astype(np.uint64)
+    lo = (h & np.uint64((1 << 30) - 1))[None, :]
+    hi = (h >> np.uint64(30))[None, :]
+    mask31 = np.uint64((1 << 31) - 1)
+    for p0 in range(0, num_perm, perm_chunk):
+        ak = a[p0:p0 + perm_chunk, None]
+        bk = b[p0:p0 + perm_chunk, None]
+        u = ak * hi
+        t1 = ((u & mask31) << np.uint64(30)) + (u >> np.uint64(31))
+        t1 = np.where(t1 >= _MERSENNE61, t1 - _MERSENNE61, t1)
+        v = t1 + ak * lo + bk                      # < 2^63
+        # v mod (2^61-1) via the Mersenne fold (2^61 == 1 mod M61):
+        # exactly equal to the scalar twin's generic % but ~4 cheap ops
+        v = (v & _MERSENNE61) + (v >> np.uint64(61))
+        v = np.where(v >= _MERSENNE61, v - _MERSENNE61, v)
+        vv = v if inv is None else v[:, inv]
+        out[np.ix_(has, range(p0, min(p0 + perm_chunk, num_perm)))] = \
+            np.minimum.reduceat(vv, starts, axis=1).T
+    return out
+
+
 _MERSENNE61 = np.uint64((1 << 61) - 1)
 
 

@@ -112,7 +112,6 @@ class MinHashStage:
         self.w = shingle_w
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
         ids = batch.column("doc_id").to_numpy()
         if len(ids) == 0:
             return pa.table(
@@ -120,12 +119,12 @@ class MinHashStage:
                  "band": pa.array([], pa.int32()),
                  "band_hash": pa.array([], pa.uint64())}
             )
-        sigs = np.stack(
-            [
-                textkit.minhash_signature(textkit.shingle_hashes(t or "", self.w), self.a, self.b)
-                for t in texts
-            ]
-        )
+        # batch path (bit-identical to the per-doc scalar twins): one
+        # Arrow tokenize + distinct-token blake2b + distinct-shingle
+        # permutation map — the per-document Python loop was the hot
+        # cost of this stage (6.4x on template-heavy corpora)
+        flat, offs = textkit.shingle_hashes_batch(batch.column("text"), self.w)
+        sigs = textkit.minhash_signature_matrix(flat, offs, self.a, self.b)
         bands = textkit.minhash_bands_matrix(sigs, NUM_BANDS)
         n = len(ids)
         return pa.table(
@@ -304,8 +303,9 @@ def _shingle_sig_stage(id_col: str, text_col: str, shingle_w: int):
 
     def sig(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col)
-        texts = batch.column(text_col).to_pylist()
-        hs = [textkit.shingle_hashes(t or "", shingle_w).tobytes() for t in texts]
+        flat, offs = textkit.shingle_hashes_batch(batch.column(text_col),
+                                                  shingle_w)
+        hs = [flat[offs[i]:offs[i + 1]].tobytes() for i in range(len(batch))]
         return pa.table({id_col: ids, "sig": pa.array(hs, pa.large_binary())})
 
     return sig

@@ -170,6 +170,28 @@ def test_vectorized_text_kernels_match_scalar_twins():
             assert np.allclose(v, ref[k]), k
 
 
+def test_batch_shingles_and_minhash_match_scalar():
+    """shingle_hashes_batch / minhash_signature_matrix are bit-identical
+    per row to the scalar shingle_hashes / minhash_signature pair, for
+    every shingle width and the short/empty edge rows."""
+    texts = ["the quick brown fox jumps over the lazy dog and runs far " * 8,
+             "", None, "one", "one two", "one two three", "a b c d e f g",
+             "dup dup dup dup dup", "!!!", "x y",
+             "breaking news boilerplate header footer " * 5 + "tail7"]
+    a, b = textkit.minhash_params(128, 1)
+    for w in (1, 2, 3, 5):
+        flat, off = textkit.shingle_hashes_batch(texts, w)
+        for i, t in enumerate(texts):
+            assert np.array_equal(flat[off[i]:off[i + 1]],
+                                  textkit.shingle_hashes(t or "", w)), (w, i)
+    flat, off = textkit.shingle_hashes_batch(texts, 3)
+    sigs = textkit.minhash_signature_matrix(flat, off, a, b)
+    for i, t in enumerate(texts):
+        assert np.array_equal(
+            sigs[i], textkit.minhash_signature(
+                textkit.shingle_hashes(t or "", 3), a, b)), i
+
+
 def test_simhash_similarity():
     t1 = ["alpha beta gamma delta epsilon zeta eta theta"] * 1
     t2 = ["alpha beta gamma delta epsilon zeta eta iota"]
