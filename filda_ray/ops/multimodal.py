@@ -9,9 +9,9 @@ RVID raw-video container (``kernels.media``):
 ``RawMediaDecoder`` sniffs the payload magic, decodes, and extracts
 numeric features (RMS/peak/ZCR for audio; mean/std + block-averaged
 thumbnail for images; first-frame image features for video), with a
-decode QA flag for undecodable payloads.  Only DCT/entropy-coded
-codecs (jpeg/mp3/h264) genuinely require external libraries this
-container does not ship — ``NotImplementedDecoder`` marks that
+decode QA flag for undecodable payloads.  Only perceptual-audio /
+motion-video codecs (mp3/h264) genuinely require external libraries
+this container does not ship — ``NotImplementedDecoder`` marks that
 integration point, and ``DeterministicFakeDecoder`` remains as a
 seeded plumbing-only stand-in.
 
