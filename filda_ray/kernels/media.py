@@ -926,6 +926,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # T.81 B.1.1.2: any marker may be preceded by any number of
+        # 0xFF fill bytes — skip them or the real marker byte would be
+        # misread as a segment-length high byte
+        while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -975,10 +980,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ns = body[0]
             sel = {}
+            scan_ids = []
             for si in range(ns):
                 cs, tt = body[1 + 2 * si: 3 + 2 * si]
                 sel[cs] = (tt >> 4, tt & 0x0F)
+                scan_ids.append(cs)
             fh, fw, comps = frame
+            if ns != len(comps):
+                raise ValueError("multi-scan baseline JPEG not supported")
+            by_id = {c["id"]: (i, c) for i, c in enumerate(comps)}
+            if any(cs not in by_id for cs in scan_ids):
+                raise ValueError("SOS selects unknown component")
+            # entropy data follows the SOS component order, which may
+            # differ from SOF order (T.81 B.2.3) — decode in scan order
+            scan_comps = [by_id[cs] for cs in scan_ids]
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
@@ -1025,7 +1040,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 pred = [0] * len(comps)
                 for _k in range(min(per_seg, n_mcu - mcu)):
                     my, mx = divmod(mcu, mcus_x)
-                    for ci, c in enumerate(comps):
+                    for ci, c in scan_comps:
                         dct = htabs[(0, sel[c["id"]][0])]
                         act = htabs[(1, sel[c["id"]][1])]
                         for by in range(c["v"]):

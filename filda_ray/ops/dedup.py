@@ -149,8 +149,11 @@ def _report_dropped(stage: str | None, n_buckets: int, n_rows: int):
         actor = get_metrics_actor()
         actor.add.remote(f"{stage}.dropped_buckets", n_buckets)
         actor.add.remote(f"{stage}.dropped_rows", n_rows)
-    except Exception:
-        pass  # telemetry must never fail the pair stage itself
+    except Exception as e:  # telemetry must never fail the pair stage
+        import sys
+
+        print(f"warning: dropped-bucket telemetry lost for {stage}: {e}",
+              file=sys.stderr)
 
 
 def neardup_dropped_stats() -> dict[str, int]:

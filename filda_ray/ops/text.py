@@ -305,29 +305,11 @@ def tfidf_top_terms(ds, doc_col: str = "doc_id", text_col: str = "text", *,
         empty = pa.table({doc_col: pa.array([], ids.type),
                           "token": pa.array([], pa.string()),
                           "tfidf": pa.array([], pa.float64())})
-        txt = batch.column(text_col)
-        if pa.types.is_large_string(txt.type):
-            txt = txt.cast(pa.string())
-        if isinstance(txt, pa.ChunkedArray):
-            txt = txt.combine_chunks()
-        txt = pc.fill_null(txt, "")
-        valid = pc.greater(pc.utf8_length(txt), 0).to_numpy(zero_copy_only=False)
-        lists = pc.split_pattern(txt, " ")
-        counts = pc.list_value_length(lists).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        flat = pc.list_flatten(lists)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        row = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
-        keep = valid[row]
-        if not keep.all():
-            flat = flat.filter(pa.array(keep))
-            row = row[keep]
+        dictionary, codes, row = _space_token_codes(batch.column(text_col))
         if len(row) == 0:
             return empty
-        enc = flat.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        codes = codes.astype(np.int64)
+        uniq = np.asarray(dictionary.to_pylist(), dtype=object)
         pos_u = np.clip(np.searchsorted(toks, uniq), 0, len(toks) - 1)
         hit_u = toks[pos_u] == uniq
         nu = np.int64(len(uniq))

@@ -40,6 +40,32 @@ def _rd():
     return rd
 
 
+_SCRATCH_REGISTERED: set[str] = set()
+
+
+def _scratch_dir(prefix: str, sf_dir: str) -> str:
+    """Per-(input, process) scratch dir under /tmp.  Keyed by pid as
+    well as input so two concurrent runs over the same sf_dir cannot
+    rmtree each other's live files (the lazy read-backs need their
+    shards alive until consumption, so cleanup must not happen before
+    process exit).  Wiped on entry for within-process reuse and again
+    at interpreter exit, so normal runs leak nothing; only a SIGKILLed
+    run leaks one dir."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = f"/tmp/{prefix}{key}_{os.getpid()}"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    if d not in _SCRATCH_REGISTERED:
+        _SCRATCH_REGISTERED.add(d)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _round_half_up(x: np.ndarray) -> np.ndarray:
     """DuckDB's round() is half-away-from-zero; numpy's is half-even.
     Mirror DuckDB for positive values (all money columns here)."""
@@ -3109,18 +3135,13 @@ def q_ivf_topk(sf_dir: str):
     dir), then answer 3 queries reading ONLY the probed partitions —
     the block-skipping scale path; brute-force cosine_topk is the
     recall oracle (full-probe equality is pytest-pinned)."""
-    import hashlib
-    import shutil
-
     import pyarrow.parquet as pq
 
     from ..ops.embed import ivf_build, ivf_topk
 
     rd = _rd()
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    # fixed per-input scratch dir, wiped on entry (no mkdtemp leak)
-    idx = "/tmp/ivf_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    shutil.rmtree(idx, ignore_errors=True)
+    idx = _scratch_dir("ivf_", sf_dir)
     ivf_build(ds, idx, n_centroids=16, sample_size=1000, seed=1)
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
                        columns=["vec_id", "embedding"]).slice(0, 3)
@@ -4393,10 +4414,7 @@ def q_schema_evolution(sf_dir: str):
     footer read per file, no shuffle).  The two generations are
     written deterministically from the documents table so the oracle
     is a pure CASE projection."""
-    import hashlib
     import os
-    import shutil
-
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -4404,10 +4422,7 @@ def q_schema_evolution(sf_dir: str):
 
     tbl = pq.read_table(f"{sf_dir}/documents.parquet",
                         columns=["doc_id", "text", "lang", "n_chars"])
-    # fixed per-input scratch dir, wiped on entry (no mkdtemp leak)
-    d = "/tmp/schevo_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d)
+    d = _scratch_dir("schevo_", sf_dir)
     ga = tbl.filter(pc.less(tbl.column("doc_id"), 250)).select(
         ["doc_id", "text", "n_chars"])
     gb = tbl.filter(pc.greater_equal(tbl.column("doc_id"), 250)).select(
@@ -4740,9 +4755,6 @@ def q_warc_roundtrip(sf_dir: str):
     read back (one read task per archive), and the html payload is
     re-extracted to text — byte-identical per url, proven against the
     SQL pages CTE that never touches WARC."""
-    import hashlib
-    import shutil
-
     import pyarrow.compute as pc
 
     from ..kernels.textkit import extract_text_arrow
@@ -4750,11 +4762,9 @@ def q_warc_roundtrip(sf_dir: str):
     from ..sources.warc import read_warc, write_warc
 
     pages = read_pages(sf_dir)
-    # fixed per-input scratch dir, wiped on entry (no mkdtemp leak);
     # read back from the sink's manifest so a retried sink task's
     # orphan shard can never duplicate rows
-    d = "/tmp/warcq_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    shutil.rmtree(d, ignore_errors=True)
+    d = _scratch_dir("warcq_", sf_dir)
     files = write_warc(pages, d)
     back = read_warc(files)
 
@@ -4784,9 +4794,6 @@ def q_jsonl_roundtrip(sf_dir: str):
     byte-identically per url against the SQL pages CTE that never
     touches JSONL.  Timestamps travel as epoch-us integers so the
     round-trip is exact (no locale formatting)."""
-    import hashlib
-    import shutil
-
     import pyarrow.compute as pc
 
     from ..sources.jsonl import read_jsonl, write_jsonl
@@ -4802,12 +4809,7 @@ def q_jsonl_roundtrip(sf_dir: str):
             "lang": pc.cast(b.column("lang"), pa.string()),
         })
 
-    # fixed per-input scratch dir, wiped on entry: repeated harness
-    # runs reuse ONE directory instead of accumulating mkdtemp leaks
-    # (the lazy read below needs the files alive until consumption,
-    # so cleanup-on-exit is not an option)
-    d = "/tmp/jsonlq_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    shutil.rmtree(d, ignore_errors=True)
+    d = _scratch_dir("jsonlq_", sf_dir)
     files = write_jsonl(pages.map_batches(narrow, batch_format="pyarrow"), d)
     back = read_jsonl(files)
 

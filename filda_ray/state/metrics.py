@@ -27,20 +27,36 @@ class MetricsActor:
         self.counts = {}
 
 
-_HANDLES: dict[str, "ray.actor.ActorHandle"] = {}
+_HANDLES: dict[tuple, "ray.actor.ActorHandle"] = {}
 
 
 def get_metrics_actor(name: str = "filda_metrics"):
     # get_if_exists makes concurrent get-or-create atomic (two stages
     # racing here used to produce a second, orphaned actor whose adds
-    # were silently lost).  The handle is cached per process: a named
-    # non-detached actor dies as soon as ALL handles are dropped, so a
-    # transient `get_metrics_actor().add.remote(...)` call pattern
-    # would otherwise kill the actor (and its counters) between calls.
-    h = _HANDLES.get(name)
+    # were silently lost).  The handle cache is keyed by the cluster's
+    # GCS address, not just the name: a handle cached before a
+    # ray.shutdown()/ray.init() cycle belongs to a dead cluster and
+    # every submit on it raises — which the fire-and-forget telemetry
+    # paths would swallow, silently dropping counters.
+    #
+    # lifetime="detached" + an explicit namespace decouples the actor
+    # from whichever process happened to create it first: the first
+    # caller can be a transient map worker (e.g. the first over-cap
+    # LSH bucket), and a non-detached actor dies with its owner,
+    # taking the accumulated counters with it.  A detached actor
+    # lives until ray.shutdown().
+    cluster = ray.get_runtime_context().gcs_address if ray.is_initialized() else None
+    key = (name, cluster)
+    h = _HANDLES.get(key)
     if h is None:
-        h = MetricsActor.options(name=name, get_if_exists=True).remote()
-        _HANDLES[name] = h
+        h = MetricsActor.options(
+            name=name, get_if_exists=True, lifetime="detached",
+            namespace="filda_ray").remote()
+        if cluster is None:
+            # the actor creation auto-initialised Ray; re-key so later
+            # calls in this cluster hit the cache
+            key = (name, ray.get_runtime_context().gcs_address)
+        _HANDLES[key] = h
     return h
 
 

@@ -1628,6 +1628,52 @@ def test_jpeg_codec_roundtrip():
         media.decode_jpeg(media.encode_jpeg(img)[:-40])
 
 
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any marker may be preceded by any number of 0xFF
+    fill bytes — real encoders emit them, and the decode must be
+    byte-identical to the unpadded stream (regression: the fill byte
+    used to be consumed as a segment-length high byte)."""
+    from filda_ray.kernels import media
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.stack([(yy * 2) % 256, (xx * 3) % 256,
+                    ((yy + xx) * 2) % 256], axis=2).astype(np.uint8)
+    enc = media.encode_jpeg(img, quality=90)
+    base = media.decode_jpeg(enc)
+    i = enc.find(b"\xff\xdb")  # one fill byte before DQT
+    filled = enc[:i] + b"\xff" + enc[i:]
+    j = filled.find(b"\xff\xda")  # three more before SOS
+    filled = filled[:j] + b"\xff\xff\xff" + filled[j:]
+    assert np.array_equal(media.decode_jpeg(filled), base)
+
+
+def test_jpeg_sos_guards():
+    """SOS headers that this baseline decoder cannot honour raise a
+    clean ValueError instead of silently mis-decoding: a scan covering
+    fewer components than the frame (multi-scan file), and a scan
+    selecting an unknown component id."""
+    from filda_ray.kernels import media
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = np.stack([(yy * 3) % 256, (xx * 5) % 256,
+                    ((yy + xx) * 7) % 256], axis=2).astype(np.uint8)
+    enc = media.encode_jpeg(img, quality=90)
+    i = enc.find(b"\xff\xda")
+    seglen = int.from_bytes(enc[i + 2:i + 4], "big")
+    body = bytearray(enc[i + 4:i + 2 + seglen])
+    # drop the last component from the scan header (ns 3 -> 2)
+    body2 = bytes([2]) + bytes(body[1:5]) + bytes(body[-3:])
+    sos2 = b"\xff\xda" + (len(body2) + 2).to_bytes(2, "big") + body2
+    with pytest.raises(ValueError, match="multi-scan"):
+        media.decode_jpeg(enc[:i] + sos2 + enc[i + 2 + seglen:])
+    # rewrite the first scan component id to an id absent from SOF
+    body3 = bytearray(body)
+    body3[1] = 0x7F
+    sos3 = b"\xff\xda" + (len(body3) + 2).to_bytes(2, "big") + bytes(body3)
+    with pytest.raises(ValueError, match="unknown component"):
+        media.decode_jpeg(enc[:i] + sos3 + enc[i + 2 + seglen:])
+
+
 def test_jpeg_pinned_fixture_matches_committed_golden():
     """encode_jpeg-free regression pin: decoding the COMMITTED fixture
     bytes (4:2:0 + restart intervals) must byte-match the committed
