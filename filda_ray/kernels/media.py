@@ -8,8 +8,9 @@ header + raw bytes, PNG is zlib DEFLATE + five scanline filters
 These are real, spec-conformant encoders and decoders (public
 formats: RIFF/WAVE per the Microsoft/IBM 1991 spec, PNM per the
 netpbm docs, PNG per RFC 2083 / the W3C PNG spec, GIF per the
-CompuServe GIF89a spec, JPEG baseline sequential DCT per ITU-T T.81
-with the Annex K tables), so the engine's media decode stage is a
+CompuServe GIF89a spec, JPEG baseline sequential + progressive DCT
+per ITU-T T.81 with the Annex K tables), so the engine's media
+decode stage is a
 REAL kernel for wav/ppm/pgm/png/gif/jpeg payloads — the
 NotImplementedError integration point remains only for the
 perceptual-audio/motion-video codecs (mp3/h264), which genuinely
@@ -560,13 +561,17 @@ def decode_gif(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# JPEG (real, from scratch: ITU-T T.81 baseline sequential DCT).
-# Public spec only — Annex K quantization/Huffman tables, JFIF YCbCr.
-# Encoder: 4:4:4 or 4:2:0, optional restart intervals.  Decoder:
-# baseline SOF0, 8-bit, sampling factors 1-2, DRI/RSTn.  The entropy
-# scan is the one per-symbol Python loop (the honest no-libjpeg
-# boundary); everything after it — dequant, IDCT, upsample, color —
-# is batched numpy over all blocks at once.
+# JPEG (real, from scratch: ITU-T T.81 baseline sequential + progressive
+# DCT).  Public spec only — Annex K quantization/Huffman tables, JFIF
+# YCbCr.  Encoder: 4:4:4 or 4:2:0, optional restart intervals, optional
+# progressive mode (spectral selection + one successive-approximation
+# bit, the libjpeg-style scan script).  Decoder: SOF0/1 baseline
+# (including multi-scan / non-interleaved files) and SOF2 progressive
+# (DC first/refine, AC first/refine with EOB runs, per T.81 G.2), 8-bit,
+# sampling factors 1-2, DRI/RSTn.  The entropy scan is the one
+# per-symbol Python loop (the honest no-libjpeg boundary); everything
+# after it — dequant, IDCT, upsample, color — is batched numpy over all
+# blocks at once.
 # ---------------------------------------------------------------------------
 
 JPEG_MAGIC = b"\xff\xd8"
@@ -675,6 +680,24 @@ def _jpg_huff_encode_table(bits, vals):
     return out
 
 
+def _jpg_prog_ac_table():
+    """AC Huffman table for progressive scans: (BITS, HUFFVAL).
+
+    Progressive AC scans need the EOBn run symbols (r<<4 for r=1..14,
+    T.81 G.1.2.2), but the Annex K AC tables have a Kraft sum of
+    exactly 65535/65536 — no code space left to extend them.  So
+    progressive scans use a complete flat-length table instead: every
+    symbol the scan can emit (EOB0..EOB14, ZRL, and (r<<4)|s for
+    s=1..10) at 8 bits.  Larger output than a tuned table, trivially
+    valid, and decoded by the same generic table builder."""
+    vals = [r << 4 for r in range(15)]          # EOB0 (0x00) .. EOB14
+    vals.append(0xF0)                            # ZRL
+    vals += [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    bits = [0] * 16
+    bits[7] = len(vals)                          # all codes 8 bits long
+    return bits, vals
+
+
 class _JpgBitWriter:
     def __init__(self):
         self.buf = bytearray()
@@ -706,12 +729,18 @@ def _jpg_magnitude(v: int) -> tuple[int, int]:
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 90, *,
-                subsample: str = "444", restart_interval: int = 0) -> bytes:
-    """uint8 (h,w) gray / (h,w,3) RGB -> baseline JPEG bytes.
+                subsample: str = "444", restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """uint8 (h,w) gray / (h,w,3) RGB -> JPEG bytes.
 
     ``subsample``: '444' (1x1 chroma) or '420' (2x2 Y, chroma box-mean
     downsampled — the common web layout).  ``restart_interval`` > 0
-    emits DRI + RSTn markers every that-many MCUs."""
+    emits DRI + RSTn markers every that-many MCUs (baseline) / scan
+    units (progressive).  ``progressive`` emits an SOF2 file with the
+    libjpeg-style scan script — interleaved DC first (Al=1), per-
+    component AC first scans (spectral band 1-63, Al=1), then DC and
+    AC refinement scans (Ah=1, Al=0) — writing the SAME quantized
+    coefficients as the baseline path, so both decode identically."""
     import struct
 
     a = np.asarray(img, dtype=np.uint8)
@@ -768,6 +797,11 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, *,
         q = np.round(coef / qt).astype(np.int64)
         # reshape(..., 64)[:, :, zz] zigzags every block at once
         plane_q.append(q.reshape(ph // 8, pw // 8, 64)[:, :, zz])
+
+    if progressive:
+        return _jpg_encode_progressive(
+            plane_q, comps, gray, h, w, hmax, vmax, mcus_x, mcus_y,
+            ql, qc, restart_interval)
 
     enc = {k: _jpg_huff_encode_table(*v) for k, v in _JPG_HUFF.items()}
     bw = _JpgBitWriter()
@@ -848,6 +882,241 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, *,
     return bytes(hdr) + bytes(out) + b"\xff\xd9"
 
 
+def _jpg_encode_progressive(plane_q, comps, gray, h, w, hmax, vmax,
+                            mcus_x, mcus_y, ql, qc, restart_interval):
+    """Emit an SOF2 progressive JPEG from the already-quantized zigzag
+    blocks (T.81 Annex G, encode side mirroring libjpeg's scan order):
+    scan 1 = interleaved DC first at Al=1, scans 2..1+n = per-component
+    AC first (band 1-63, Al=1, EOB-run coded), then DC refinement
+    (raw bit per block) and per-component AC refinement (correction
+    bits, G.1.2.3).  Same coefficients as the baseline path."""
+    import struct
+
+    zz = _JPG_ZZ
+    ncomp = len(comps)
+    enc_dc = {tc: _jpg_huff_encode_table(*_JPG_HUFF[("dc", tc)])
+              for tc in {c[4] for c in comps}}
+    ac_bits, ac_vals = _jpg_prog_ac_table()
+    enc_ac = _jpg_huff_encode_table(ac_bits, ac_vals)
+    # non-interleaved (single-component scan) block geometry, T.81 A.2.2
+    geom = []
+    for (hi, vi, _p, _qt, _tc) in comps:
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        geom.append((-(-ch // 8), -(-cw // 8)))
+
+    def dc_scan(ah, al):
+        """Interleaved DC scan over the full MCU grid (first or
+        refinement per successive approximation, T.81 G.1.2.1)."""
+        bw = _JpgBitWriter()
+        out = bytearray()
+        pred = [0] * ncomp
+        n_rst = 0
+        cnt = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and cnt and cnt % restart_interval == 0:
+                    bw.flush()
+                    out += bw.buf
+                    bw = _JpgBitWriter()
+                    out += bytes([0xFF, 0xD0 + (n_rst % 8)])
+                    n_rst += 1
+                    pred = [0] * ncomp
+                for ci, (hi, vi, _p, _qt, tc) in enumerate(comps):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            dc = int(plane_q[ci][my * vi + by, mx * hi + bx, 0])
+                            if ah == 0:
+                                v = dc >> al  # arithmetic shift (G.1.2.1)
+                                diff = v - pred[ci]
+                                pred[ci] = v
+                                s, bitsv = _jpg_magnitude(diff) if diff else (0, 0)
+                                c, ln = enc_dc[tc][s]
+                                bw.write(c, ln)
+                                if s:
+                                    bw.write(bitsv, s)
+                            else:
+                                bw.write((dc >> al) & 1, 1)
+                cnt += 1
+        bw.flush()
+        out += bw.buf
+        sos = bytes([ncomp]) + b"".join(
+            bytes([ci + 1, comps[ci][4] << 4]) for ci in range(ncomp))
+        sos += bytes([0, 0, (ah << 4) | al])
+        return sos, bytes(out)
+
+    def ac_first(ci, al):
+        """Single-component AC first scan, band 1-63, magnitudes
+        right-shifted by Al, zero bands folded into EOB runs."""
+        by_n, bx_n = geom[ci]
+        bw = _JpgBitWriter()
+        out = bytearray()
+        n_rst = 0
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                c, ln = enc_ac[r << 4]
+                bw.write(c, ln)
+                if r:
+                    bw.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+        cnt = 0
+        for uy in range(by_n):
+            for ux in range(bx_n):
+                if restart_interval and cnt and cnt % restart_interval == 0:
+                    flush_eob()
+                    bw.flush()
+                    out += bw.buf
+                    bw = _JpgBitWriter()
+                    out += bytes([0xFF, 0xD0 + (n_rst % 8)])
+                    n_rst += 1
+                blk = plane_q[ci][uy, ux]
+                run = 0
+                emitted = False
+                for k in range(1, 64):
+                    v = int(blk[k])
+                    a = abs(v) >> al  # magnitude shift for AC (G.1.2.2)
+                    if a == 0:
+                        run += 1
+                        continue
+                    flush_eob()
+                    while run > 15:
+                        c, ln = enc_ac[0xF0]
+                        bw.write(c, ln)
+                        run -= 16
+                    s, bitsv = _jpg_magnitude(a if v > 0 else -a)
+                    c, ln = enc_ac[(run << 4) | s]
+                    bw.write(c, ln)
+                    bw.write(bitsv, s)
+                    run = 0
+                    emitted = True
+                if run > 0 or not emitted:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                cnt += 1
+        flush_eob()
+        bw.flush()
+        out += bw.buf
+        sos = bytes([1, ci + 1, 0, 1, 63, al])
+        return sos, bytes(out)
+
+    def ac_refine(ci, al):
+        """Single-component AC refinement scan (Ah=Al+1): one new bit
+        per already-nonzero coefficient (correction bits), newly-
+        nonzero coefficients run-length coded, per T.81 G.1.2.3 —
+        correction bits are emitted after the next symbol, and whole-
+        block remainders are deferred behind the pending EOB run."""
+        ah = al + 1
+        by_n, bx_n = geom[ci]
+        bw = _JpgBitWriter()
+        out = bytearray()
+        n_rst = 0
+        eobrun = 0
+        be_bits = []  # correction bits deferred with the pending EOB run
+
+        def flush_eob():
+            nonlocal eobrun, be_bits
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                c, ln = enc_ac[r << 4]
+                bw.write(c, ln)
+                if r:
+                    bw.write(eobrun - (1 << r), r)
+                for b in be_bits:
+                    bw.write(b, 1)
+                eobrun = 0
+                be_bits = []
+
+        cnt = 0
+        for uy in range(by_n):
+            for ux in range(bx_n):
+                if restart_interval and cnt and cnt % restart_interval == 0:
+                    flush_eob()
+                    bw.flush()
+                    out += bw.buf
+                    bw = _JpgBitWriter()
+                    out += bytes([0xFF, 0xD0 + (n_rst % 8)])
+                    n_rst += 1
+                blk = plane_q[ci][uy, ux]
+                t = [abs(int(blk[k])) >> al for k in range(64)]
+                eobpos = 0  # last newly-nonzero index (ZRLs beyond fold into EOB)
+                for k in range(1, 64):
+                    if t[k] == 1:
+                        eobpos = k
+                r = 0
+                br_bits = []  # correction bits since the last emitted symbol
+                for k in range(1, 64):
+                    tk = t[k]
+                    if tk == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eobpos:
+                        flush_eob()
+                        c, ln = enc_ac[0xF0]
+                        bw.write(c, ln)
+                        r -= 16
+                        for b in br_bits:
+                            bw.write(b, 1)
+                        br_bits = []
+                    if tk > 1:
+                        br_bits.append(tk & 1)
+                        continue
+                    flush_eob()
+                    c, ln = enc_ac[(r << 4) | 1]
+                    bw.write(c, ln)
+                    bw.write(1 if int(blk[k]) > 0 else 0, 1)
+                    for b in br_bits:
+                        bw.write(b, 1)
+                    br_bits = []
+                    r = 0
+                if r > 0 or br_bits:
+                    eobrun += 1
+                    be_bits += br_bits
+                    if eobrun == 0x7FFF or len(be_bits) > 937:
+                        flush_eob()
+                cnt += 1
+        flush_eob()
+        bw.flush()
+        out += bw.buf
+        sos = bytes([1, ci + 1, 0, 1, 63, (ah << 4) | al])
+        return sos, bytes(out)
+
+    scans = [dc_scan(0, 1)]
+    scans += [ac_first(ci, 1) for ci in range(ncomp)]
+    scans.append(dc_scan(1, 0))
+    scans += [ac_refine(ci, 0) for ci in range(ncomp)]
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    hdr = bytearray(JPEG_MAGIC)
+    hdr += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    hdr += seg(0xDB, bytes([0x00]) + bytes(ql.reshape(64)[zz].astype(np.uint8)))
+    if not gray:
+        hdr += seg(0xDB, bytes([0x01]) + bytes(qc.reshape(64)[zz].astype(np.uint8)))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for ci, (hi, vi, _p, _qt, tc) in enumerate(comps):
+        sof += bytes([ci + 1, (hi << 4) | vi, tc])
+    hdr += seg(0xC2, bytes(sof))  # SOF2: progressive, Huffman
+    for (kind, tid), (bits, vals) in _JPG_HUFF.items():
+        if kind != "dc" or (gray and tid == 1):
+            continue
+        hdr += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    hdr += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    if restart_interval:
+        hdr += seg(0xDD, struct.pack(">H", restart_interval))
+    body = bytearray()
+    for sos, entropy in scans:
+        body += seg(0xDA, sos)
+        body += entropy
+    return bytes(hdr) + bytes(body) + b"\xff\xd9"
+
+
 def _jpg_huff_decode_table(bits, vals):
     """(BITS, HUFFVAL) -> (mincode, maxcode, valptr, vals) arrays per
     T.81 F.2.2.3 (maxcode[l] = -1 for empty lengths)."""
@@ -904,15 +1173,141 @@ def _jpg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 ndarray (h,w) gray / (h,w,3) RGB.
+def _jpg_entropy_end(payload: bytes, pos: int) -> int:
+    """Index of the marker terminating the entropy-coded segment that
+    starts at ``pos``: the first 0xFF followed by anything other than a
+    stuffed 0x00, an RSTn, or another 0xFF fill byte (T.81 B.1.1.2,
+    F.1.2.3)."""
+    i = pos
+    n = len(payload)
+    while True:
+        j = payload.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            raise ValueError("JPEG entropy segment unterminated")
+        nxt = payload[j + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i = j + 2
+        elif nxt == 0xFF:
+            i = j + 1
+        else:
+            return j
 
-    Real decoder per ITU-T T.81: marker walk, DQT/DHT/SOF0/DRI/SOS,
+
+def _jpg_split_ecs(ecs: bytes, restart: int) -> list:
+    """Unstuff FF00; with a restart interval, split on RSTn into
+    per-restart entropy segments."""
+    if not restart:
+        return [ecs.replace(b"\xff\x00", b"\xff")]
+    parts = []
+    cur = bytearray()
+    i = 0
+    while i < len(ecs):
+        b = ecs[i]
+        if b == 0xFF and i + 1 < len(ecs):
+            nxt = ecs[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                parts.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(b)
+        i += 1
+    parts.append(bytes(cur))
+    return parts
+
+
+def _jpg_band_first(br, blk, ss, se, al, actab, eobrun):
+    """Decode one block's AC band for a first (Ah=0) scan — also the
+    baseline AC band (ss=1, al=0; baseline EOB is the r=0 EOBn).
+    Returns the remaining EOB run (T.81 F.2.2.2 / G.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.huff(actab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow")
+        blk[k] = _jpg_extend(br.read(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _jpg_band_refine(br, blk, ss, se, al, actab, eobrun):
+    """Decode one block's AC band for a refinement scan (Ah=Al+1):
+    newly-nonzero coefficients arrive run-coded over zero-HISTORY
+    positions; every already-nonzero coefficient passed over reads one
+    correction bit (T.81 G.2, mirroring the encode side)."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.huff(actab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                val = 0  # ZRL: pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid AC refinement symbol")
+                val = p1 if br.read(1) else m1
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if br.read(1) and not (c & p1):
+                        blk[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("AC refinement position overflow")
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(blk[k])
+            if c != 0:
+                if br.read(1) and not (c & p1):
+                    blk[k] = c + (p1 if c > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """JPEG bytes -> uint8 ndarray (h,w) gray / (h,w,3) RGB.
+
+    Real decoder per ITU-T T.81: marker walk, DQT/DHT/SOF/DRI/SOS,
     Huffman+magnitude entropy decode (the per-symbol Python loop),
     then dequant, zigzag-inverse, IDCT, chroma upsample (sampling
     factors 1-2, pixel replication) and BT.601 YCbCr->RGB — all
-    batched numpy over every block at once.  Progressive (SOF2),
-    arithmetic coding, and 12-bit depth raise ValueError."""
+    batched numpy over every block at once.  Handles SOF0/1 baseline
+    sequential (including multi-scan / non-interleaved files) and
+    SOF2 progressive (spectral selection + successive approximation:
+    DC first/refine, AC first/refine with EOB runs, per Annex G).
+    Arithmetic coding, hierarchical/lossless modes, and 12-bit depth
+    raise ValueError."""
     import struct
 
     if payload[:2] != JPEG_MAGIC:
@@ -921,7 +1316,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], tuple] = {}
     restart = 0
-    frame = None
+    frame = None    # (fh, fw, comps, progressive)
+    coefs = None    # per-component zigzag-order coefficient grids
+    dc_seen = None
+    hmax = vmax = mcus_x = mcus_y = 0
     zz = _JPG_ZZ
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -935,6 +1333,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
+        if marker == 0xD9:  # EOI
+            break
         (seglen,) = struct.unpack_from(">H", payload, pos)
         body = payload[pos + 2: pos + seglen]
         pos += seglen
@@ -963,7 +1363,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bp += 17 + n
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline(-ext) sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            if frame is not None:
+                raise ValueError("multiple SOF markers")
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -971,13 +1373,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci: 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
+                raise ValueError("sampling factors 1-2 supported")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+            frame = (fh, fw, comps, marker == 0xC2)
+            coefs = [np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
+                              dtype=np.int64) for c in comps]
+            dc_seen = [False] * nc
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG supported")
-        elif marker == 0xDA:  # SOS -> entropy data follows
+            raise ValueError(
+                "only baseline and progressive Huffman JPEG supported")
+        elif marker == 0xDA:  # SOS: one scan's header + entropy data
             if frame is None:
                 raise ValueError("SOS before SOF")
+            fh, fw, comps, prog = frame
             ns = body[0]
             sel = {}
             scan_ids = []
@@ -985,112 +1398,116 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tt = body[1 + 2 * si: 3 + 2 * si]
                 sel[cs] = (tt >> 4, tt & 0x0F)
                 scan_ids.append(cs)
-            fh, fw, comps = frame
-            if ns != len(comps):
-                raise ValueError("multi-scan baseline JPEG not supported")
+            ss, se, ahal = body[1 + 2 * ns: 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
             by_id = {c["id"]: (i, c) for i, c in enumerate(comps)}
             if any(cs not in by_id for cs in scan_ids):
                 raise ValueError("SOS selects unknown component")
             # entropy data follows the SOS component order, which may
             # differ from SOF order (T.81 B.2.3) — decode in scan order
             scan_comps = [by_id[cs] for cs in scan_ids]
-            hmax = max(c["h"] for c in comps)
-            vmax = max(c["v"] for c in comps)
-            if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
-                raise ValueError("sampling factors 1-2 supported")
-            mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
-            mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
-            # split entropy data into restart segments, unstuffing FF00
-            data = payload[pos:]
-            end = data.find(b"\xff\xd9")
-            if end < 0:
-                raise ValueError("missing EOI")
-            ecs, segs = data[:end], []
-            if restart:
-                parts = []
-                cur = bytearray()
-                i = 0
-                while i < len(ecs):
-                    b = ecs[i]
-                    if b == 0xFF and i + 1 < len(ecs):
-                        nxt = ecs[i + 1]
-                        if nxt == 0x00:
-                            cur.append(0xFF)
-                            i += 2
-                            continue
-                        if 0xD0 <= nxt <= 0xD7:
-                            parts.append(bytes(cur))
-                            cur = bytearray()
-                            i += 2
-                            continue
-                    cur.append(b)
-                    i += 1
-                parts.append(bytes(cur))
-                segs = parts
+            if not prog and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("bad baseline scan header")
+            if prog:
+                if ss == 0 and se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                if ss > 0 and (ns != 1 or se < ss or se > 63):
+                    raise ValueError("bad progressive AC scan header")
+                if ah and al != ah - 1:
+                    raise ValueError(
+                        "successive approximation must refine one bit")
+            # scan geometry: interleaved scans step over the MCU grid;
+            # a single-component scan is non-interleaved and steps over
+            # that component's own block grid (T.81 A.2.2)
+            if ns == 1:
+                ci0, c0 = scan_comps[0]
+                cw = -(-fw * c0["h"] // hmax)
+                ch = -(-fh * c0["v"] // vmax)
+                bx_n = -(-cw // 8)
+                by_n = -(-ch // 8)
+                n_units = bx_n * by_n
             else:
-                segs = [ecs.replace(b"\xff\x00", b"\xff")]
-            n_mcu = mcus_x * mcus_y
-            per_seg = restart or n_mcu
-            # decode every MCU into per-component zigzag block arrays
-            blocks = [np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
-                               dtype=np.int64) for c in comps]
-            mcu = 0
-            for seg_i, seg_bytes in enumerate(segs):
+                n_units = mcus_x * mcus_y
+            end = _jpg_entropy_end(payload, pos)
+            segs = _jpg_split_ecs(payload[pos:end], restart)
+            pos = end
+            per_seg = restart or n_units
+            unit = 0
+            for seg_bytes in segs:
+                if unit >= n_units:
+                    break
                 br = _JpgBitReader(seg_bytes)
                 pred = [0] * len(comps)
-                for _k in range(min(per_seg, n_mcu - mcu)):
-                    my, mx = divmod(mcu, mcus_x)
-                    for ci, c in scan_comps:
-                        dct = htabs[(0, sel[c["id"]][0])]
-                        act = htabs[(1, sel[c["id"]][1])]
-                        for by in range(c["v"]):
-                            for bx in range(c["h"]):
-                                blk = blocks[ci][my * c["v"] + by,
-                                                 mx * c["h"] + bx]
-                                s = br.huff(dct)
+                eobrun = 0
+                for _k in range(min(per_seg, n_units - unit)):
+                    if ns == 1:
+                        uy, ux = divmod(unit, bx_n)
+                        blocks_iter = ((ci0, c0, uy, ux),)
+                    else:
+                        my, mx = divmod(unit, mcus_x)
+                        blocks_iter = tuple(
+                            (ci, c, my * c["v"] + by, mx * c["h"] + bx)
+                            for ci, c in scan_comps
+                            for by in range(c["v"])
+                            for bx in range(c["h"]))
+                    for ci, c, byy, bxx in blocks_iter:
+                        blk = coefs[ci][byy, bxx]
+                        td, ta = sel[c["id"]]
+                        if ss == 0:
+                            if ah == 0:
+                                s = br.huff(htabs[(0, td)])
                                 diff = _jpg_extend(br.read(s), s) if s else 0
                                 pred[ci] += diff
-                                blk[0] = pred[ci]
-                                k = 1
-                                while k <= 63:
-                                    rs = br.huff(act)
-                                    r, s = rs >> 4, rs & 0x0F
-                                    if s == 0:
-                                        if r == 15:
-                                            k += 16  # ZRL
-                                            continue
-                                        break     # EOB
-                                    k += r
-                                    if k > 63:
-                                        raise ValueError("AC index overflow")
-                                    blk[k] = _jpg_extend(br.read(s), s)
-                                    k += 1
-                    mcu += 1
-            if mcu != n_mcu:
+                                blk[0] = pred[ci] << al
+                            elif br.read(1):
+                                blk[0] |= 1 << al
+                        if not prog and ss == 0:
+                            # baseline: the same scan carries the AC band
+                            eobrun = _jpg_band_first(
+                                br, blk, 1, 63, 0, htabs[(1, ta)], eobrun)
+                        elif ss > 0:
+                            actab = htabs[(1, ta)]
+                            if ah == 0:
+                                eobrun = _jpg_band_first(
+                                    br, blk, ss, se, al, actab, eobrun)
+                            else:
+                                eobrun = _jpg_band_refine(
+                                    br, blk, ss, se, al, actab, eobrun)
+                    unit += 1
+            if unit != n_units:
                 raise ValueError("JPEG scan ended early")
-            # vectorized tail: dequant + inverse zigzag + IDCT per comp
-            C = _jpg_dct_matrix()
-            planes = []
-            for ci, c in enumerate(comps):
-                q = qtabs[c["tq"]].reshape(64)[zz]
-                coef = np.zeros(blocks[ci].shape[:2] + (64,), dtype=np.float64)
-                coef[:, :, zz] = blocks[ci] * q
-                coef = coef.reshape(coef.shape[0], coef.shape[1], 8, 8)
-                pix = np.einsum("ji,abjk,kl->abil", C, coef, C) + 128.0
-                by, bx = pix.shape[:2]
-                plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
-                plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
-                                  hmax // c["h"], axis=1)
-                planes.append(plane[:fh, :fw])
-            if len(planes) == 1:
-                return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-            y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
-            r = y + 1.402 * cr
-            g = y - 0.344136286 * cb - 0.714136286 * cr
-            b = y + 1.772 * cb
-            rgb = np.stack([r, g, b], axis=2)
-            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-        elif marker == 0xD9:
-            break
+            if ss == 0:
+                for ci, _c in scan_comps:
+                    dc_seen[ci] = True
         # APPn/COM and anything else: skipped via seglen above
-    raise ValueError("JPEG contains no scan")
+
+    if frame is None or coefs is None:
+        raise ValueError("JPEG contains no frame")
+    fh, fw, comps, prog = frame
+    if not all(dc_seen):
+        missing = [c["id"] for ci, c in enumerate(comps) if not dc_seen[ci]]
+        raise ValueError(f"component(s) {missing} received no scan data")
+    # vectorized tail: dequant + inverse zigzag + IDCT per component
+    C = _jpg_dct_matrix()
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qtabs:
+            raise ValueError("missing quantization table")
+        q = qtabs[c["tq"]].reshape(64)[zz]
+        coef = np.zeros(coefs[ci].shape[:2] + (64,), dtype=np.float64)
+        coef[:, :, zz] = coefs[ci] * q
+        coef = coef.reshape(coef.shape[0], coef.shape[1], 8, 8)
+        pix = np.einsum("ji,abjk,kl->abil", C, coef, C) + 128.0
+        by, bx = pix.shape[:2]
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        planes.append(plane[:fh, :fw])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

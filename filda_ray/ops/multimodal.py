@@ -45,8 +45,9 @@ class NotImplementedDecoder:
     (mp3/h264), which need libsndfile/ffmpeg-class libraries this
     container does not ship.  __init__ is where those handles would be
     created (once per actor).  Everything spec-expressible from
-    scratch — wav, pnm, PNG (zlib), GIF (LZW), JPEG (baseline T.81),
-    rvid — is decoded for REAL by ``RawMediaDecoder``."""
+    scratch — wav, pnm, PNG (zlib), GIF (LZW), JPEG (baseline +
+    progressive T.81), rvid — is decoded for REAL by
+    ``RawMediaDecoder``."""
 
     def __init__(self, target_size: tuple[int, int] = (64, 64)):
         raise NotImplementedError(
@@ -259,7 +260,8 @@ def synth_media_raw(sf_dir: str, kind: str = "image"):
                 # exercised on real mixed corpora: PNG (cycling the
                 # scanline filter), binary PPM, GIF (posterized to fit
                 # the exact-palette encoder), JPEG (alternating 4:4:4
-                # and the common web 4:2:0 layout)
+                # and the common web 4:2:0 layout, baseline and
+                # progressive/SOF2 — the two layouts real crawls carry)
                 r = i % 4
                 if r == 0:
                     payloads.append(media.encode_png(img, filter_type=(i // 4) % 5))
@@ -270,7 +272,8 @@ def synth_media_raw(sf_dir: str, kind: str = "image"):
                 else:
                     payloads.append(media.encode_jpeg(
                         img, quality=90,
-                        subsample="420" if (i // 4) % 2 else "444"))
+                        subsample="420" if (i // 4) % 2 else "444",
+                        progressive=bool((i // 8) % 2)))
                 w.append(IMG_SIZE); h.append(IMG_SIZE); sr.append(0)
         return pa.table(
             {

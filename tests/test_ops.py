@@ -1648,10 +1648,11 @@ def test_jpeg_fill_bytes_before_markers():
 
 
 def test_jpeg_sos_guards():
-    """SOS headers that this baseline decoder cannot honour raise a
-    clean ValueError instead of silently mis-decoding: a scan covering
-    fewer components than the frame (multi-scan file), and a scan
-    selecting an unknown component id."""
+    """Corrupt SOS headers raise a clean ValueError instead of
+    silently mis-decoding: a scan header claiming fewer components
+    than its entropy data was coded for (the stream misparses or the
+    dropped component ends up with no scan data), and a scan selecting
+    an unknown component id."""
     from filda_ray.kernels import media
 
     yy, xx = np.mgrid[0:16, 0:16]
@@ -1661,10 +1662,11 @@ def test_jpeg_sos_guards():
     i = enc.find(b"\xff\xda")
     seglen = int.from_bytes(enc[i + 2:i + 4], "big")
     body = bytearray(enc[i + 4:i + 2 + seglen])
-    # drop the last component from the scan header (ns 3 -> 2)
+    # drop the last component from the scan header (ns 3 -> 2): the
+    # 3-component entropy data no longer matches the declared scan
     body2 = bytes([2]) + bytes(body[1:5]) + bytes(body[-3:])
     sos2 = b"\xff\xda" + (len(body2) + 2).to_bytes(2, "big") + body2
-    with pytest.raises(ValueError, match="multi-scan"):
+    with pytest.raises(ValueError):
         media.decode_jpeg(enc[:i] + sos2 + enc[i + 2 + seglen:])
     # rewrite the first scan component id to an id absent from SOF
     body3 = bytearray(body)
@@ -1689,6 +1691,96 @@ def test_jpeg_pinned_fixture_matches_committed_golden():
     out = media.decode_jpeg(payload)
     assert out.dtype == np.uint8 and out.shape == expected.shape
     assert np.array_equal(out, expected)
+
+
+def test_jpeg_progressive_matches_baseline():
+    """Progressive (SOF2) encode writes the SAME quantized coefficients
+    as the baseline path, so decoding either must give byte-identical
+    pixels — this pins the whole progressive machinery (DC first/refine
+    with successive approximation, per-component non-interleaved AC
+    first/refine scans, EOB runs, correction bits) against the already-
+    golden-pinned baseline decoder."""
+    from filda_ray.kernels import media
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.stack([(yy * 2) % 256, (xx * 3) % 256,
+                    ((yy + xx) * 2) % 256], axis=2).astype(np.uint8)
+    for ss in ("444", "420"):
+        for ri in (0, 4):
+            base = media.decode_jpeg(media.encode_jpeg(
+                img, quality=92, subsample=ss, restart_interval=ri))
+            penc = media.encode_jpeg(img, quality=92, subsample=ss,
+                                     restart_interval=ri, progressive=True)
+            assert b"\xff\xc2" in penc          # SOF2
+            assert penc.count(b"\xff\xda") == 8  # DC + 3xAC, first + refine
+            assert np.array_equal(media.decode_jpeg(penc), base), (ss, ri)
+    # grayscale (single-component: DC scan is non-interleaved) + odd sizes
+    g = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    assert np.array_equal(
+        media.decode_jpeg(media.encode_jpeg(g, quality=95, progressive=True)),
+        media.decode_jpeg(media.encode_jpeg(g, quality=95)))
+    odd = img[:45, :61]
+    for ss in ("444", "420"):
+        assert np.array_equal(
+            media.decode_jpeg(media.encode_jpeg(
+                odd, quality=90, subsample=ss, progressive=True)),
+            media.decode_jpeg(media.encode_jpeg(odd, quality=90, subsample=ss)))
+    # a mostly-flat image drives EOB runs > 1 (EOBn with appended bits)
+    flat = np.full((64, 64, 3), 77, np.uint8)
+    flat[10:12, 10:12] = 200
+    assert np.array_equal(
+        media.decode_jpeg(media.encode_jpeg(
+            flat, quality=90, subsample="420", progressive=True)),
+        media.decode_jpeg(media.encode_jpeg(flat, quality=90, subsample="420")))
+    # tiny/sub-block sizes
+    for shape in [(1, 1), (3, 5), (9, 17)]:
+        a = (np.arange(shape[0] * shape[1]).reshape(shape) * 37 % 256
+             ).astype(np.uint8)
+        assert np.array_equal(
+            media.decode_jpeg(media.encode_jpeg(a, quality=95, progressive=True)),
+            media.decode_jpeg(media.encode_jpeg(a, quality=95)))
+
+
+def test_jpeg_progressive_pinned_fixture():
+    """encode_jpeg-free regression pin for the progressive decoder:
+    the COMMITTED SOF2 fixture (4:2:0, restart interval 5, 8 scans with
+    successive approximation) must byte-match its committed golden."""
+    import os
+
+    from filda_ray.kernels import media
+
+    d = os.path.join(os.path.dirname(__file__), "goldens")
+    payload = open(os.path.join(d, "jpeg_progressive_fixture.jpg"), "rb").read()
+    assert b"\xff\xc2" in payload and payload.count(b"\xff\xda") == 8
+    expected = np.load(os.path.join(d, "jpeg_progressive_fixture_decoded.npy"))
+    out = media.decode_jpeg(payload)
+    assert out.dtype == np.uint8 and out.shape == expected.shape
+    assert np.array_equal(out, expected)
+
+
+def test_jpeg_progressive_scan_header_guards():
+    """Malformed progressive scan headers raise cleanly: an AC scan
+    claiming more than one component, and a successive-approximation
+    step of more than one bit."""
+    from filda_ray.kernels import media
+
+    img = (np.arange(16 * 16).reshape(16, 16) % 256).astype(np.uint8)
+    enc = media.encode_jpeg(img, quality=90, progressive=True)
+    # find the second SOS (the AC first scan: ns=1, Ss=1 Se=63 AhAl=0x01)
+    i = enc.find(b"\xff\xda")
+    j = enc.find(b"\xff\xda", i + 2)
+    seglen = int.from_bytes(enc[j + 2:j + 4], "big")
+    body = bytearray(enc[j + 4:j + 2 + seglen])
+    assert body[0] == 1 and body[3] == 1 and body[4] == 63
+    bad_ns = bytes([2]) + bytes(body[1:3]) * 2 + bytes(body[3:])
+    sos_bad = b"\xff\xda" + (len(bad_ns) + 2).to_bytes(2, "big") + bad_ns
+    with pytest.raises(ValueError, match="AC scan"):
+        media.decode_jpeg(enc[:j] + sos_bad + enc[j + 2 + seglen:])
+    body2 = bytearray(body)
+    body2[5] = (3 << 4) | 1  # Ah=3, Al=1: refines two bits at once
+    sos2 = b"\xff\xda" + (len(body2) + 2).to_bytes(2, "big") + bytes(body2)
+    with pytest.raises(ValueError, match="one bit"):
+        media.decode_jpeg(enc[:j] + sos2 + enc[j + 2 + seglen:])
 
 
 def test_jpeg_decoder_features_via_dispatch(ray_session):
