@@ -267,7 +267,19 @@ def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> uint8 ndarray (h,w) / (h,w,3) / (h,w,4).  Real
     decoder: chunk walk, zlib inflate, all five scanline filters
     unfiltered (Sub via per-lane cumsum; Average/Paeth per-pixel along
-    the row, vectorized across channels)."""
+    the row, vectorized across channels).  Corrupt streams raise
+    ValueError (structural crashes converted at this boundary)."""
+    import struct
+    import zlib
+
+    try:
+        return _decode_png_impl(payload)
+    except (IndexError, KeyError, OverflowError, struct.error,
+            zlib.error) as e:
+        raise ValueError(f"corrupt PNG stream ({type(e).__name__})") from e
+
+
+def _decode_png_impl(payload: bytes) -> np.ndarray:
     import struct
     import zlib
 
@@ -496,6 +508,17 @@ def encode_gif(img: np.ndarray) -> bytes:
 
 
 def decode_gif(payload: bytes) -> np.ndarray:
+    """Corrupt-stream boundary for :func:`_decode_gif_impl`: structural
+    crashes from mutated bytes (index/struct errors) become ValueError."""
+    import struct
+
+    try:
+        return _decode_gif_impl(payload)
+    except (IndexError, KeyError, OverflowError, struct.error) as e:
+        raise ValueError(f"corrupt GIF stream ({type(e).__name__})") from e
+
+
+def _decode_gif_impl(payload: bytes) -> np.ndarray:
     """GIF bytes -> uint8 (h,w,3) RGB of the FIRST image frame.  Real
     decoder: screen descriptor + global/local color table, extension
     blocks skipped, LZW inflate, interlaced row reorder when flagged."""
@@ -1306,8 +1329,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     sequential (including multi-scan / non-interleaved files) and
     SOF2 progressive (spectral selection + successive approximation:
     DC first/refine, AC first/refine with EOB runs, per Annex G).
-    Arithmetic coding, hierarchical/lossless modes, and 12-bit depth
-    raise ValueError."""
+    Arithmetic coding, hierarchical/lossless modes, 12-bit depth, and
+    any corrupt stream raise ValueError (fuzz-hardened: structural
+    crashes from mutated bytes are converted at this boundary)."""
+    import struct
+
+    try:
+        return _decode_jpeg_impl(payload)
+    except (IndexError, KeyError, OverflowError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG stream ({type(e).__name__})") from e
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     import struct
 
     if payload[:2] != JPEG_MAGIC:
@@ -1456,6 +1489,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         if ss == 0:
                             if ah == 0:
                                 s = br.huff(htabs[(0, td)])
+                                if s > 15:  # T.81 F.1.2.1: SSSS <= 11+4
+                                    raise ValueError("bad DC magnitude category")
                                 diff = _jpg_extend(br.read(s), s) if s else 0
                                 pred[ci] += diff
                                 blk[0] = pred[ci] << al

@@ -1758,6 +1758,42 @@ def test_jpeg_progressive_pinned_fixture():
     assert np.array_equal(out, expected)
 
 
+def test_image_decoders_fuzz_boundary():
+    """Mutated or truncated image payloads must raise ValueError from
+    every from-scratch decoder — never IndexError/KeyError/struct
+    errors (the decode boundary converts structural crashes) and never
+    hang.  Deterministic single-byte mutations over a stride of
+    positions in valid JPEG (baseline + progressive), PNG, and GIF
+    streams."""
+    from filda_ray.kernels import media
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    img = np.stack([(yy * 3) % 256, (xx * 5) % 256,
+                    ((yy + xx) * 7) % 256], axis=2).astype(np.uint8)
+    cases = [
+        (media.encode_jpeg(img, quality=85, subsample="420",
+                           restart_interval=3), media.decode_jpeg),
+        (media.encode_jpeg(img, quality=85, subsample="420",
+                           restart_interval=3, progressive=True),
+         media.decode_jpeg),
+        (media.encode_png(img, filter_type=2), media.decode_png),
+        (media.encode_gif(img & 0xC0), media.decode_gif),
+    ]
+    for enc, dec in cases:
+        for i in range(0, len(enc), 3):
+            for v in (0x00, 0xFF, (i * 37) % 256):
+                mut = enc[:i] + bytes([v]) + enc[i + 1:]
+                try:
+                    dec(mut)  # a mutation may still decode: that's fine
+                except ValueError:
+                    pass
+        for cut in range(0, len(enc), 17):
+            try:
+                dec(enc[:cut])
+            except ValueError:
+                pass
+
+
 def test_jpeg_progressive_scan_header_guards():
     """Malformed progressive scan headers raise cleanly: an AC scan
     claiming more than one component, and a successive-approximation
