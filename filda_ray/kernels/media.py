@@ -1141,46 +1141,77 @@ def _jpg_encode_progressive(plane_q, comps, gray, h, w, hmax, vmax,
 
 
 def _jpg_huff_decode_table(bits, vals):
-    """(BITS, HUFFVAL) -> (mincode, maxcode, valptr, vals) arrays per
-    T.81 F.2.2.3 (maxcode[l] = -1 for empty lengths)."""
-    mincode = np.zeros(17, dtype=np.int64)
-    maxcode = np.full(17, -1, dtype=np.int64)
-    valptr = np.zeros(17, dtype=np.int64)
+    """(BITS, HUFFVAL) -> (mincode, maxcode, valptr, vals, lut) per
+    T.81 F.2.2.3 (maxcode[l] = -1 for empty lengths), plus an 8-bit
+    lookahead table: lut[next 8 bits] = (symbol << 8) | code length
+    for every code of <= 8 bits (0 = longer code or invalid — fall
+    back to the canonical walk)."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
     code, k = 0, 0
+    lut = [0] * 256
     for ln in range(1, 17):
         n = bits[ln - 1]
         if n:
             valptr[ln] = k
             mincode[ln] = code
+            if ln <= 8:
+                for j in range(n):
+                    lo = (code + j) << (8 - ln)
+                    entry = (int(vals[k + j]) << 8) | ln
+                    for p in range(lo, lo + (1 << (8 - ln))):
+                        lut[p] = entry
             code += n
             maxcode[ln] = code - 1
             k += n
         code <<= 1
-    return mincode, maxcode, valptr, np.asarray(vals, dtype=np.int64)
+    return mincode, maxcode, valptr, list(vals), lut
 
 
 class _JpgBitReader:
-    """MSB-first bit reader over an UNSTUFFED entropy segment (numpy
-    unpackbits once per segment; per-symbol reads are int slices)."""
+    """MSB-first bit reader over an UNSTUFFED entropy segment: a
+    byte-fed int accumulator (no per-bit indexing); Huffman decode
+    takes the 8-bit LUT fast path for short codes and falls back to
+    the canonical mincode/maxcode walk for longer ones."""
+
+    __slots__ = ("data", "n", "pos", "acc", "nbits")
 
     def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.data = data
+        self.n = len(data)
         self.pos = 0
+        self.acc = 0
+        self.nbits = 0
 
     def read(self, n: int) -> int:
-        if n == 0:
-            return 0
-        e = self.pos + n
-        if e > len(self.bits):
-            raise ValueError("JPEG entropy segment truncated")
-        v = 0
-        for b in self.bits[self.pos:e]:
-            v = (v << 1) | int(b)
-        self.pos = e
+        nb = self.nbits
+        while nb < n:
+            if self.pos >= self.n:
+                raise ValueError("JPEG entropy segment truncated")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            nb += 8
+        nb -= n
+        self.nbits = nb
+        v = (self.acc >> nb) if n else 0
+        self.acc &= (1 << nb) - 1
         return v
 
     def huff(self, tab) -> int:
-        mincode, maxcode, valptr, vals = tab
+        mincode, maxcode, valptr, vals, lut = tab
+        while self.nbits < 8 and self.pos < self.n:
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        if self.nbits >= 8:
+            entry = lut[self.acc >> (self.nbits - 8)]
+            if entry:
+                nb = self.nbits - (entry & 0xFF)
+                self.nbits = nb
+                self.acc &= (1 << nb) - 1
+                return entry >> 8
+        # long code (or near-end tail): canonical walk per F.2.2.3
         code = self.read(1)
         ln = 1
         while code > maxcode[ln]:
@@ -1188,7 +1219,7 @@ class _JpgBitReader:
             if ln > 16:
                 raise ValueError("invalid JPEG Huffman code")
             code = (code << 1) | self.read(1)
-        return int(vals[valptr[ln] + code - mincode[ln]])
+        return vals[valptr[ln] + code - mincode[ln]]
 
 
 def _jpg_extend(v: int, s: int) -> int:
