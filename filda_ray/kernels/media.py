@@ -309,44 +309,56 @@ def _decode_png_impl(payload: bytes) -> np.ndarray:
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("corrupt PNG scanline data")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        f = raw[y * (stride + 1)]
-        row = np.frombuffer(raw, np.uint8, stride,
-                            y * (stride + 1) + 1).astype(np.int32)
-        if f == 0:
-            rec = row
-        elif f == 1:  # Sub: per-lane wraparound cumsum
-            rec = np.cumsum(row.reshape(-1, ch), axis=0) % 256
-            rec = rec.reshape(-1)
-        elif f == 2:
-            rec = (row + prev) % 256
-        elif f in (3, 4):
-            rec = np.empty(stride, dtype=np.int32)
-            lanes = rec.reshape(-1, ch)
-            rl = row.reshape(-1, ch)
-            pl = prev.reshape(-1, ch)
-            left = np.zeros(ch, dtype=np.int32)
-            for x in range(w):
-                up = pl[x]
-                if f == 3:
-                    lanes[x] = (rl[x] + (left + up) // 2) % 256
-                else:
-                    upleft = pl[x - 1] if x else np.zeros(ch, dtype=np.int32)
-                    p = left + up - upleft
-                    pa_ = np.abs(p - left)
-                    pb = np.abs(p - up)
-                    pc_ = np.abs(p - upleft)
-                    pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
-                                    np.where(pb <= pc_, up, upleft))
-                    lanes[x] = (rl[x] + pred) % 256
-                left = lanes[x]
-        else:
-            raise ValueError(f"unknown PNG filter {f}")
-        out[y] = rec.astype(np.uint8)
-        prev = rec
-    img = out.reshape(h, w, ch)
+    lines = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filt = lines[:, 0]
+    if np.any(filt > 4):
+        raise ValueError(f"unknown PNG filter {int(filt.max())}")
+    if not np.any(filt >= 3):
+        # fast path: None/Sub/Up rows have no left+up joint recurrence
+        out = np.empty((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            f = lines[y, 0]
+            row = lines[y, 1:].astype(np.int32)
+            if f == 0:
+                rec = row
+            elif f == 1:  # Sub: per-lane wraparound cumsum
+                rec = (np.cumsum(row.reshape(-1, ch), axis=0) % 256).reshape(-1)
+            else:  # Up
+                rec = (row + prev) % 256
+            out[y] = rec.astype(np.uint8)
+            prev = rec
+        img = out.reshape(h, w, ch)
+        return img[:, :, 0] if ch == 1 else img
+    # Average/Paeth present: every filter's prediction reads only the
+    # (left, up, up-left) PIXEL neighbors, so cells on anti-diagonal
+    # y+x == k depend only on diagonals k-1 and k-2 — unfilter the
+    # whole mixed-filter image as a vectorized diagonal wavefront
+    # (h+w-1 numpy steps) instead of a per-pixel Python loop.
+    data = lines[:, 1:].reshape(h, w, ch).astype(np.int16)
+    fcol = filt.astype(np.int16)
+    R = np.zeros((h + 1, w + 1, ch), dtype=np.int16)  # zero halo at y=0/x=0
+    for k in range(h + w - 1):
+        y0 = max(0, k - w + 1)
+        y1 = min(h - 1, k)
+        ys = np.arange(y0, y1 + 1)
+        xs = k - ys
+        left = R[ys + 1, xs]
+        up = R[ys, xs + 1]
+        ul = R[ys, xs]
+        p = left + up - ul
+        pa_ = np.abs(p - left)
+        pb = np.abs(p - up)
+        pc_ = np.abs(p - ul)
+        paeth = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                         np.where(pb <= pc_, up, ul))
+        f = fcol[ys][:, None]
+        pred = np.where(f == 1, left,
+                        np.where(f == 2, up,
+                                 np.where(f == 3, (left + up) >> 1,
+                                          np.where(f == 4, paeth, 0))))
+        R[ys + 1, xs + 1] = (data[ys, xs] + pred) & 0xFF
+    img = R[1:, 1:].astype(np.uint8)
     return img[:, :, 0] if ch == 1 else img
 
 

@@ -1557,6 +1557,54 @@ def test_png_codec_roundtrip_all_filters():
         media.decode_png(media.PNG_MAGIC + b"\x00" * 20)
 
 
+def test_png_mixed_filter_rows_decode():
+    """Real PNG encoders choose a filter PER ROW (our encoder emits a
+    single filter, so this is hand-crafted coverage of the wavefront
+    unfilter): an image whose scanlines cycle through all five filters
+    must reconstruct exactly."""
+    import struct
+    import zlib
+
+    from filda_ray.kernels import media
+
+    rng = np.random.RandomState(11)
+    h, w, ch = 40, 37, 3
+    src = rng.randint(0, 256, (h, w, ch)).astype(np.int32)
+    rows = []
+    prev = np.zeros((w, ch), np.int32)
+    for y in range(h):
+        f = y % 5
+        cur = src[y]
+        left = np.vstack([np.zeros((1, ch), np.int32), cur[:-1]])
+        if f == 0:
+            fr = cur
+        elif f == 1:
+            fr = (cur - left) % 256
+        elif f == 2:
+            fr = (cur - prev) % 256
+        elif f == 3:
+            fr = (cur - (left + prev) // 2) % 256
+        else:
+            ul = np.vstack([np.zeros((1, ch), np.int32), prev[:-1]])
+            p = left + prev - ul
+            pa_, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                            np.where(pb <= pc_, prev, ul))
+            fr = (cur - pred) % 256
+        rows.append(bytes([f]) + bytes(fr.astype(np.uint8).reshape(-1)))
+        prev = cur
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    png = (media.PNG_MAGIC
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(media.decode_png(png), src.astype(np.uint8))
+
+
 def test_png_decoder_features_match_ppm():
     """RawMediaDecoder sniffs PNG payloads and produces IDENTICAL
     features to the PPM encoding of the same image (the codec is
