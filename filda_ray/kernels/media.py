@@ -1508,6 +1508,26 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
             segs = _jpg_split_ecs(payload[pos:end], restart)
             pos = end
             per_seg = restart or n_units
+            # resolve Huffman-table handles and the per-MCU block
+            # pattern once per scan — both are invariant across units
+            has_dc = ss == 0
+            has_ac = (not prog and ss == 0) or ss > 0
+            dctabs = {}
+            actabs = {}
+            for ci, c in scan_comps:
+                td, ta = sel[c["id"]]
+                if has_dc and ah == 0:
+                    dctabs[ci] = htabs[(0, td)]
+                if has_ac:
+                    actabs[ci] = htabs[(1, ta)]
+            ac_lo = 1 if (not prog and ss == 0) else ss
+            ac_hi = 63 if (not prog and ss == 0) else se
+            ac_al = 0 if (not prog and ss == 0) else al
+            if ns != 1:
+                pattern = tuple((ci, c["v"], c["h"], by, bx)
+                                for ci, c in scan_comps
+                                for by in range(c["v"])
+                                for bx in range(c["h"]))
             unit = 0
             for seg_bytes in segs:
                 if unit >= n_units:
@@ -1518,20 +1538,16 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 for _k in range(min(per_seg, n_units - unit)):
                     if ns == 1:
                         uy, ux = divmod(unit, bx_n)
-                        blocks_iter = ((ci0, c0, uy, ux),)
+                        blocks_iter = ((ci0, 1, 1, uy, ux),)
+                        my = mx = 0
                     else:
                         my, mx = divmod(unit, mcus_x)
-                        blocks_iter = tuple(
-                            (ci, c, my * c["v"] + by, mx * c["h"] + bx)
-                            for ci, c in scan_comps
-                            for by in range(c["v"])
-                            for bx in range(c["h"]))
-                    for ci, c, byy, bxx in blocks_iter:
-                        blk = coefs[ci][byy, bxx]
-                        td, ta = sel[c["id"]]
-                        if ss == 0:
+                        blocks_iter = pattern
+                    for ci, cv, chh, by, bx in blocks_iter:
+                        blk = coefs[ci][my * cv + by, mx * chh + bx]
+                        if has_dc:
                             if ah == 0:
-                                s = br.huff(htabs[(0, td)])
+                                s = br.huff(dctabs[ci])
                                 if s > 15:  # T.81 F.1.2.1: SSSS <= 11+4
                                     raise ValueError("bad DC magnitude category")
                                 diff = _jpg_extend(br.read(s), s) if s else 0
@@ -1539,18 +1555,15 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                                 blk[0] = pred[ci] << al
                             elif br.read(1):
                                 blk[0] |= 1 << al
-                        if not prog and ss == 0:
-                            # baseline: the same scan carries the AC band
-                            eobrun = _jpg_band_first(
-                                br, blk, 1, 63, 0, htabs[(1, ta)], eobrun)
-                        elif ss > 0:
-                            actab = htabs[(1, ta)]
+                        if has_ac:
                             if ah == 0:
                                 eobrun = _jpg_band_first(
-                                    br, blk, ss, se, al, actab, eobrun)
+                                    br, blk, ac_lo, ac_hi, ac_al,
+                                    actabs[ci], eobrun)
                             else:
                                 eobrun = _jpg_band_refine(
-                                    br, blk, ss, se, al, actab, eobrun)
+                                    br, blk, ac_lo, ac_hi, ac_al,
+                                    actabs[ci], eobrun)
                     unit += 1
             if unit != n_units:
                 raise ValueError("JPEG scan ended early")
